@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.text.Text
+
+/** Deduplication operators for document corpora (SURVEY.md §2.C).
+  *
+  * Scale design (100 TB): nothing here ever materializes the O(n²) pair
+  * space. Exact dedup shuffles on a content digest (bytes ≈ 32/row, not
+  * the payload); near-dedup generates candidates by shuffling on shingle
+  * or band keys (inverted-index / LSH style, cf. V-SMART-Join, VLDB'12)
+  * and only then exact-verifies the candidate pairs.
+  */
+object Dedup {
+  /** Exact dedup keeping the smallest `idCol` per identical `textCol`.
+    *
+    * Implemented as min-id-per-digest + semi-join rather than a
+    * row_number window so the shuffled payload is the 32-byte sha2 digest,
+    * not the document text — at 100 TB the text never moves.
+    */
+  def exactKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val digests = docs.select(col(idCol), sha2(col(textCol), 256).as("__digest"))
+    val keep = digests.groupBy("__digest").agg(min(col(idCol)).as(idCol)).drop("__digest")
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Window-based variant (row_number over the text) — semantically
+    * identical, used as the oracle-shaped formulation in tests.
+    */
+  def exactKeepFirstWindow(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("__rn", row_number().over(Window.partitionBy(textCol).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** Distinct (doc_id, shingle-hash) pairs for `n`-token shingles.
+    * The portable polynomial hash keeps downstream MinHash arithmetic in
+    * Longs and engine-reproducible.
+    */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), n)).as("shingle"))
+      .select(col("doc_id"), PortableHash.asciiPolyHash(col("shingle")).as("h"))
+
+  /** MinHash signatures as one wide row per doc: `numHashes` independent
+    * codegen'd `min` aggregates over the affine permutations of the
+    * shingle hash. A single hash-partitioned aggregation; shuffle volume
+    * is O(docs × numHashes) longs with map-side partial mins — no explode
+    * of the shingle table.
+    */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(k => min(PortableHash.minHashPerm(col("h"), k)).as(s"mh_$k"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature columns into bands of `rowsPerBand`
+    * values and emit one (doc_id, band, band_sig) row per band — a small
+    * posexplode over docs × numBands, not over shingles.
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val sigCols = signatures.columns.filter(_.startsWith("mh_")).sortBy(_.drop(3).toInt)
+    val bandSigs = sigCols.grouped(rowsPerBand).toSeq
+      .map(cs => concat_ws(",", cs.map(col): _*))
+    signatures.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+  }
+
+  /** Candidate pairs (a < b) from band collisions — the only self-join,
+    * and it joins on (band, band_sig), never on content.
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs.
+    * Output is independent of every hash above (SURVEY.md §7.4 trap 7):
+    * LSH only filters candidates; this decides membership.
+    */
+  def exactJaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = shingles.select(col("doc_id").as("doc_id_a"), col("h"))
+    val sb = shingles.select(col("doc_id").as("doc_id_b"), col("h"))
+    val common = candidates
+      .join(sa, "doc_id_a")
+      .join(sb, Seq("doc_id_b", "h"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dedup: candidates via banding, membership via
+    * exact Jaccard ≥ threshold. With 128 hashes in bands of 4, a pair at
+    * J=0.8 is missed with probability (1-0.8⁴)³² ≈ 5e-8.
+    */
+  def minHashNearDup(docs: DataFrame, shingleN: Int, threshold: Double,
+      numHashes: Int = 128, rowsPerBand: Int = 4): DataFrame = {
+    // The shingle table feeds signatures AND the exact-verify join; persist
+    // so the tokenize+hash subplan runs once (Catalyst has no automatic
+    // subplan reuse across self-joins).
+    val sh = shingleHashes(docs, shingleN).distinct().persist()
+    val cands = lshCandidates(lshBands(minHashSignatures(sh, numHashes), rowsPerBand))
+    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup via inverted-index join on shingle
+    * hashes — exact for ANY threshold > 0 (every pair with J > 0 shares a
+    * shingle and is found by the join). Preferred over LSH when the
+    * threshold is low; shuffle is O(total shingles + colliding pairs).
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs, shingleN).distinct().persist()
+    val sa = sh.select(col("doc_id").as("doc_id_a"), col("h"))
+    val sb = sh.select(col("doc_id").as("doc_id_b"), col("h"))
+    val candidates = sa.join(sb, "h")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    exactJaccard(candidates, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint per document over its distinct token set,
+    * using the portable token hash so fingerprints are engine-reproducible.
+    * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("doc_id"), PortableHash.asciiPolyHash(col("tok")).as("hv"))
+    toks
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
+  }
+}

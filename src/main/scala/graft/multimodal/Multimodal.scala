@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.C): media payloads are opaque
+  * `binary` columns with a typed metadata struct alongside; decode /
+  * feature-extraction runs batched per partition so a real decoder
+  * amortizes model/codec setup per batch, exactly the shape `mapInPandas`
+  * gives PySpark.
+  *
+  * The decode step itself is a STUB — image/audio codecs are not in this
+  * environment — marked [[FakeDecoder]]; it is deterministic so the
+  * pipeline is testable. Everything around it (schema, partitioning,
+  * batch iteration, output shape) is the real plumbing a decoder would
+  * plug into.
+  */
+object Multimodal {
+  /** Metadata carried next to every payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a text table into (id, media: binary, meta) — the ingestion
+    * shape for any blob source. At 100 TB, prefer pointers into an object
+    * store for large blobs; parquet handles the metadata + small payloads.
+    */
+  def attachBinary(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      col(textCol).cast("binary").as("media"),
+      struct(
+        lit("text/plain").as("kind"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, feature: Array[Float])
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * and run feature extraction (per-batch model init). This deterministic
+    * fake derives a checksum and a tiny "feature vector" from the raw
+    * bytes so tests can assert the plumbing end-to-end.
+    */
+  object FakeDecoder {
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+
+    def features(bytes: Array[Byte], dim: Int = 4): Array[Float] = {
+      val f = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      f
+    }
+  }
+
+  /** Batched per-partition decode — the Scala analog of mapInPandas: one
+    * iterator per partition, so per-partition setup (codec, model) runs
+    * once per task, not once per row.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "media", "meta.kind", "meta.n_bytes")
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-partition decoder setup would go here (once per task)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            r.getAs[Long]("n_bytes"), FakeDecoder.checksum(bytes), FakeDecoder.features(bytes))
+        }
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.PortableHash
+import graft.text.Text
+
+/** Deduplication / fingerprinting queries (SURVEY.md §2.C-D Q15–Q16 and
+  * extensions Q19, Q21, Q25).
+  *
+  * Oracle strategy: every hash observable in output (simhash, fingerprint)
+  * uses the portable polynomial hash that the DuckDB oracle recomputes
+  * bit-identically; LSH/minhash internals are candidate filters only —
+  * exact Jaccard (integer arithmetic, no float risk) decides membership.
+  */
+object QueriesDedup {
+  import QueriesText.ToksSql
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  def q15_dedup_stats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepFirst(docs(s, dir), "text", "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("lang")
+
+  val q15Sql: String =
+    """WITH kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)
+  WHERE rn = 1)
+SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM kept GROUP BY lang ORDER BY lang"""
+
+  /** DuckDB fragment: exact n-token-shingle Jaccard pairs ≥ threshold.
+    * Any pair with J > 0 shares a shingle, so the inverted-index join is
+    * exact; Jaccard is a ratio of exact integers — no float drift.
+    */
+  private def jaccardOracle(n: Int, threshold: String): String = {
+    val last = n - 1
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+$last], ' ') AS s
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${last - 1})) AS i FROM toks WHERE len(t) >= $n)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold
+ORDER BY doc_id_a, doc_id_b"""
+  }
+
+  /** MinHash + LSH banding for candidates, exact 5-shingle Jaccard ≥ 0.8
+    * for membership (128 hashes, bands of 4: miss prob ≈ 5e-8 at J=0.8).
+    */
+  def q16_minhash_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDup(docs(s, dir), shingleN = 5, threshold = 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  val q16Sql: String = jaccardOracle(5, "0.8")
+
+  /** Exact trigram Jaccard near-dup at a low threshold — the inverted-
+    * index path where LSH would be too lossy.
+    */
+  def q19_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  val q19Sql: String = jaccardOracle(3, "0.1")
+
+  def q21_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(s, dir)).orderBy("doc_id")
+
+  /** DuckDB fragment: the portable polynomial hash of a string expression.
+    * Mirrors PortableHash.asciiPolyHash: fold(0, h*31 + ascii) mod 1e9+7.
+    */
+  private def polyHashSql(strExpr: String): String =
+    raw"""list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(list_filter(string_split($strExpr, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
+  (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  val q21Sql: String =
+    raw"""WITH toks AS (SELECT DISTINCT doc_id, unnest($ToksSql) AS tok FROM documents),
+h AS (SELECT doc_id, ${polyHashSql("tok")} AS hv FROM toks),
+bits AS (SELECT doc_id, hv, unnest(range(0, 32)) AS bit FROM h),
+sums AS (SELECT doc_id, bit, sum(CASE WHEN (hv >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Rolling-hash document fingerprint over the normalized token stream. */
+  def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q25Sql: String =
+    raw"""SELECT doc_id, ${polyHashSql(s"array_to_string($ToksSql, ' ')")} AS fingerprint
+FROM documents ORDER BY doc_id"""
+}

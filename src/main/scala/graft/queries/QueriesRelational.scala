@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational queries over the star schema + events (SURVEY.md §2.D
+  * Q7–Q14) and the event-analytics extensions (Q29–Q30).
+  *
+  * Scale notes: every join below either broadcasts its small side
+  * (dimension tables — nation is 25 rows at any SF) or shuffles on the
+  * join key with AQE free to re-plan; filters are plain column
+  * predicates so Catalyst pushes them into the parquet scan.
+  */
+object QueriesRelational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def ntz(ts: String) = expr(s"to_timestamp_ntz('$ts')")
+
+  /** TPC-H Q1 shape: pricing summary. The shipdate predicate is pushed to
+    * the parquet scan; aggregation is partial (map-side) + final.
+    */
+  def q07_pricing_summary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q07Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  /** Multi-way equi-join; nation broadcast (25 rows), fact-fact joins
+    * shuffle on the key.
+    */
+  def q08_nation_revenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val n = t(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q08Sql: String =
+    """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  def q09_top_customers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum("o_totalprice").as("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, sum(o_totalprice) AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY total_spent DESC, c_custkey LIMIT 10"""
+
+  def q10_orders_by_priority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ntz("1996-03-01 00:00:00")
+        && col("o_orderdate") < ntz("1996-04-01 00:00:00"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .orderBy("o_orderpriority")
+
+  val q10Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  def q11_part_rank(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("price_rank",
+        rank().over(Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)).cast("long"))
+      .orderBy("p_brand", "price_rank", "p_partkey")
+
+  val q11Sql: String =
+    """SELECT p_brand, p_partkey, p_retailprice,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank
+FROM part ORDER BY p_brand, price_rank, p_partkey"""
+
+  /** Window frame (rowsBetween) — running sums are order-deterministic
+    * because the frame orders on a unique key suffix.
+    */
+  def q12_running_total(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend", sum("o_totalprice").over(w))
+      .drop("o_totalprice")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  /** Set operations. Spark `union` is UNION ALL; `.distinct()` restores
+    * SQL UNION semantics, `.except` is already EXCEPT DISTINCT.
+    */
+  def q13_setops(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").select(col("r_name").as("name"))
+    val firstNations = t(s, dir, "nation").filter(col("n_nationkey") < 5).select(col("n_name").as("name"))
+    val otherNations = t(s, dir, "nation").filter(col("n_nationkey") >= 5).select(col("n_name").as("name"))
+    region.union(firstNations).distinct().except(otherNations).orderBy("name")
+  }
+
+  val q13Sql: String =
+    """SELECT name FROM (
+  (SELECT r_name AS name FROM region
+   UNION
+   SELECT n_name AS name FROM nation WHERE n_nationkey < 5)
+  EXCEPT
+  SELECT n_name AS name FROM nation WHERE n_nationkey >= 5)
+ORDER BY name"""
+
+  /** Tumbling 1-hour windows via Spark's `window()`; epoch-aligned 1-hour
+    * tumbling ≡ date_trunc('hour') in the oracle.
+    */
+  def q14_hourly_events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val q14Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, sum(value) AS total_value
+FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type"""
+
+  /** Sessionization (30-minute inactivity gap) — the batch shape of the
+    * stateful-streaming operator in graft.streaming.
+    */
+  def q29_user_sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q29Sql: String =
+    """WITH e AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id"""
+
+  /** JSON extraction from the events props column. */
+  def q30_event_props_json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), avg("k").as("avg_k"))
+      .orderBy("event_type")
+
+  val q30Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type"""
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Text
+
+/** Text / word-count queries: the reference's own surface (SURVEY.md §2.D
+  * Q1–Q6) plus the text-analysis extensions (Q18, Q22–Q24).
+  *
+  * Every oracle uses the exact tokenizer semantics of the reference
+  * (worker.rs:26-31): `[^A-Za-z]`→space, split on whitespace, drop empty,
+  * case-sensitive. DuckDB `regexp_replace` needs the explicit 'g' flag to
+  * match Spark's replace-all default.
+  */
+object QueriesText {
+  /** DuckDB fragment: array of non-empty tokens of `documents.text`. */
+  val ToksSql: String =
+    raw"""list_filter(regexp_split_to_array(regexp_replace(text, '[^A-Za-z]', ' ', 'g'), '\s+'), t -> t <> '')"""
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  def q01_wordcount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  val q01Sql: String =
+    raw"""SELECT word, count(*) AS cnt
+FROM (SELECT unnest($ToksSql) AS word FROM documents)
+GROUP BY word ORDER BY word"""
+
+  def q02_top_words(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  val q02Sql: String =
+    raw"""SELECT word, count(*) AS cnt
+FROM (SELECT unnest($ToksSql) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 100"""
+
+  def q03_doc_tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  val q03Sql: String =
+    raw"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+ORDER BY doc_id"""
+
+  def q04_distinct_words(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .distinct()
+      .orderBy("word")
+
+  val q04Sql: String =
+    raw"""SELECT DISTINCT word FROM (SELECT unnest($ToksSql) AS word FROM documents) ORDER BY word"""
+
+  def q05_cross_source_words(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(countDistinct("source").as("n_sources"))
+      .filter(col("n_sources") >= 2)
+      .orderBy("word")
+
+  val q05Sql: String =
+    raw"""SELECT word, count(DISTINCT source) AS n_sources
+FROM (SELECT source, unnest($ToksSql) AS word FROM documents)
+GROUP BY word HAVING count(DISTINCT source) >= 2 ORDER BY word"""
+
+  def q06_token_length_hist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(length(col("word")).cast("long").as("token_len"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token_len")
+
+  val q06Sql: String =
+    raw"""SELECT length(word) AS token_len, count(*) AS cnt
+FROM (SELECT unnest($ToksSql) AS word FROM documents)
+GROUP BY token_len ORDER BY token_len"""
+
+  def q18_lang_stats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"), size(Text.tokens(col("text"))).as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        avg("n_chars").as("avg_chars"),
+        avg("n_toks").as("avg_tokens"))
+      .orderBy("lang")
+
+  val q18Sql: String =
+    raw"""SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars, avg(len($ToksSql)) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  def q22_lang_id(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        Text.languageId(Text.tokens(col("text"))).as("pred_lang"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  val q22Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS ns
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN ns >= 4 THEN 'en' WHEN ns >= 2 THEN 'en_low' ELSE 'unknown' END AS pred_lang,
+       lang
+FROM t ORDER BY doc_id"""
+
+  def q23_quality_score(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val nTok = size(toks).cast("long")
+    val nStop = Text.markerCount(toks, Text.EnglishMarkers)
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), alpha.as("alpha"), nTok.as("n_tokens"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_tokens")).as("avg_tok_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("alpha_ratio") * 0.4
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("stopword_ratio")) * 0.3, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q23Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len($ToksSql) AS n_tokens,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END AS avg_tok_len
+  FROM t)
+SELECT doc_id, n_tokens, round(alpha_ratio, 6) AS alpha_ratio, round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.3 + (1.0 - stopword_ratio) * 0.3, 6) AS quality
+FROM r ORDER BY doc_id"""
+
+  def q24_token_count(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        Text.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  val q24Sql: String =
+    raw"""SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_ws_tokens
+FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.B "streaming" row): the
+  * reference is batch-only, so these are the Spark-native extensions —
+  * windowed event-time aggregation with watermarks, and custom session
+  * state via flatMapGroupsWithState.
+  *
+  * Both jobs read the same events table the batch queries use, so the
+  * test suite can check streaming results against the batch oracles
+  * (q14 / q29 shapes).
+  */
+object StreamingJobs {
+  /** Raw parquet schema of events.parquet with ts as int64 nanos (the
+    * file's TIMESTAMP(NANOS) needs nanosAsLong, same as Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a DIRECTORY of events parquet files (the file
+    * stream source rejects single-file paths); ts truncated to µs exactly
+    * like the batch loader.
+    */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts with a watermark — the streaming
+    * twin of q14_hourly_events. Append mode emits a window only once its
+    * watermark passes, which is the scale-correct way to bound state.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom state machine via flatMapGroupsWithState: per-user session
+    * counting with a 30-minute inactivity gap — the streaming twin of
+    * q29_user_sessions. Events within a microbatch are sorted by event
+    * time before folding (arrival order is not time order).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+
+    def update(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[UserSessions] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val t = e.ts.getTime * 1000
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMicros
+        s = SessionState(t, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+      }
+      state.update(s)
+      Iterator.single(UserSessions(userId, s.sessions, s.events))
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+
+  test("cosine: identical vectors score 1, orthogonal score 0") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      round(VectorOps.cosine(col("a"), col("b")), 9).as("same"),
+      round(VectorOps.cosine(col("a"), col("c")), 9).as("orth")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("knnJoin excludes self and returns exactly k neighbors per query") {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val r = Similarity.knnJoin(emb, q, 5)
+    assert(r.count() == 15)
+    assert(r.filter(col("vec_id") === col("query_id")).count() == 0)
+  }
+
+  test("ANN LSH top-k has decent recall vs brute force") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoin(emb, q, 10).select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annLshTopK(emb, q, 10).select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low; ann=$ann exact=$exact")
+  }
+
+  test("cosineNearDupPairs emits each unordered pair once (a < b)") {
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueriesRelational
+import graft.streaming.StreamingJobs
+
+/** Streaming results must agree with their batch twins (q14 / q29). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The file stream source needs a directory containing only the events
+    * table; stage a copy under /tmp.
+    */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly counts equal batch q14 on the same data") {
+    val q = StreamingJobs.hourlyCounts(StreamingJobs.readEvents(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+    // append mode withholds windows past the watermark frontier; compare
+    // the emitted prefix against the batch result.
+    val got = spark.table("hourly")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = QueriesRelational.q14_hourly_events(spark, sf("sf0.001"))
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "streaming emitted nothing")
+    assert(got.subsetOf(batch), s"streaming rows not in batch result: ${(got -- batch).take(3)}")
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch q29") {
+    val events = StreamingJobs.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .as[StreamingJobs.Event]
+    val q = StreamingJobs.sessionize(events)
+      .writeStream.outputMode("update").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    // update mode: take the last emitted row per user
+    val got = spark.table("sessions")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+      .as[(Long, Long, Long)].collect().toMap2
+    val batch = QueriesRelational.q29_user_sessions(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got == batch)
+  }
+
+  implicit class TupleOps(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
