@@ -38,13 +38,18 @@ object Dedup {
       .drop("__rn")
 
   /** Distinct (doc_id, shingle-hash) pairs for `n`-token shingles.
-    * The portable polynomial hash keeps downstream MinHash arithmetic in
-    * Longs and engine-reproducible.
+    *
+    * Uses engine-native xxhash64 (codegen'd) — the shingle hash is never
+    * observable in output here: joins compare hash equality and only the
+    * exact Jaccard ratio surfaces, so cross-engine portability is not
+    * required (unlike q21/q25 where PortableHash IS the output). Full
+    * 64 bits: intersection counts join on hash equality, and a 2^31
+    * reduction would produce hundreds of real collisions at sf0.1 scale.
     */
   def shingleHashes(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), n)).as("shingle"))
-      .select(col("doc_id"), PortableHash.asciiPolyHash(col("shingle")).as("h"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   /** MinHash signatures as one wide row per doc: `numHashes` independent
     * codegen'd `min` aggregates over the affine permutations of the
@@ -53,7 +58,11 @@ object Dedup {
     * of the shingle table.
     */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(k => min(PortableHash.minHashPerm(col("h"), k)).as(s"mh_$k"))
+    // Reduce the 64-bit hash into the permutation field's range first; a
+    // collision here only perturbs LSH candidate generation (exact verify
+    // decides membership), unlike the join hash above.
+    val h31 = pmod(col("h"), lit(PortableHash.MinHashP))
+    val aggs = (0 until numHashes).map(k => min(PortableHash.minHashPerm(h31, k)).as(s"mh_$k"))
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -121,13 +130,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
     val sh = shingleHashes(docs, shingleN).distinct().persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.select(col("doc_id").as("doc_id_a"), col("h"))
     val sb = sh.select(col("doc_id").as("doc_id_b"), col("h"))
-    val candidates = sa.join(sb, "h")
+    // (doc, h) rows are distinct, so the inverted-index join emits exactly
+    // one row per SHARED shingle — the intersection size falls out of a
+    // single groupBy; no second verification join needed.
+    val common = sa.join(sb, "h")
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b")
-      .distinct()
-    exactJaccard(candidates, sh).filter(col("jaccard") >= threshold)
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash fingerprint per document over its distinct token set,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
+
 
 /** Similarity search over an `ArrayType(FloatType)` embedding column
   * (SURVEY.md §2.C).
@@ -27,13 +28,13 @@ object Similarity {
   def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // Precompute each side's norm once before the join — cosine inside the
     // pair loop then costs a single dot product, not three.
-    val e = embeddings.withColumn("__n", VectorOps.norm(col("embedding")))
-    val q = queries.withColumn("__qn", VectorOps.norm(col("query_vec")))
+    val e = embeddings.withColumn("__n", normF32(col("embedding")))
+    val q = queries.withColumn("__qn", normF32(col("query_vec")))
     val sim = e
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(VectorOps.dot(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
           .as("cosine_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
     sim
@@ -56,8 +57,8 @@ object Similarity {
     */
   def bucketId(embCol: org.apache.spark.sql.Column, planes: Array[Array[Double]]): org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(VectorOps.dot(embCol, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+      val planeCol = array(p.map(x => lit(x.toFloat)): _*)
+      when(dotF32(embCol, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k for the query vectors: candidates = vectors whose bucket is
@@ -72,11 +73,11 @@ object Similarity {
     val q = queries.withColumn("qbucket", bucketId(col("query_vec"), planes))
     // All bucket ids within the probe radius of qbucket (XOR popcount).
     val probed = emb
-      .withColumn("__n", VectorOps.norm(col("embedding")))
-      .join(broadcast(q.withColumn("__qn", VectorOps.norm(col("query_vec")))),
+      .withColumn("__n", normF32(col("embedding")))
+      .join(broadcast(q.withColumn("__qn", normF32(col("query_vec")))),
         expr(s"bit_count(bucket ^ qbucket) <= $probeHamming") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(VectorOps.dot(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
           .as("cosine_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
     probed.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
@@ -88,13 +89,13 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val withNorm = embeddings
-      .select(col("vec_id"), col("embedding"), VectorOps.norm(col("embedding")).as("__n"))
+      .select(col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"))
       .persist()
     val a = withNorm.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("__n").as("__na"))
     val b = withNorm.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"), col("__n").as("__nb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .select(col("vec_id_a"), col("vec_id_b"),
-        round(VectorOps.dot(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
+        round(dotF32(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }

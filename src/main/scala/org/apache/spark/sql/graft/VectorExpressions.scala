@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * Lives under org.apache.spark.sql because `AbstractDataType` and the
+  * Column<->Expression bridge (`classic.ExpressionUtils`) are
+  * private[sql]; this is the conventional extension-bridge pattern.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * evaluates interpreted with per-element boxing — fine for one pass over
+  * a table, ruinous inside an all-pairs join (12.5M pairs × 64 floats at
+  * sf0.1; billions at 100 TB). These expressions participate in
+  * whole-stage codegen: a tight primitive loop over the two float arrays.
+  *
+  * Accumulation is sequential in index order, in double precision —
+  * bit-identical to both the HOF formulation and the DuckDB oracle's
+  * list_sum, so swapping them in changes nothing observable.
+  *
+  * Null ARRAYS propagate null (standard binary-expression semantics);
+  * null ELEMENTS are not expected in embedding data and are read as 0.
+  */
+case class DotF32(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(sum(x_i^2)) over a float array — the L2 norm, same codegen story
+  * as [[DotF32]].
+  */
+case class NormF32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_f32"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column builders for the native expressions. */
+object VectorExpressions {
+  def dotF32(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotF32(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def normF32(a: Column): Column =
+    ExpressionUtils.column(NormF32(ExpressionUtils.expression(a)))
+}
