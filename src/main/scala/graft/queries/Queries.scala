@@ -42,6 +42,8 @@ object Queries {
     "q28_binary_meta"       -> (QueriesBinary.q28_binary_meta _),
     "q29_user_sessions"     -> (QueriesRelational.q29_user_sessions _),
     "q30_event_props_json"  -> (QueriesRelational.q30_event_props_json _),
+    "q31_semi_anti"         -> (QueriesRelational.q31_semi_anti _),
+    "q32_rollup"            -> (QueriesRelational.q32_rollup _),
   )
 
   /** DuckDB oracle SQL per query; q27 is approximate-by-construction and
@@ -77,5 +79,7 @@ object Queries {
     "q28_binary_meta"       -> QueriesBinary.q28Sql,
     "q29_user_sessions"     -> QueriesRelational.q29Sql,
     "q30_event_props_json"  -> QueriesRelational.q30Sql,
+    "q31_semi_anti"         -> QueriesRelational.q31Sql,
+    "q32_rollup"            -> QueriesRelational.q32Sql,
   )
 }

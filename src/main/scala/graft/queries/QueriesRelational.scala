@@ -192,6 +192,52 @@ FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type"
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id ORDER BY user_id"""
 
+  /** Semi/anti joins: orders that do / don't contain a bulk line item
+    * (l_quantity >= 45). left_semi/left_anti shuffle only the key column
+    * of the filtered right side.
+    */
+  def q31_semi_anti(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bulk = t(s, dir, "lineitem").filter(col("l_quantity") >= 45).select("l_orderkey")
+    val withBulk = o.join(bulk, o("o_orderkey") === bulk("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_with_bulk"))
+    val withoutBulk = o.join(bulk, o("o_orderkey") === bulk("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_without_bulk"))
+    o.select("o_orderpriority").distinct()
+      .join(withBulk, Seq("o_orderpriority"), "left")
+      .join(withoutBulk, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_with_bulk"), lit(0L)).as("n_with_bulk"),
+        coalesce(col("n_without_bulk"), lit(0L)).as("n_without_bulk"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderpriority,
+       count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)) AS n_with_bulk,
+       count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)) AS n_without_bulk
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** ROLLUP over (priority, status). Subtotal rows are coalesced to 'ALL'
+    * on both sides, which also sidesteps engine NULL-ordering defaults.
+    */
+  def q32_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority", "status")
+
+  val q32Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority, coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY priority, status"""
+
   /** JSON extraction from the events props column. */
   def q30_event_props_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
