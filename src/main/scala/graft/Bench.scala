@@ -24,12 +24,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries.get("q01_wordcount").foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // Best-of-2 per query: the host is shared, so single-shot timings can
+    // inflate 5-10x under outside contention; the minimum is the honest
+    // estimate of the query's actual cost.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2fs")
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = times.min
+      System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")})")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

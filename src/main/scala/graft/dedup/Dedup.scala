@@ -66,6 +66,17 @@ object Dedup {
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signature as ONE custom sketch-style aggregate
+    * (TypedImperativeAggregate, see o.a.s.sql.graft.MinHashAgg): compact
+    * long[] partial state with map-side combine, no 128-column-wide
+    * aggregation. Same permutation family as [[minHashSignatures]].
+    */
+  def minHashSignaturesAgg(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val h31 = pmod(col("h"), lit(PortableHash.MinHashP))
+    shingles.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.MinHashAgg.minhash(h31, numHashes).as("sig"))
+  }
+
   /** LSH banding: split the signature columns into bands of `rowsPerBand`
     * values and emit one (doc_id, band, band_sig) row per band — a small
     * posexplode over docs × numBands, not over shingles.
@@ -76,6 +87,14 @@ object Dedup {
       .map(cs => concat_ws(",", cs.map(col): _*))
     signatures.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
   }
+
+  /** Banding over the array-form signature from [[minHashSignaturesAgg]]. */
+  def lshBandsFromArray(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) - 1).divide(rowsPerBand).cast("int")),
+        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))
+        .as(Seq("band", "band_sig")))
 
   /** Candidate pairs (a < b) from band collisions — the only self-join,
     * and it joins on (band, band_sig), never on content.
@@ -119,7 +138,7 @@ object Dedup {
     // so the tokenize+hash subplan runs once (Catalyst has no automatic
     // subplan reuse across self-joins).
     val sh = shingleHashes(docs, shingleN).distinct().persist()
-    val cands = lshCandidates(lshBands(minHashSignatures(sh, numHashes), rowsPerBand))
+    val cands = lshCandidates(lshBandsFromArray(minHashSignaturesAgg(sh, numHashes), rowsPerBand))
     exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,42 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the native expressions as SQL functions, so
+  * `spark.sql("SELECT dot_f32(a, b) ...")` works.
+  *
+  * Two entry points:
+  *  - config `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *    (session-creation time), or
+  *  - `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("dot_f32",
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (es: Seq[Expression]) => DotF32(es(0), es(1))),
+    ("norm_f32",
+      new ExpressionInfo(classOf[NormF32].getName, "norm_f32"),
+      (es: Seq[Expression]) => NormF32(es(0))),
+    ("minhash_agg",
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (es: Seq[Expression]) => MinHashAgg(es(0),
+        es(1).eval().asInstanceOf[Int], 0, 0).toAggregateExpression()))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

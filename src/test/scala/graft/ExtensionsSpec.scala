@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftExtensions, MinHashAgg}
+
+import graft.dedup.Dedup
+import graft.operators.Skew
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions dot_f32 / norm_f32 / minhash_agg register and evaluate") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
+    val r = spark.sql("SELECT dot_f32(a, b) AS d, norm_f32(a) AS n FROM v").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
+    val m = spark.sql("SELECT minhash_agg(h, 8) AS sig FROM (SELECT CAST(42 AS BIGINT) AS h)")
+      .as[Seq[Long]].head()
+    assert(m.length == 8 && m.forall(_ >= 0))
+  }
+
+  test("MinHashAgg signature equals the declarative wide-column formulation") {
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val sh = Dedup.shingleHashes(docs, 5).distinct()
+    val viaAgg = Dedup.minHashSignaturesAgg(sh, 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    val wide = Dedup.minHashSignatures(sh, 32)
+    val cols = (0 until 32).map(k => col(s"mh_$k"))
+    val viaWide = wide.select(col("doc_id"), array(cols: _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg == viaWide)
+  }
+
+  test("array-form LSH bands equal wide-column bands") {
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val sh = Dedup.shingleHashes(docs, 5).distinct()
+    val a = Dedup.lshBandsFromArray(Dedup.minHashSignaturesAgg(sh, 32), 4)
+      .as[(Long, Int, String)].collect().toSet
+    val b = Dedup.lshBands(Dedup.minHashSignatures(sh, 32), 4)
+      .as[(Long, Int, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val salted = Skew.saltedCount(docs, "lang", 7).as[(String, Long)].collect().toMap
+    val plain = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents").select("doc_id", "lang")
+    val dims = Seq(("en", 1), ("de", 2), ("fr", 3), ("es", 4), ("zh", 5)).toDF("lang", "lang_id")
+    val salted = Skew.saltedJoin(docs, dims, "lang", 5)
+      .select("doc_id", "lang_id").as[(Long, Int)].collect().sorted.toSeq
+    val plain = docs.join(dims, "lang")
+      .select("doc_id", "lang_id").as[(Long, Int)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+}
