@@ -49,12 +49,14 @@ p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, ${cosSql("a.v", "b.v")}
 SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45 ORDER BY vec_id_a, vec_id_b"""
 
   /** Brute-force k-NN join: top-5 neighbors for each of the first 10
-    * vectors — per-partition top-k then global merge via the rank window.
+    * vectors — via the custom bounded-heap top-k aggregate (map-side
+    * partial top-k; the shuffle carries only k rows per query per
+    * partition, not the whole similarity matrix).
     */
   def q26_knn_join(s: SparkSession, dir: String): DataFrame = {
     val queries = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.knnJoin(emb(s, dir), queries, k = 5)
+    Similarity.knnJoinAgg(emb(s, dir), queries, k = 5)
       .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
       .orderBy("query_id", "rnk")
   }

@@ -42,6 +42,30 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** knnJoin re-expressed with the custom top-k aggregate
+    * (o.a.s.sql.graft.TopKAgg): map-side bounded heaps mean the shuffle
+    * carries O(queries × k) rows per partition instead of the whole
+    * similarity matrix — the formulation that survives a 100× scale-up.
+    * Identical results to [[knnJoin]] (same score rounding, same
+    * tie-break by vec_id).
+    */
+  def knnJoinAgg(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.withColumn("__n", normF32(col("embedding")))
+    val q = queries.withColumn("__qn", normF32(col("query_vec")))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"),
+        col("__kv.id").as("vec_id"),
+        col("__kv.score").as("cosine_sim"),
+        (col("__r") + 1).cast("long").as("rnk"))
+  }
+
   /** Deterministic hyperplanes for sign-random-projection LSH: gaussian
     * components from a fixed-seed PRNG, so bucket ids are stable across
     * runs while the planes are properly isotropic (a structured/low-
