@@ -44,6 +44,7 @@ object Queries {
     "q30_event_props_json"  -> (QueriesRelational.q30_event_props_json _),
     "q31_semi_anti"         -> (QueriesRelational.q31_semi_anti _),
     "q32_rollup"            -> (QueriesRelational.q32_rollup _),
+    "q33_bigram_counts"     -> (QueriesText.q33_bigram_counts _),
   )
 
   /** DuckDB oracle SQL per query; q27 is approximate-by-construction and
@@ -81,5 +82,6 @@ object Queries {
     "q30_event_props_json"  -> QueriesRelational.q30Sql,
     "q31_semi_anti"         -> QueriesRelational.q31Sql,
     "q32_rollup"            -> QueriesRelational.q32Sql,
+    "q33_bigram_counts"     -> QueriesText.q33Sql,
   )
 }

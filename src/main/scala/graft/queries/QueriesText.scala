@@ -163,6 +163,21 @@ SELECT doc_id, n_tokens, round(alpha_ratio, 6) AS alpha_ratio, round(stopword_ra
        round(alpha_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.3 + (1.0 - stopword_ratio) * 0.3, 6) AS quality
 FROM r ORDER BY doc_id"""
 
+  /** Top-50 token bigrams — n-gram generation via the shingle machinery. */
+  def q33_bigram_counts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(graft.text.Text.shinglesAll(graft.text.Text.tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+
+  val q33Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+bg AS (SELECT array_to_string(t[i:i+1], ' ') AS bigram
+       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2))
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50"""
+
   def q24_token_count(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),

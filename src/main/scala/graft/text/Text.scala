@@ -31,6 +31,14 @@ object Text {
         transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** All n-token shingles WITH multiplicity (one per position), for
+    * frequency analyses; [[shingles]] deduplicates for set semantics.
+    */
+  def shinglesAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Number of tokens matched by a BPE-ish pre-tokenizer regex: runs of
     * letters, runs of digits, or single non-alphanumeric glyphs.
     */
