@@ -1,0 +1,32 @@
+package graft
+
+import graft.core.Sessions
+import graft.queries.Queries
+
+/** CLI runner: execute a named catalog query against a test-data dir.
+  *
+  *   runMain graft.Run list
+  *   runMain graft.Run <query> <sfDir> [outParquetDir]
+  *
+  * Without an output dir the first 20 rows print to stdout; with one, the
+  * full result is written as parquet.
+  */
+object Run {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "list" :: Nil =>
+      Queries.all.keys.toSeq.sorted.foreach(println)
+    case q :: dir :: rest if Queries.all.contains(q) =>
+      val spark = Sessions.local(s"graft-$q")
+      try {
+        val df = Queries.all(q)(spark, dir)
+        rest match {
+          case out :: Nil => df.write.mode("overwrite").parquet(out); println(s"wrote $out")
+          case _          => df.show(20, truncate = false)
+        }
+      } finally spark.stop()
+    case q :: _ :: _ =>
+      System.err.println(s"unknown query '$q' — try: runMain graft.Run list"); sys.exit(2)
+    case _ =>
+      System.err.println("usage: graft.Run list | graft.Run <query> <sfDir> [outDir]"); sys.exit(2)
+  }
+}
