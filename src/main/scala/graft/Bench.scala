@@ -37,6 +37,9 @@ object Bench {
       }
       val sec = times.min
       System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")})")
+      // Each query call builds fresh persisted subplans (shingle/norm
+      // tables); drop them so cache memory doesn't creep across the run.
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
