@@ -23,9 +23,15 @@ object Text {
     filter(split(regexp_replace(text, TokenizePattern, " "), "\\s+"), t => t =!= lit(""))
 
   /** Distinct n-token shingles joined by a single space; empty array when
-    * the document has fewer than n tokens.
+    * the document has fewer than n tokens. Single-pass native expression;
+    * the declarative HOF spelling lives in [[shinglesHof]] and is
+    * equality-tested against this.
     */
   def shingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TokenShingles.shingles(toks, n, distinct = true)
+
+  /** HOF formulation of [[shingles]] (reference semantics, interpreted). */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
@@ -35,9 +41,7 @@ object Text {
     * frequency analyses; [[shingles]] deduplicates for set semantics.
     */
   def shinglesAll(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.TokenShingles.shingles(toks, n, distinct = false)
 
   /** Number of tokens matched by a BPE-ish pre-tokenizer regex: runs of
     * letters, runs of digits, or single non-alphanumeric glyphs.
