@@ -50,6 +50,23 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval self-join: for every event, the same user's
+    * follow-up events within `gapMinutes`. Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so state is
+    * droppable — the requirements for an unbounded-stream join.
+    */
+  def followUpPairs(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val a = events.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+      .withWatermark("ts_a", "1 hour")
+    val b = events.select(col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+      .withWatermark("ts_b", "1 hour")
+    a.join(b,
+      a("user_id") === b("user_b") &&
+        b("ts_b") > a("ts_a") &&
+        b("ts_b") <= a("ts_a") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -56,4 +56,25 @@ class StreamingSpec extends SparkSpec {
   implicit class TupleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("stream-stream interval join equals the batch formulation") {
+    val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
+      .writeStream.outputMode("append").format("memory").queryName("pairs").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pairs").select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val ev = graft.core.Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    val batch = a.join(b,
+      a("user_id") === b("user_b") && b("ts_b") > a("ts_a")
+        && b("ts_b") <= a("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(got.nonEmpty, "stream-stream join emitted nothing")
+    // append mode may withhold pairs near the watermark frontier
+    assert(got.subsetOf(batch), s"rows not in batch result: ${(got -- batch).take(3)}")
+    assert((batch -- got).size <= batch.size / 10, "too many pairs withheld")
+  }
 }
