@@ -15,11 +15,18 @@ object Text {
   /** worker.rs:26-27 — `[^A-Za-z]` replaced by a space. */
   val TokenizePattern = "[^A-Za-z]"
 
-  /** Array of non-empty tokens. Spark's `split` keeps empty strings where
-    * Rust's `split_whitespace` drops them (SURVEY.md §7.4 trap 1), hence
-    * the filter.
+  /** Array of non-empty tokens — native single-scan expression; see
+    * o.a.s.sql.graft.TokenizeWords. The declarative twin below preserves
+    * the formulation the semantics are defined by.
     */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.TokenizeWords.tokenize(text)
+
+  /** Declarative tokenizer: Spark's `split` keeps empty strings where
+    * Rust's `split_whitespace` drops them (SURVEY.md §7.4 trap 1), hence
+    * the filter. Equality-tested against [[tokens]].
+    */
+  def tokensHof(text: Column): Column =
     filter(split(regexp_replace(text, TokenizePattern, " "), "\\s+"), t => t =!= lit(""))
 
   /** Distinct n-token shingles joined by a single space; empty array when

@@ -1,0 +1,56 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference tokenizer (worker.rs:23-34: replace every non-[A-Za-z]
+  * character with a space, split on whitespace, drop empties) as a single
+  * byte-level scan over the UTF8String — no regex, no split array churn,
+  * no interpreted lambda filter.
+  *
+  * Byte-level is exact here because the keep-class is pure ASCII: every
+  * byte of a multi-byte UTF-8 character is >= 0x80 and therefore a
+  * separator, which collapses with its neighbors exactly as the
+  * per-character regex replacement does.
+  *
+  * Declarative twin (regexp_replace + split + filter) kept as
+  * graft.text.Text.tokensHof and equality-tested.
+  */
+case class TokenizeWords(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_words"
+
+  @inline private def isLetter(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      if (isLetter(bytes(i))) {
+        val start = i
+        while (i < n && isLetter(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWords =
+    copy(child = newChild)
+}
+
+object TokenizeWords {
+  def tokenize(text: Column): Column =
+    ExpressionUtils.column(TokenizeWords(ExpressionUtils.expression(text)))
+}
