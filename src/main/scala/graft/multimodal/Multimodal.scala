@@ -34,6 +34,23 @@ object Multimodal {
         lit("text/plain").as("kind"),
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Chunk each payload into fixed-size "frames" (the video-decode shape:
+    * one binary blob → ordered frame sequence). Pure SQL substring
+    * arithmetic over the binary column — no decoder involvement.
+    */
+  def frames(media: DataFrame, frameBytes: Int): DataFrame =
+    media.select(col("media_id"), col("meta"),
+      posexplode(expr(
+        s"transform(sequence(0, int(ceil(meta.n_bytes / cast($frameBytes as double))) - 1), " +
+          s"i -> substring(media, i * $frameBytes + 1, $frameBytes))"))
+        .as(Seq("frame_no", "frame")))
+
+  /** Keep every k-th frame — the frame-sampling step of a video pipeline.
+    * Runs entirely on the frame table; no payload reassembly needed.
+    */
+  def sampleFrames(framed: DataFrame, everyK: Int): DataFrame =
+    framed.filter(pmod(col("frame_no"), lit(everyK)) === 0)
+
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, feature: Array[Float])
 

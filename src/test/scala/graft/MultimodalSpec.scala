@@ -21,6 +21,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2 && f1.size == 50)
   }
 
+  test("frames reassemble to the original payload and sample every k-th") {
+    import org.apache.spark.sql.functions._
+    val m = Multimodal.attachBinary(docs.limit(20))
+    val framed = Multimodal.frames(m, frameBytes = 16)
+    // reassembly: concat frames in order == original bytes
+    val rebuilt = framed.groupBy("media_id")
+      .agg(sort_array(collect_list(struct(col("frame_no"), col("frame")))).as("fs"))
+      .select(col("media_id"), expr("array_join(transform(fs, f -> string(f.frame)), '')").as("txt"))
+      .as[(Long, String)].collect().toMap
+    val original = docs.limit(20).select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rebuilt == original)
+    // sampling keeps ceil(n/k) frames per doc
+    val total = framed.count()
+    val sampled = Multimodal.sampleFrames(framed, 3).count()
+    assert(sampled >= total / 3 && sampled <= total / 3 + 20)
+  }
+
   test("checksum matches a driver-side recompute") {
     val row = Multimodal.extractFeatures(Multimodal.attachBinary(docs.limit(1))).head()
     val text = docs.limit(1).select("text").as[String].head()
