@@ -45,10 +45,11 @@ object Queries {
     "q31_semi_anti"         -> (QueriesRelational.q31_semi_anti _),
     "q32_rollup"            -> (QueriesRelational.q32_rollup _),
     "q33_bigram_counts"     -> (QueriesText.q33_bigram_counts _),
+    "q34_ann_ivf"           -> (QueriesSim.q34_ann_ivf _),
   )
 
-  /** DuckDB oracle SQL per query; q27 is approximate-by-construction and
-    * intentionally has no oracle (rows-only check + recall test).
+  /** DuckDB oracle SQL per query; q27/q34 are approximate-by-construction
+    * and intentionally have no oracle (rows-only check + recall tests).
     */
   val oracles: Map[String, String] = Map(
     "q01_wordcount"         -> QueriesText.q01Sql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sim.Similarity
+import graft.sim.{IvfIndex, Similarity}
 
 /** Similarity-search queries over the embeddings table (SURVEY.md §2.C-D
   * Q17 and extensions Q20, Q26–Q27).
@@ -80,6 +80,18 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 5 ORDER BY query_id
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     Similarity.annLshTopK(emb(s, dir), queries, k = 10)
       .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-style ANN (k-means cells + nprobe search) — the other classic
+    * scale path next to LSH. Approximate: rows-only check + recall spec.
+    */
+  def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, k = 16, iters = 5)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(IvfIndex.assign(e, model), queries, model, k = 10, nprobe = 4)
       .orderBy("query_id", "rnk")
   }
 }

@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.VectorExpressions.dotF32
+
+/** IVF-style ANN: partition the vector space with k-means centroids,
+  * assign every vector to its nearest centroid (the "inverted file"),
+  * probe only the query's nprobe nearest cells, exact re-rank inside.
+  *
+  * Scale shape: training runs on a bounded sample (driver-side Lloyd
+  * iterations over ≤ sampleN vectors — at 100 TB you train on a sample,
+  * never the corpus); assignment is a narrow per-row argmin over k dot
+  * products (codegen'd DotF32 against broadcast centroid literals); the
+  * probe is a cluster-id filter pushed at the scan, so a query touches
+  * nprobe/k of the data.
+  *
+  * Deterministic end to end: init takes the first k vectors by id, Lloyd
+  * iterations are fixed-count, ties in argmin resolve to the first index.
+  */
+object IvfIndex {
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Driver-side Lloyd k-means over a deterministic sample. */
+  def train(embeddings: DataFrame, k: Int, iters: Int = 10, sampleN: Int = 2048): Model = {
+    val sample: Array[Array[Double]] = embeddings
+      .orderBy("vec_id").limit(sampleN)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.length >= k, s"need at least $k sample vectors, got ${sample.length}")
+
+    var centroids = sample.take(k).map(_.clone())
+    val dim = centroids(0).length
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    Model(centroids)
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      val ctr = centroids(c)
+      while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cluster assignment as pure column arithmetic: squared distance to
+    * centroid c is |e|² - 2·e·c + |c|²; |e|² is constant across the
+    * argmin so only -2·e·c + |c|² matters. First-index tie-break via
+    * array_position of the min.
+    */
+  def clusterCol(emb: Column, model: Model): Column = {
+    val scores: Seq[Column] = model.centroids.toSeq.map { ctr =>
+      val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
+      val normSq = ctr.map(x => x * x).sum
+      lit(normSq) - lit(2.0) * dotF32(emb, cLit)
+    }
+    val arr = array(scores: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** Embeddings with their inverted-file cell id. At scale this is the
+    * materialized index table (partition/bucket by `cluster`).
+    */
+  def assign(embeddings: DataFrame, model: Model): DataFrame =
+    embeddings.withColumn("cluster", clusterCol(col("embedding"), model))
+
+  /** Top-k neighbors for the query vectors, probing each query's nprobe
+    * nearest cells only, exact cosine re-rank within (bounded-heap
+    * top-k aggregate). The candidate join is (cluster ⋈ cluster) against
+    * the broadcast probe table — per query, only nprobe cells are read.
+    */
+  def annTopK(assigned: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int): DataFrame = {
+    // per-query array of (cellScore, cellId) structs; sort, keep nprobe
+    val cellScores: Seq[Column] = model.centroids.toSeq.zipWithIndex.map { case (ctr, j) =>
+      val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
+      struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dotF32(col("query_vec"), cLit)).as("s"),
+        lit(j).as("c"))
+    }
+    val probes = queries
+      .withColumn("probe", explode(slice(array_sort(array(cellScores: _*)), 1, nprobe)))
+      .select(col("query_id"), col("query_vec"), col("probe.c").as("cluster"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("query_vec")).as("__qn"))
+
+    val candidates = assigned
+      .withColumn("__n", org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+
+    candidates
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.id").as("vec_id"), col("__kv.score").as("cosine_sim"),
+        (col("__r") + 1).cast("long").as("rnk"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{IvfIndex, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+  private lazy val model = IvfIndex.train(emb, k = 16, iters = 5)
+
+  test("assignment covers every vector with a valid cell id") {
+    val assigned = IvfIndex.assign(emb, model)
+    assert(assigned.count() == emb.count())
+    val range = assigned.agg(min("cluster"), max("cluster")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < model.k)
+    // cells are reasonably balanced: no cell owns more than half the data
+    val biggest = assigned.groupBy("cluster").count().agg(max("count")).head().getLong(0)
+    assert(biggest < emb.count() / 2)
+  }
+
+  test("IVF ANN recall vs brute force is reasonable at nprobe=4/16") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoin(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = IvfIndex.annTopK(IvfIndex.assign(emb, model), q, model, k = 10, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, want) => (ivf.getOrElse(qid, Set.empty) & want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall $mean too low (recalls=$recalls)")
+  }
+
+  test("IVF search is deterministic across runs") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val assigned = IvfIndex.assign(emb, model)
+    def run() = IvfIndex.annTopK(assigned, q, model, 10, 4)
+      .select("vec_id", "rnk").as[(Long, Long)].collect().toSeq.sorted
+    assert(run() == run())
+  }
+}
