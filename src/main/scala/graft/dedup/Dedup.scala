@@ -136,8 +136,10 @@ object Dedup {
       numHashes: Int = 128, rowsPerBand: Int = 4): DataFrame = {
     // The shingle table feeds signatures AND the exact-verify join; persist
     // so the tokenize+hash subplan runs once (Catalyst has no automatic
-    // subplan reuse across self-joins).
-    val sh = shingleHashes(docs, shingleN).distinct().persist()
+    // subplan reuse across self-joins). Rows are already distinct:
+    // TokenShingles dedupes within a doc, doc_id separates across docs —
+    // no global distinct() shuffle needed.
+    val sh = shingleHashes(docs, shingleN).persist()
     val cands = lshCandidates(lshBandsFromArray(minHashSignaturesAgg(sh, numHashes), rowsPerBand))
     exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -148,7 +150,7 @@ object Dedup {
     * threshold is low; shuffle is O(total shingles + colliding pairs).
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashes(docs, shingleN).distinct().persist()
+    val sh = shingleHashes(docs, shingleN).persist() // rows already distinct (see above)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.select(col("doc_id").as("doc_id_a"), col("h"))
     val sb = sh.select(col("doc_id").as("doc_id_b"), col("h"))
