@@ -46,6 +46,7 @@ object Queries {
     "q32_rollup"            -> (QueriesRelational.q32_rollup _),
     "q33_bigram_counts"     -> (QueriesText.q33_bigram_counts _),
     "q34_ann_ivf"           -> (QueriesSim.q34_ann_ivf _),
+    "q35_event_quantiles"   -> (QueriesRelational.q35_event_quantiles _),
   )
 
   /** DuckDB oracle SQL per query; q27/q34 are approximate-by-construction
@@ -84,5 +85,6 @@ object Queries {
     "q31_semi_anti"         -> QueriesRelational.q31Sql,
     "q32_rollup"            -> QueriesRelational.q32Sql,
     "q33_bigram_counts"     -> QueriesText.q33Sql,
+    "q35_event_quantiles"   -> QueriesRelational.q35Sql,
   )
 }

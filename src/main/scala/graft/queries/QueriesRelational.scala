@@ -238,6 +238,25 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
        count(*) AS n_orders, sum(o_totalprice) AS total_price
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY priority, status"""
 
+  /** Exact interpolated percentiles per event type (both engines use the
+    * (n-1)*p linear-interpolation definition) + exact distinct users.
+    * Sort-based and sum-free, so values are cross-engine deterministic.
+    */
+  def q35_event_quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"))
+      .orderBy("event_type")
+
+  val q35Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** JSON extraction from the events props column. */
   def q30_event_props_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
