@@ -47,6 +47,8 @@ object Queries {
     "q33_bigram_counts"     -> (QueriesText.q33_bigram_counts _),
     "q34_ann_ivf"           -> (QueriesSim.q34_ann_ivf _),
     "q35_event_quantiles"   -> (QueriesRelational.q35_event_quantiles _),
+    "q36_scalar_functions"  -> (QueriesRelational.q36_scalar_functions _),
+    "q37_above_avg_orders"  -> (QueriesRelational.q37_above_avg_orders _),
   )
 
   /** DuckDB oracle SQL per query; q27/q34 are approximate-by-construction
@@ -86,5 +88,7 @@ object Queries {
     "q32_rollup"            -> QueriesRelational.q32Sql,
     "q33_bigram_counts"     -> QueriesText.q33Sql,
     "q35_event_quantiles"   -> QueriesRelational.q35Sql,
+    "q36_scalar_functions"  -> QueriesRelational.q36Sql,
+    "q37_above_avg_orders"  -> QueriesRelational.q37Sql,
   )
 }

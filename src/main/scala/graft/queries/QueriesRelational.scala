@@ -257,6 +257,58 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY priority, s
        round(quantile_cont(value, 0.9), 6) AS p90_value
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Scalar-function showcase: date parts (ISO), math, string ops — each
+    * chosen for identical cross-engine semantics (NB: Spark's dayofweek()
+    * is 1=Sunday vs DuckDB dow 0=Sunday; both agree on isodow).
+    */
+  def q36_scalar_functions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        expr("extract(dayofweek_iso FROM o_orderdate)").cast("long").as("o_isodow"),
+        floor(log10(col("o_totalprice"))).cast("long").as("price_magnitude"),
+        round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
+        concat_ws("/", col("o_orderpriority"), col("o_orderstatus")).as("prio_status"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  val q36Sql: String =
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(isodow(o_orderdate) AS BIGINT) AS o_isodow,
+       CAST(floor(log10(o_totalprice)) AS BIGINT) AS price_magnitude,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       concat_ws('/', o_orderpriority, o_orderstatus) AS prio_status,
+       substring(o_orderpriority, 1, 1) AS prio_digit,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+FROM orders ORDER BY o_orderkey LIMIT 1000"""
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * orders priced above their own customer's average. Expressed through
+    * spark.sql — the DataFrame API has no correlated-subquery surface.
+    */
+  def q37_above_avg_orders(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_above
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** JSON extraction from the events props column. */
   def q30_event_props_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
