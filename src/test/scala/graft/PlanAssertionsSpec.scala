@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** The plans we claim, asserted — not just eyeballed with explain():
+  * predicate pushdown and column pruning reach the parquet scan, small
+  * dimensions broadcast, partial aggregation precedes the shuffle.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def executedPlanString(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    def expand(p: SparkPlan): String = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      p.nodeName + "\n" + p.toString + "\n" + kids.map(expand).mkString("\n")
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  test("q07: shipdate predicate is pushed to the parquet scan and columns pruned") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q07_pricing_summary(spark, sf("sf0.001")))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"pushdown missing:\n${plan.take(2000)}")
+    assert(!plan.contains("l_orderkey"), "unused column not pruned from the q07 scan")
+  }
+
+  test("q01: scan reads only the text column") {
+    val plan = executedPlanString(graft.queries.QueriesText.q01_wordcount(spark, sf("sf0.001")))
+    assert(plan.contains("ReadSchema: struct<text:string>"), s"schema not pruned:\n${plan.take(2000)}")
+  }
+
+  test("q08: dimension joins broadcast; no cartesian products") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q08_nation_revenue(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dimensions")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val plan = executedPlanString(graft.queries.QueriesText.q01_wordcount(spark, sf("sf0.001")))
+    assert(plan.contains("partial_count"), "expected map-side partial aggregation")
+  }
+
+  test("q16: the near-dup pipeline never joins on document content") {
+    val df = graft.queries.QueriesDedup.q16_minhash_neardup(spark, sf("sf0.001"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val joinsOnText = joins.exists(_.condition.exists(_.find {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name == "text"
+      case _ => false
+    }.isDefined))
+    assert(joins.nonEmpty && !joinsOnText, "join keys must be hashes/bands, never the text payload")
+  }
+}
