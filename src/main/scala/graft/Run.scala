@@ -15,6 +15,17 @@ object Run {
   def main(args: Array[String]): Unit = args.toList match {
     case "list" :: Nil =>
       Queries.all.keys.toSeq.sorted.foreach(println)
+    case "time" :: q :: dir :: rest if Queries.all.contains(q) =>
+      // In-JVM repeat timing (noop sink), startup excluded — the local
+      // feedback loop for plan iteration; best-of-N like Bench.
+      val spark = Sessions.local(s"graft-time-$q")
+      val repeats = rest.headOption.map(_.toInt).getOrElse(3)
+      try (1 to repeats).foreach { i =>
+        val t0 = System.nanoTime()
+        Queries.all(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[time] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        spark.catalog.clearCache()
+      } finally spark.stop()
     case q :: dir :: rest if Queries.all.contains(q) =>
       val spark = Sessions.local(s"graft-$q")
       try {

@@ -51,8 +51,10 @@ object Queries {
     "q37_above_avg_orders"  -> (QueriesRelational.q37_above_avg_orders _),
   )
 
-  /** DuckDB oracle SQL per query; q27/q34 are approximate-by-construction
-    * and intentionally have no oracle (rows-only check + recall tests).
+  /** DuckDB oracle SQL per query — all 37 queries, including the ANN
+    * pair q27/q34: both are deterministic (fixed-seed planes / fixed
+    * init centroids), so their oracles recompute the same buckets and
+    * cells in SQL.
     */
   val oracles: Map[String, String] = Map(
     "q01_wordcount"         -> QueriesText.q01Sql,
@@ -81,12 +83,14 @@ object Queries {
     "q24_token_count"       -> QueriesText.q24Sql,
     "q25_fingerprint"       -> QueriesDedup.q25Sql,
     "q26_knn_join"          -> QueriesSim.q26Sql,
+    "q27_ann_lsh"           -> QueriesSim.q27Sql,
     "q28_binary_meta"       -> QueriesBinary.q28Sql,
     "q29_user_sessions"     -> QueriesRelational.q29Sql,
     "q30_event_props_json"  -> QueriesRelational.q30Sql,
     "q31_semi_anti"         -> QueriesRelational.q31Sql,
     "q32_rollup"            -> QueriesRelational.q32Sql,
     "q33_bigram_counts"     -> QueriesText.q33Sql,
+    "q34_ann_ivf"           -> QueriesSim.q34Sql,
     "q35_event_quantiles"   -> QueriesRelational.q35Sql,
     "q36_scalar_functions"  -> QueriesRelational.q36Sql,
     "q37_above_avg_orders"  -> QueriesRelational.q37Sql,

@@ -35,8 +35,9 @@ q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 s AS (SELECT e.vec_id, ${cosSql("e.v", "qv")} AS cosine_sim FROM e, q WHERE e.vec_id <> 0)
 SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
 
-  /** Embedding-cosine near-duplicate pairs (brute force at test scale;
-    * see Similarity.annLshTopK for the bucketed 100 TB path).
+  /** Embedding-cosine near-duplicate pairs — EXACT, via the blocked grid
+    * self-join (no cartesian/BNLJ; see Similarity.cosineNearDupPairs for
+    * why LSH cannot prune at this low τ on isotropic data).
     */
   def q20_embedding_neardup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.45)
@@ -72,8 +73,10 @@ r AS (SELECT query_id, vec_id, cosine_sim,
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   /** ANN via sign-random-projection LSH buckets + exact re-rank within
-    * probed buckets. Approximate by construction — no SQL oracle; the
-    * test suite asserts recall ≥ 0.9 against the brute-force q17.
+    * probed buckets. Approximate relative to q17, but DETERMINISTIC given
+    * the fixed-seed planes — so it has a full DuckDB oracle: the SQL
+    * recomputes the same sign-bit buckets from the plane literals and
+    * applies the same Hamming-≤2 probe.
     */
   def q27_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val queries = emb(s, dir).filter(col("vec_id") === 0)
@@ -83,15 +86,77 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 5 ORDER BY query_id
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF-style ANN (k-means cells + nprobe search) — the other classic
-    * scale path next to LSH. Approximate: rows-only check + recall spec.
+  /** The q27 hyperplanes as a DuckDB list-of-lists literal. Components go
+    * through the same double→float cast the Spark side applies
+    * (Similarity.bucketId uses lit(x.toFloat)), printed via
+    * Double.toString so they parse back to the identical double.
+    */
+  private def planesSqlLiteral(planes: Array[Array[Double]]): String =
+    planes.map(p =>
+      "[" + p.map(x => java.lang.Double.toString(x.toFloat.toDouble)).mkString(", ") + "]")
+      .mkString("[", ", ", "]")
+
+  val q27Sql: String = {
+    val planes = planesSqlLiteral(Similarity.hyperplanes(numPlanes = 6, dim = 64))
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pl AS (SELECT unnest(range(0, 6)) AS j, unnest($planes) AS p),
+eb AS (SELECT e.vec_id,
+              CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * pl.p[i])) >= 0
+                            THEN CAST(1 AS BIGINT) << CAST(pl.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+       FROM e, pl GROUP BY e.vec_id),
+q AS (SELECT eb.bucket AS qbucket, e.v AS qv, e.vec_id AS qid
+      FROM eb JOIN e ON e.vec_id = eb.vec_id WHERE e.vec_id = 0),
+s AS (SELECT q.qid AS query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine_sim
+      FROM e JOIN eb ON e.vec_id = eb.vec_id, q
+      WHERE bit_count(xor(eb.bucket, q.qbucket)) <= 2 AND e.vec_id <> q.qid),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
+  /** IVF-style ANN (inverted-file cells + nprobe search) — the other
+    * classic scale path next to LSH. The index cells are the k-means INIT
+    * centroids (the first 16 vectors; iters=0), which keeps the whole
+    * query — assignment, probe selection, re-rank — reproducible in pure
+    * SQL, so q34 gets a full DuckDB oracle. Lloyd-trained centroids
+    * (iters>0) exercise the identical plan and are covered by IvfSpec's
+    * recall/balance/determinism tests.
     */
   def q34_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val model = IvfIndex.train(e, k = 16, iters = 5)
+    val model = IvfIndex.train(e, k = 16, iters = 0)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     IvfIndex.annTopK(IvfIndex.assign(e, model), queries, model, k = 10, nprobe = 4)
       .orderBy("query_id", "rnk")
   }
+
+  /** The oracle mirrors IvfIndex exactly: centroid score = |c|² − 2·e·c
+    * (|e|² is argmin-invariant), first-index tie-break, nprobe=4 nearest
+    * cells per query, exact cosine re-rank, row_number ties by vec_id.
+    */
+  val q34Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 }

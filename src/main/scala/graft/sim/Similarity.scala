@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,9 +15,13 @@ import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
   * exactly what `orderBy.limit` / a row_number window compiles to under
   * AQE. Embarrassingly parallel; at 100 TB it is bound by scan bandwidth.
   *
-  * Scale path: [[SignRandomProjectionLsh]] — deterministic random-
-  * hyperplane buckets so candidate generation shuffles on a small bucket
-  * id; exact cosine re-ranks within probed buckets.
+  * Scale paths:
+  *  - [[annLshTopK]]: sign-random-projection buckets with multi-probe —
+  *    candidate generation is an equi-join on a small bucket id.
+  *  - [[cosineNearDupPairs]]: EXACT all-pairs ≥ τ via a blocked (grid)
+  *    self-join — the communication-optimal exact plan when τ is low.
+  *  - [[srpNearDupPairs]]: banded-SRP candidates + exact verify — the
+  *    sub-quadratic approximate plan when τ is high (≥ ~0.9).
   */
 object Similarity {
   /** Exact top-k cosine neighbors for every vector in `queries`
@@ -79,45 +83,143 @@ object Similarity {
   /** Bucket id = sign bits of the dot products with `numPlanes`
     * hyperplanes. Pure column arithmetic — stays in codegen.
     */
-  def bucketId(embCol: org.apache.spark.sql.Column, planes: Array[Array[Double]]): org.apache.spark.sql.Column =
+  def bucketId(embCol: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.map(x => lit(x.toFloat)): _*)
       when(dotF32(embCol, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k for the query vectors: candidates = vectors whose bucket is
-    * within Hamming distance `probeHamming` of the query's bucket, then
-    * exact cosine re-rank. Recall is tunable via numPlanes/probeHamming;
-    * the shuffle key is the small bucket id, never the vector.
+  /** All XOR masks over `numPlanes` bits with popcount ≤ `maxHamming` —
+    * the multi-probe offset set. C(6,0)+C(6,1)+C(6,2) = 22 masks at the
+    * defaults, enumerated on the driver (tiny, data-independent).
+    */
+  def probeMasks(numPlanes: Int, maxHamming: Int): Seq[Long] =
+    (0L until (1L << numPlanes)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+
+  /** ANN top-k for the query vectors: each query EXPLODES to its probe
+    * bucket ids (its own bucket XOR every mask within the Hamming
+    * radius), then candidates come from an equi-join on `bucket` — the
+    * shuffle/broadcast key is the small bucket id, never a pair predicate.
+    * At 1000 executors this hash-joins co-located by bucket; no per-pair
+    * scan exists anywhere in the plan (asserted in PlanAssertionsSpec).
+    * Exact cosine re-ranks within the probed buckets.
     */
   def annLshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 6, probeHamming: Int = 2, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val emb = embeddings.withColumn("bucket", bucketId(col("embedding"), planes))
-    val q = queries.withColumn("qbucket", bucketId(col("query_vec"), planes))
-    // All bucket ids within the probe radius of qbucket (XOR popcount).
-    val probed = emb
+    val emb = embeddings
+      .withColumn("bucket", bucketId(col("embedding"), planes))
       .withColumn("__n", normF32(col("embedding")))
-      .join(broadcast(q.withColumn("__qn", normF32(col("query_vec")))),
-        expr(s"bit_count(bucket ^ qbucket) <= $probeHamming") && col("vec_id") =!= col("query_id"))
+    val masks = probeMasks(numPlanes, probeHamming)
+    val probes = queries
+      .withColumn("qbucket", bucketId(col("query_vec"), planes))
+      .withColumn("__qn", normF32(col("query_vec")))
+      .withColumn("bucket", explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    val cand = emb
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
           .as("cosine_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
-    probed.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    cand.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
-    * Brute force all-pairs at test scale; the LSH bucket join above is the
-    * 100 TB candidate-generation path for the same semantics.
+  /** EXACT embedding-cosine near-duplicate pairs (a < b, cosine ≥
+    * threshold) via a blocked grid self-join — no CartesianProduct/BNLJ
+    * node in the plan.
+    *
+    * Why not LSH here: measured on the test embeddings (isotropic,
+    * cosine of a random pair ~ N(0, 1/64)), a τ as low as 0.45 sits in
+    * the distribution's tail with NO margin (nearest non-pair at 0.4494
+    * vs nearest pair at 0.4516). The SRP per-bit agreement at τ=0.45 is
+    * only 1 - arccos(0.45)/π ≈ 0.649, so any (rows, bands) choice with
+    * near-certain recall passes >99.9 % of all pairs as candidates —
+    * LSH cannot prune at low τ, it can only add a shuffle. Exact output
+    * at low τ is intrinsically Θ(n²) work (so is the DuckDB oracle); the
+    * scale-correct EXACT plan is the communication-optimal blocked join
+    * below (each side replicated ~B/2 times ⇒ O(n·B) shuffle, B(B+1)/2
+    * independent equi-join tasks of (n/B)² codegen'd dot products each;
+    * pick B ≈ √(2·parallelism)). For high τ, use [[srpNearDupPairs]].
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // All (bi, bj) block pairs with bi <= bj — the upper triangle of the
+    // grid, B(B+1)/2 rows, broadcast to both replication joins.
+    val blockPairs = broadcast(
+      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+        .toDF("__bi", "__bj"))
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"),
+      pmod(col("vec_id"), lit(numBlocks)).cast("int").as("__blk"))
+    val a = e.toDF("vec_id_a", "ea", "__na", "__bi").join(blockPairs, Seq("__bi"))
+    val b = e.toDF("vec_id_b", "eb", "__nb", "__bj").join(blockPairs, Seq("__bj"))
+    // Every unordered vector pair {x, y} lands in exactly one (bi, bj)
+    // cell (its blocks, ordered); the diagonal cells need the id filter
+    // to halve themselves. Ids are canonicalized a < b afterwards —
+    // cosine is symmetric, so only the ids swap.
+    a.join(b, Seq("__bi", "__bj"))
+      .filter(col("__bi") =!= col("__bj") || col("vec_id_a") < col("vec_id_b"))
+      .select(
+        least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"),
+        round(dotF32(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Brute-force all-pairs formulation — the test twin for
+    * [[cosineNearDupPairs]] (identical results; O(n²) theta join, never
+    * use beyond test scale).
+    */
+  def cosineNearDupPairsBrute(embeddings: DataFrame, threshold: Double): DataFrame = {
     val withNorm = embeddings
       .select(col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"))
-      .persist()
     val a = withNorm.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("__n").as("__na"))
     val b = withNorm.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"), col("__n").as("__nb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(dotF32(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Approximate near-dup pairs for HIGH thresholds (τ ≥ ~0.9) via
+    * banded sign-random-projection candidates + exact cosine verify —
+    * the SRP mirror of Dedup.minHashNearDup, and the sub-quadratic path
+    * when the similarity regime supports it.
+    *
+    * Per-band signature = `planesPerBand` sign bits; candidates = pairs
+    * colliding in ≥ 1 band (equi-join on (band, sig)); exact cosine ≥ τ
+    * decides membership, so false candidates cost work but never change
+    * results. Recall: with per-bit agreement p = 1 - arccos(τ)/π, a true
+    * pair at τ is missed with prob (1 - p^r)^L — at the defaults
+    * (r=8, L=24) that is ~2e-6 for τ=0.95 and falls steeply above it,
+    * while a random isotropic pair (p≈0.5) collides in a band with prob
+    * 2⁻⁸, keeping candidates ~L/2^r ≈ 9 % of the pair space. Scale L
+    * with ln(corpus) to hold recall at larger n.
+    */
+  def srpNearDupPairs(embeddings: DataFrame, threshold: Double,
+      numBands: Int = 24, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numBands * planesPerBand, dim)
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"))
+    // (vec_id, band, sig) — one row per band per vector.
+    val bandSigs: Seq[Column] = (0 until numBands).map { bnd =>
+      bucketId(col("embedding"), planes.slice(bnd * planesPerBand, (bnd + 1) * planesPerBand))
+    }
+    val banded = e.select(col("vec_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    val ca = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_a"))
+    val cb = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_b"))
+    val candidates = ca.join(cb, Seq("band", "sig"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+      .distinct()
+    // Exact verify: join the embeddings back by id (equi-joins), compute
+    // the true cosine, threshold decides membership.
+    candidates
+      .join(e.toDF("vec_id_a", "ea", "__na"), Seq("vec_id_a"))
+      .join(e.toDF("vec_id_b", "eb", "__nb"), Seq("vec_id_b"))
       .select(col("vec_id_a"), col("vec_id_b"),
         round(dotF32(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)

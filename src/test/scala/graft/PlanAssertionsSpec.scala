@@ -46,6 +46,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_count"), "expected map-side partial aggregation")
   }
 
+  test("q20: blocked near-dup join has no cartesian/BNLJ node") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q20_embedding_neardup(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q20 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q20 must not nested-loop over all pairs")
+  }
+
+  test("q27: ANN candidate generation is a bucket equi-join, not a BNLJ") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q27_ann_lsh(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q27 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q27 must not scan all (vector, query) pairs")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "q27 candidates must come from an equi-join on bucket")
+  }
+
   test("q16: the near-dup pipeline never joins on document content") {
     val df = graft.queries.QueriesDedup.q16_minhash_neardup(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {

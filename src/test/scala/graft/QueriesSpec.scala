@@ -16,8 +16,8 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query except the approximate ANN ones has an oracle") {
-    assert(Queries.all.keySet -- Queries.oracles.keySet == Set("q27_ann_lsh", "q34_ann_ivf"))
+  test("every query has a DuckDB oracle") {
+    assert(Queries.all.keySet -- Queries.oracles.keySet == Set.empty)
   }
 
   test("flagship entry returns rows") {

@@ -41,4 +41,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("blocked near-dup pairs == brute-force twin (every block size)") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id_a", "vec_id_b", "cosine_sim").as[(Long, Long, Double)].collect().sorted.toSeq
+    val brute = key(Similarity.cosineNearDupPairsBrute(emb, 0.35))
+    assert(brute.nonEmpty, "twin test needs a non-empty pair set")
+    for (blocks <- Seq(1, 3, 16))
+      assert(key(Similarity.cosineNearDupPairs(emb, 0.35, numBlocks = blocks)) == brute,
+        s"blocked ($blocks blocks) diverged from brute force")
+  }
+
+  test("srpNearDupPairs finds exactly the planted high-sim pairs") {
+    // Planted regime: 40 random unit-ish base vectors plus 10 near-copies
+    // (tiny noise => cosine ~0.99); random 64-dim pairs sit near 0. At
+    // tau=0.95 the SRP bands' miss probability is ~1e-9 per true pair.
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val dups = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id_a", "vec_id_b", "cosine_sim").as[(Long, Long, Double)].collect().sorted.toSeq
+    val brute = key(Similarity.cosineNearDupPairsBrute(df, 0.95))
+    assert(brute.size >= 10, s"expected the 10 planted pairs, brute found ${brute.size}")
+    assert(key(Similarity.srpNearDupPairs(df, 0.95)) == brute)
+  }
 }
