@@ -39,6 +39,27 @@ object MapReduce {
       .repartition(numBuckets, org.apache.spark.sql.functions.col("_1"))
   }
 
+  /** Whole-file map granularity — the reference's ACTUAL input contract:
+    * one map task per file, and the map fn receives the ENTIRE file as a
+    * single string (worker.rs:93 `fs::read_to_string`; coordinator.rs:216-224
+    * creates one task per glob hit). [[run]]'s line granularity is only
+    * equivalent for line-local map fns; a map fn needing cross-line
+    * context (document stats, multi-line patterns) must come through
+    * here. Files must individually fit an executor's memory — same
+    * constraint as the reference worker.
+    */
+  def runWholeFiles[K: Encoder, V: Encoder](
+      spark: SparkSession,
+      inGlob: String,
+      mapFn: String => IterableOnce[(K, V)],
+      reduceFn: (K, Iterator[V]) => (K, V),
+      numBuckets: Int)(implicit kv: Encoder[(K, V)]): Dataset[(K, V)] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    val wholeFiles: Dataset[String] =
+      spark.createDataset(spark.sparkContext.wholeTextFiles(inGlob).values)
+    run(wholeFiles, mapFn, reduceFn, numBuckets)
+  }
+
   /** Scale-correct variant for associative+commutative reducers: combines
     * map-side before the shuffle (what the reference never does), so
     * shuffle volume is O(distinct keys), not O(records).

@@ -37,12 +37,17 @@ object Multimodal {
   /** Chunk each payload into fixed-size "frames" (the video-decode shape:
     * one binary blob → ordered frame sequence). Pure SQL substring
     * arithmetic over the binary column — no decoder involvement.
+    * An empty payload yields ZERO frames: without the guard,
+    * `sequence(0, ceil(0) - 1)` = `sequence(0, -1)` would emit a
+    * DESCENDING [0, -1] — two spurious frames per empty blob.
     */
   def frames(media: DataFrame, frameBytes: Int): DataFrame =
     media.select(col("media_id"), col("meta"),
       posexplode(expr(
-        s"transform(sequence(0, int(ceil(meta.n_bytes / cast($frameBytes as double))) - 1), " +
-          s"i -> substring(media, i * $frameBytes + 1, $frameBytes))"))
+        s"if(meta.n_bytes > 0, " +
+          s"transform(sequence(0, int(ceil(meta.n_bytes / cast($frameBytes as double))) - 1), " +
+          s"i -> substring(media, i * $frameBytes + 1, $frameBytes)), " +
+          s"array())"))
         .as(Seq("frame_no", "frame")))
 
   /** Keep every k-th frame — the frame-sampling step of a video pipeline.

@@ -16,10 +16,12 @@ object QueriesBinary {
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
-        // Spark's hex() is already uppercase; avoid upper() here — Spark 4's
-        // collation-aware ICU upper-case path has a pathologically slow
-        // static init (minutes of CPU on first use).
-        substring(hex(col("text").cast("binary")), 1, 16).as("head_hex"))
+        // Truncate the BINARY to 8 bytes first, THEN hex — hexing the whole
+        // payload would materialize a 2x-payload string per row just to keep
+        // 16 chars. Spark's hex() is already uppercase; avoid upper() here —
+        // Spark 4's collation-aware ICU upper-case path has a pathologically
+        // slow static init (minutes of CPU on first use).
+        hex(substring(col("text").cast("binary"), 1, 8)).as("head_hex"))
       .orderBy("doc_id")
 
   val q28Sql: String =

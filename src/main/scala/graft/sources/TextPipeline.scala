@@ -44,10 +44,14 @@ object TextPipeline {
     writeSortedText(wordCount(readLines(spark, inGlob)), outDir, numBuckets)
 
   /** Read back a result directory written by [[writeSortedText]] —
-    * the shape verify.py:18-28 parses.
+    * the shape verify.py:18-28 parses. A8 fidelity: any line that does
+    * not split into exactly two fields is silently DROPPED, exactly like
+    * the reference's intermediate-file parser (worker.rs:128-131) — not
+    * surfaced as a row with a null count.
     */
   def readResult(spark: SparkSession, outDir: String): DataFrame =
     spark.read.textFile(outDir)
       .select(split(col("value"), " ").as("kv"))
+      .filter(size(col("kv")) === 2)
       .select(col("kv").getItem(0).as("word"), col("kv").getItem(1).cast("long").as("cnt"))
 }

@@ -71,6 +71,15 @@ object StreamingJobs {
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Full-microsecond epoch of a java.sql.Timestamp. `getTime` alone is a
+    * MILLISECOND clock — multiplying it by 1000 truncates the µs digits
+    * the TimestampType encoder faithfully carries in `getNanos`, so two
+    * events < 1 ms apart could (dis)agree with the batch twin about a
+    * session boundary.
+    */
+  private def epochMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute inactivity gap — the streaming twin of
     * q29_user_sessions. Events within a microbatch are sorted by event
@@ -81,10 +90,10 @@ object StreamingJobs {
     val gapMicros = 30L * 60 * 1000 * 1000
 
     def update(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[UserSessions] = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
       var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
       sorted.foreach { e =>
-        val t = e.ts.getTime * 1000
+        val t = epochMicros(e.ts)
         val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMicros
         s = SessionState(t, s.sessions + (if (newSession) 1 else 0), s.events + 1)
       }

@@ -14,12 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *   sqrt(aggregate(transform(a, x -> x * x), 0.0, (acc, v) -> acc + v))
   *     ==> norm_f32(a)
   *
-  * Sound because DotF32/NormF32 accumulate in the same order and
-  * precision as the interpreted HOF chain (left-to-right, double), so the
-  * rewrite is bit-identical — it only removes the per-element lambda
-  * interpretation and boxing. Guarded to ArrayType(FloatType) inputs and
-  * exact multiply/add/identity lambda shapes; anything else is left
-  * untouched.
+  * Sound because DotF32/NormF32 reproduce the HOF chain exactly on EVERY
+  * input: same accumulation order and precision (left-to-right, double),
+  * and the same null semantics — ragged arrays and null elements yield
+  * NULL (zip_with null-pads, `acc + NULL` poisons the aggregate), which
+  * the native expressions implement directly. That full equivalence is
+  * what lets this stay a session-wide rule over ArrayType(FloatType, _)
+  * with any containsNull (parquet reads arrays as containsNull=true, so
+  * a containsNull=false guard would turn the rule off on real tables).
+  * Guarded to exact multiply/add/identity lambda shapes; anything else
+  * is left untouched.
   *
   * Registered by [[GraftExtensions]] (injectOptimizerRule) or at runtime
   * via `spark.experimental.extraOptimizations`.

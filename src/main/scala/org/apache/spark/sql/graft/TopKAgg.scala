@@ -38,21 +38,32 @@ case class TopKAgg(
   override def left: Expression = score
   override def right: Expression = id
 
-  /** Min-heap under the keep-order: the head is the WORST kept entry
-    * (lowest score; among equal scores, highest id), evicted first.
+  /** Total keep-order matching the window twin's `ORDER BY score DESC,
+    * id ASC` under Spark SQL double semantics: NaN sorts as the LARGEST
+    * double (so NaN scores rank first, not get dropped — `s > worst` is
+    * false for NaN), and -0.0 ties 0.0 (falling through to the id
+    * tie-break), both per SQLOrderingUtil.compareDoubles. compare(a, b)
+    * < 0 means a is kept in preference to b.
     */
-  private val heapOrd: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  private def sqlCompareDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
 
+  private val keepOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = sqlCompareDouble(b._1, a._1) // score desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id asc
+    }
+  }
+
+  /** PriorityQueue dequeues the ordering's MAXIMUM — under [[keepOrd]]
+    * that is the entry ranking last, i.e. the worst kept one.
+    */
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(heapOrd)
+    mutable.PriorityQueue.empty(keepOrd)
 
   private def insert(buf: mutable.PriorityQueue[(Double, Long)], s: Double, i: Long): Unit = {
     if (buf.size < k) buf.enqueue((s, i))
-    else {
-      val worst = buf.head
-      if (s > worst._1 || (s == worst._1 && i < worst._2)) { buf.dequeue(); buf.enqueue((s, i)) }
-    }
+    else if (keepOrd.compare((s, i), buf.head) < 0) { buf.dequeue(); buf.enqueue((s, i)) }
   }
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)], input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
@@ -68,7 +79,7 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    val sorted = buf.toArray.sorted(keepOrd)
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
   }
 

@@ -19,26 +19,37 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * sf0.1; billions at 100 TB). These expressions participate in
   * whole-stage codegen: a tight primitive loop over the two float arrays.
   *
-  * Accumulation is sequential in index order, in double precision —
-  * bit-identical to both the HOF formulation and the DuckDB oracle's
-  * list_sum, so swapping them in changes nothing observable.
-  *
-  * Null ARRAYS propagate null (standard binary-expression semantics);
-  * null ELEMENTS are not expected in embedding data and are read as 0.
+  * Semantics are EXACTLY the HOF chain's, for every input — that is what
+  * makes [[RewriteVectorHofs]] a sound session-wide rule without needing
+  * a containsNull guard (parquet array columns read as containsNull=true,
+  * so such a guard would disable the rewrite on every real table):
+  *  - accumulation is sequential in index order, in double precision —
+  *    bit-identical to the interpreted chain and DuckDB's list_sum;
+  *  - a NULL array yields NULL (standard null propagation);
+  *  - ragged inputs yield NULL (zip_with null-pads the shorter side and
+  *    `acc + NULL` poisons the aggregate);
+  *  - any NULL element yields NULL (same poisoning).
   */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // NULL also surfaces for ragged/null-element inputs, not just null inputs.
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -47,13 +58,18 @@ case class DotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
-         |${ev.value} = $s;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -61,19 +77,25 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** sqrt(sum(x_i^2)) over a float array — the L2 norm, same codegen story
-  * as [[DotF32]].
+/** sqrt(sum(x_i^2)) over a float array — the L2 norm, same codegen and
+  * null-semantics story as [[DotF32]].
   */
 case class NormF32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "norm_f32"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
-    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -82,13 +104,16 @@ case class NormF32(child: Expression) extends UnaryExpression with ExpectsInputT
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
       s"""
+         |boolean $bad = false;
          |double $s = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
 

@@ -38,6 +38,15 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled >= total / 3 && sampled <= total / 3 + 20)
   }
 
+  test("empty payload yields zero frames, not a descending phantom pair") {
+    import org.apache.spark.sql.functions._
+    val one = Seq((1L, "", 42L, "abc")).toDF("a", "b", "c", "d")
+      .select(col("a").as("doc_id"), col("b").as("text"))
+    val m = Multimodal.attachBinary(one)
+    assert(m.head().getStruct(2).getLong(1) == 0L, "sanity: payload must be empty")
+    assert(Multimodal.frames(m, frameBytes = 16).count() == 0)
+  }
+
   test("checksum matches a driver-side recompute") {
     val row = Multimodal.extractFeatures(Multimodal.attachBinary(docs.limit(1))).head()
     val text = docs.limit(1).select("text").as[String].head()

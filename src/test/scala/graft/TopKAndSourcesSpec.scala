@@ -23,6 +23,37 @@ class TopKAndSourcesSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopKAgg ranks NaN scores like the window twin (NaN = largest, kept first)") {
+    // The window formulation sorts NaN as the LARGEST double (descending
+    // order ranks it first). The bounded heap must agree — a naive
+    // `s > worst` comparison is false for NaN and silently drops it.
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.tabulate(30)(i => (1L, i.toDouble / 10.0, i.toLong)) ++
+      Seq((1L, Double.NaN, 100L), (1L, Double.NaN, 101L))
+    val df = rows.toDF("g", "s", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("s"), col("id"), 5).as("t"))
+      .select(posexplode(col("t")).as(Seq("r", "kv")))
+      .select(col("kv.id"), (col("r") + 1).cast("long").as("rnk"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    val viaWindow = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5).select("id", "rnk")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val byRank = viaWindow.map { case (id, rnk) => rnk -> id }.toMap
+    assert(byRank(1L) == 100L && byRank(2L) == 101L, "sanity: window ranks NaN first")
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKAgg ties -0.0 with 0.0 and breaks the tie by id, like SQL sort") {
+    val df = Seq((1L, 0.0d, 5L), (1L, -0.0d, 3L), (1L, 1.0d, 9L)).toDF("g", "s", "id")
+    val top = df.groupBy("g")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("s"), col("id"), 2).as("t"))
+      .select(explode(col("t.id")).as("id")).as[Long].collect().toSeq
+    // keep (1.0, 9) then the 0.0-tie resolved by id asc -> 3 (not by -0.0 < 0.0)
+    assert(top == Seq(9L, 3L))
+  }
+
   test("csv sink/source round-trips a query result") {
     val out = Files.createTempDirectory("graft-csv").toString
     val counts = graft.queries.QueriesText.q01_wordcount(spark, sf("sf0.001"))

@@ -35,6 +35,24 @@ class VectorExprSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("ragged arrays yield NULL, matching the zip_with null-padding chain") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f))).toDF("a", "b")
+    val r = df.select(dotF32(col("a"), col("b")).as("native"),
+      VectorOps.dot(col("a"), col("b")).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), s"both paths must be NULL on ragged input, got $r")
+  }
+
+  test("null elements yield NULL, matching the HOF poison semantics") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1f), None, Some(3f)), Seq(Some(4f), Some(5f), Some(6f))))
+      .toDF("a", "b")
+    val r = df.select(
+      dotF32(col("a"), col("b")).as("nd"), VectorOps.dot(col("a"), col("b")).as("hd"),
+      normF32(col("a")).as("nn"), VectorOps.norm(col("a")).as("hn")).head()
+    assert((0 until 4).forall(r.isNullAt), s"all four must be NULL on a null element, got $r")
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
