@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
@@ -16,21 +16,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * slice(toks, i+1, n))))` but evaluated as a single tight loop instead
   * of dozens of interpreted lambda invocations per document — shingle
   * generation dominated the MinHash pipeline's runtime before this.
-  * CodegenFallback: one virtual call per row is already cheap; the win
-  * is eliminating per-element lambda/boxing churn, not codegen itself.
+  * Participates in whole-stage codegen via a static call per row, so the
+  * tokenize → shingle → hash chain stays inside one codegen span.
   */
 case class TokenShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_shingles"
 
+  override def nullSafeEval(input: Any): Any =
+    TokenShingles.shingleTokens(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenShingles.shingleTokens($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+object TokenShingles {
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The shingle loop — static so generated Java can call it directly. */
+  def shingleTokens(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Any](m - n + 1)
@@ -51,11 +63,6 @@ case class TokenShingles(child: Expression, n: Int, distinct: Boolean)
     new GenericArrayData(out.toArray)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
-    copy(child = newChild)
-}
-
-object TokenShingles {
   def shingles(toks: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(toks), n, distinct))
 }
