@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join — the time-series matching operator Spark has no
+  * built-in for (SURVEY.md §2.B joins row: range/as-of absent in the
+  * reference too; this is a §2.C-style scale extension).
+  *
+  * For each left row, attach the single right row with the greatest
+  * `rightTime` <= `leftTime` for the same key (left-outer semantics:
+  * no prior right row → nulls).
+  *
+  * Plan shape (the part that matters at 100 TB): a naive formulation is
+  * an interval join `l.key = r.key AND r.t <= l.t` + keep-latest window,
+  * whose join output is O(|L| × |R|) pairs per key before the window
+  * discards all but one. This implementation instead UNIONS the two
+  * sides, shuffles ONCE on the key, sorts each partition by (key, time,
+  * side), and carries the most recent right payload forward with a
+  * running `last(ignoreNulls)` window — O((|L|+|R|) log) per partition,
+  * zero pair blow-up, no CartesianProduct/BNLJ node (asserted in
+  * AsOfSpec). A right row tying a left row's timestamp sorts first and
+  * therefore matches (>= semantics, like DuckDB's ASOF JOIN).
+  *
+  * Determinism requires (key, rightTime) unique on the right (true for
+  * event streams with unique per-key timestamps); with duplicates the
+  * kept right row is the last under the engine's stable sort.
+  */
+object AsOf {
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPrefix: String = "r_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayloadCols = right.columns.filter(_ != key).toSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields.filter(_.name != key))
+
+    val lS = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rS = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(rPayloadCols.map(col): _*).as("__r"))
+
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lS.unionByName(rS)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l.`$c`").as(c)) ++
+        rPayloadCols.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** The naive interval-join + keep-latest formulation — test twin for
+    * [[asOfJoinBackward]]. O(pairs) join output; never use at scale.
+    */
+  def asOfJoinBackwardNaive(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPrefix: String = "r_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayloadCols = right.columns.filter(_ != key).toSeq
+    val l = left.select(lCols.map(col): _*)
+    val r = right.select(
+      (col(key).as("__rk") +: col(rightTime).as("__rt") +:
+        rPayloadCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
+    val joined = l.join(r, col(key) === col("__rk") && col("__rt") <= col(leftTime), "left")
+    val w = Window.partitionBy(lCols.map(col): _*).orderBy(col("__rt").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(lCols.map(col) ++ rPayloadCols.map(c => col(s"$rightPrefix$c")): _*)
+  }
+}

@@ -49,6 +49,7 @@ object Queries {
     "q35_event_quantiles"   -> (QueriesRelational.q35_event_quantiles _),
     "q36_scalar_functions"  -> (QueriesRelational.q36_scalar_functions _),
     "q37_above_avg_orders"  -> (QueriesRelational.q37_above_avg_orders _),
+    "q38_asof_attribution"  -> (QueriesRelational.q38_asof_attribution _),
   )
 
   /** DuckDB oracle SQL per query — all 37 queries, including the ANN
@@ -94,5 +95,6 @@ object Queries {
     "q35_event_quantiles"   -> QueriesRelational.q35Sql,
     "q36_scalar_functions"  -> QueriesRelational.q36Sql,
     "q37_above_avg_orders"  -> QueriesRelational.q37Sql,
+    "q38_asof_attribution"  -> QueriesRelational.q38Sql,
   )
 }

@@ -322,4 +322,27 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** As-of attribution: every purchase matched to the same user's most
+    * recent prior-or-simultaneous view (graft.operators.AsOf — one
+    * shuffle on user_id, union+running-last, no interval-join pair
+    * explosion). Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q38_asof_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+    graft.operators.AsOf
+      .asOfJoinBackward(purchases, views, "user_id", "ts", "ts", rightPrefix = "view_")
+      .orderBy("event_id")
+  }
+
+  val q38Sql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, v.ts AS view_ts, v.event_id AS view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id"""
 }

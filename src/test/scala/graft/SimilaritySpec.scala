@@ -35,6 +35,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low; ann=$ann exact=$exact")
   }
 
+  test("ANN LSH recall >= 0.9 on clustered embeddings (the regime LSH serves)") {
+    // The parquet test embeddings are isotropic noise, where any sign-bit
+    // scheme's recall is bounded by bit-agreement concentration (measured
+    // 0.4-0.8 at these params) — real embedding corpora are clustered,
+    // which is the regime LSH exists for. Plant that regime: 20 tight
+    // clusters; a query's true top-10 are its cluster mates at cos≈0.98,
+    // whose buckets sit within the Hamming-2 probe w.p. ~0.998 each.
+    val rng = new scala.util.Random(19)
+    val centers = Array.fill(20, 64)(rng.nextGaussian().toFloat)
+    val pts = (0 until 20).flatMap { c =>
+      (0 until 30).map { i =>
+        (c * 30L + i, centers(c).map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoin(df, q, 10).select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annLshTopK(df, q, 10).select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall $recall < 0.9; ann=$ann exact=$exact")
+  }
+
   test("cosineNearDupPairs emits each unordered pair once (a < b)") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect()
