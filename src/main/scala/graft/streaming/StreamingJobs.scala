@@ -67,6 +67,17 @@ object StreamingJobs {
       .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
   }
 
+  /** Streaming ingestion dedup — the streaming face of
+    * Dedup.exactKeepFirst. At-least-once sources redeliver records;
+    * dropping duplicate ids WITHIN THE WATERMARK keeps the dedup state
+    * bounded (an id older than the delay cannot legally be redelivered
+    * by a source honoring the watermark), which is the only way exact
+    * dedup works on an unbounded stream. State carries only the id and
+    * event-time — never the payload.
+    */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

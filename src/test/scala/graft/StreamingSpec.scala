@@ -57,6 +57,24 @@ class StreamingSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("streaming dedup collapses redelivered events to the batch distinct count") {
+    // Stage the events file TWICE — an at-least-once source redelivering
+    // every record. The watermarked dedup must emit each event_id once.
+    val d = java.nio.file.Files.createTempDirectory("graft-events-dup")
+    Seq("events.parquet", "events_redelivered.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"), d.resolve(name))
+    }
+    val q = StreamingJobs.dedupEvents(StreamingJobs.readEvents(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup").select("event_id").as[Long].collect()
+    val batchDistinct = graft.core.Tables.events(spark, sf("sf0.001")).count()
+    assert(got.length == got.distinct.length, "an event_id was emitted twice")
+    assert(got.length == batchDistinct,
+      s"expected one row per original event: ${got.length} vs $batchDistinct")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
       .writeStream.outputMode("append").format("memory").queryName("pairs").start()
