@@ -50,6 +50,7 @@ object Queries {
     "q36_scalar_functions"  -> (QueriesRelational.q36_scalar_functions _),
     "q37_above_avg_orders"  -> (QueriesRelational.q37_above_avg_orders _),
     "q38_asof_attribution"  -> (QueriesRelational.q38_asof_attribution _),
+    "q39_event_followups"   -> (QueriesRelational.q39_event_followups _),
   )
 
   /** DuckDB oracle SQL per query — all 37 queries, including the ANN
@@ -96,5 +97,6 @@ object Queries {
     "q36_scalar_functions"  -> QueriesRelational.q36Sql,
     "q37_above_avg_orders"  -> QueriesRelational.q37Sql,
     "q38_asof_attribution"  -> QueriesRelational.q38Sql,
+    "q39_event_followups"   -> QueriesRelational.q39Sql,
   )
 }

@@ -345,4 +345,36 @@ v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
 SELECT p.user_id, p.event_id, p.ts, v.ts AS view_ts, v.event_id AS view_event_id
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id"""
+
+  /** Interval self-join (range join): every same-user follow-up event
+    * within 30 minutes — the batch twin of the streaming stream-stream
+    * join (StreamingJobs.followUpPairs). The equi key (user_id) carries
+    * the shuffle; the time range is a residual join predicate, so the
+    * plan is a hash/SMJ join per user, never a cartesian — the range
+    * condition touches only same-user pairs.
+    */
+  def q39_event_followups(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "ts", "event_id")
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    a.join(b,
+        a("user_id") === b("user_b") &&
+          b("ts_b") > a("ts_a") &&
+          b("ts_b") <= a("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        // floor-of-seconds difference on both engines (cast-to-long and
+        // date_diff both count whole-second boundaries) — integer exact.
+        // NTZ has no direct long cast; the session is pinned UTC so the
+        // timestamp hop is value-preserving.
+        (col("ts_b").cast("timestamp").cast("long") -
+          col("ts_a").cast("timestamp").cast("long")).as("gap_s"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q39Sql: String =
+    """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY id_a, id_b"""
 }
