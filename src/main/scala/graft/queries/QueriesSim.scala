@@ -24,7 +24,10 @@ object QueriesSim {
   def q17_cosine_knn(s: SparkSession, dir: String): DataFrame = {
     val queries = emb(s, dir).filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.knnJoin(emb(s, dir), queries, k = 10)
+    // knnJoinAgg, not the window twin: the bounded-heap aggregate keeps
+    // the top-k merge map-side instead of shuffling every candidate of
+    // the query into one row_number partition (the 100 TB bottleneck).
+    Similarity.knnJoinAgg(emb(s, dir), queries, k = 10)
       .select(col("vec_id"), col("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id"))
   }

@@ -121,8 +121,17 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
           .as("cosine_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    // Bounded-heap re-rank (TopKAgg): map-side partial top-k means the
+    // final shuffle carries O(queries × k × partitions), never all
+    // candidates of a query into one reducer like a row_number window.
+    // Identical output to the window (same NaN/tie total order — proven
+    // in TopKAndSourcesSpec).
+    cand
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.id").as("vec_id"),
+        col("__kv.score").as("cosine_sim"), (col("__r") + 1).cast("long").as("rnk"))
   }
 
   /** EXACT embedding-cosine near-duplicate pairs (a < b, cosine ≥
