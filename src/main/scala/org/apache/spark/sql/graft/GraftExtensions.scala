@@ -34,7 +34,18 @@ object GraftExtensions {
     ("minhash_agg",
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (es: Seq[Expression]) => MinHashAgg(es(0),
-        es(1).eval().asInstanceOf[Int], 0, 0).toAggregateExpression()))
+        es(1).eval().asInstanceOf[Int], 0, 0).toAggregateExpression()),
+    ("tokenize_words",
+      new ExpressionInfo(classOf[TokenizeWords].getName, "tokenize_words"),
+      (es: Seq[Expression]) => TokenizeWords(es(0))),
+    ("token_shingles",
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (es: Seq[Expression]) => TokenShingles(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Boolean])),
+    ("topk_agg",
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (es: Seq[Expression]) => TopKAgg(es(0), es(1),
+        es(2).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

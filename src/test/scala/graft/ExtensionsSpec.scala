@@ -20,6 +20,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(m.length == 8 && m.forall(_ >= 0))
   }
 
+  test("SQL functions tokenize_words / token_shingles / topk_agg register and evaluate") {
+    GraftExtensions.register(spark)
+    val toks = spark.sql("SELECT tokenize_words('It''s a test!') AS t")
+      .as[Seq[String]].head()
+    assert(toks == Seq("It", "s", "a", "test"))
+    val sh = spark.sql("SELECT token_shingles(array('a','b','c'), 2, true) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c"))
+    val top = spark.sql(
+      """SELECT topk_agg(s, id, 2) AS t FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS v(s, id)""")
+      .selectExpr("transform(t, x -> x.id) AS ids").as[Seq[Long]].head()
+    assert(top == Seq(2L, 3L))
+  }
+
   test("MinHashAgg signature equals the declarative wide-column formulation") {
     val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
     val sh = Dedup.shingleHashes(docs, 5).distinct()
