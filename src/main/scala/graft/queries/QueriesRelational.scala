@@ -348,19 +348,18 @@ ORDER BY p.event_id"""
 
   /** Interval self-join (range join): every same-user follow-up event
     * within 30 minutes — the batch twin of the streaming stream-stream
-    * join (StreamingJobs.followUpPairs). The equi key (user_id) carries
-    * the shuffle; the time range is a residual join predicate, so the
-    * plan is a hash/SMJ join per user, never a cartesian — the range
-    * condition touches only same-user pairs.
+    * join (StreamingJobs.followUpPairs). Via the BUCKETED interval join
+    * (graft.operators.IntervalJoin): the equi key is (user_id, 30-min
+    * time bucket), so the SMJ only ever pairs rows within a bucket —
+    * O(events × per-bucket density) — instead of enumerating all
+    * O(Σᵤ nᵤ²) same-user pairs before the range residual.
     */
   def q39_event_followups(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("user_id", "ts", "event_id")
     val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
     val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
-    a.join(b,
-        a("user_id") === b("user_b") &&
-          b("ts_b") > a("ts_a") &&
-          b("ts_b") <= a("ts_a") + expr("INTERVAL 30 MINUTES"))
+    graft.operators.IntervalJoin
+      .followUpsWithin(a, b, "user_id", "user_b", "ts_a", "ts_b", windowSeconds = 1800L)
       .select(col("user_id"), col("id_a"), col("id_b"),
         // floor-of-seconds difference on both engines (cast-to-long and
         // date_diff both count whole-second boundaries) — integer exact.

@@ -60,6 +60,19 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), "q27 candidates must come from an equi-join on bucket")
   }
 
+  test("q39: interval-join equi keys include the 30-min time bucket") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q39_event_followups(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "q39 must not enumerate unkeyed pairs")
+    // The join node's key lists must carry the bucket column — i.e. the
+    // range predicate is a residual on a (user_id, bucket) equi-join,
+    // not a filter over all same-user pairs.
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin [") || l.contains("ShuffledHashJoin [") || l.contains("BroadcastHashJoin ["))
+    assert(joinLine.exists(_.contains("__bl")),
+      s"q39 join keys must include the time bucket, got: $joinLine")
+  }
+
   test("q16: the near-dup pipeline never joins on document content") {
     val df = graft.queries.QueriesDedup.q16_minhash_neardup(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
