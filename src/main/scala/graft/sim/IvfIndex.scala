@@ -106,9 +106,12 @@ object IvfIndex {
       .select(col("query_id"), col("query_vec"), col("probe.c").as("cluster"),
         org.apache.spark.sql.graft.VectorExpressions.normF32(col("query_vec")).as("__qn"))
 
+    // No broadcast hint: AQE picks broadcast-vs-shuffle from the probe
+    // side's RUNTIME size — a huge query batch shuffles on `cluster`
+    // instead of OOMing the driver.
     val candidates = assigned
       .withColumn("__n", org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")))
-      .join(broadcast(probes), Seq("cluster"))
+      .join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)

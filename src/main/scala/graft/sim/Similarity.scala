@@ -24,6 +24,19 @@ import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
   *    sub-quadratic approximate plan when τ is high (≥ ~0.9).
   */
 object Similarity {
+  /** Broadcast-hint `df` only when the optimizer's size estimate fits
+    * the session's autoBroadcastJoinThreshold. The catalog's tiny probe
+    * sets still broadcast; a million-row query batch would NOT — it
+    * falls back to Spark's shuffle/cartesian chunking instead of
+    * OOMing the driver with a forced broadcast (a hard `broadcast()`
+    * overrides the threshold entirely, so it must not be unconditional).
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh) broadcast(df)
+    else df
+  }
+
   /** Exact top-k cosine neighbors for every vector in `queries`
     * (a small DataFrame of (query_id, query_vec)); excludes self-matches
     * by id. Output: query_id, vec_id, cosine_sim (rounded for stable
@@ -35,7 +48,7 @@ object Similarity {
     val e = embeddings.withColumn("__n", normF32(col("embedding")))
     val q = queries.withColumn("__qn", normF32(col("query_vec")))
     val sim = e
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcastIfSmall(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
@@ -56,7 +69,7 @@ object Similarity {
   def knnJoinAgg(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val e = embeddings.withColumn("__n", normF32(col("embedding")))
     val q = queries.withColumn("__qn", normF32(col("query_vec")))
-    e.crossJoin(broadcast(q))
+    e.crossJoin(broadcastIfSmall(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
@@ -115,8 +128,11 @@ object Similarity {
       .withColumn("qbucket", bucketId(col("query_vec"), planes))
       .withColumn("__qn", normF32(col("query_vec")))
       .withColumn("bucket", explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    // No broadcast hint: AQE picks broadcast-vs-shuffle from the probe
+    // side's RUNTIME size — the equi-join on `bucket` supports both, so
+    // a huge query batch shuffles instead of OOMing the driver.
     val cand = emb
-      .join(broadcast(probes), Seq("bucket"))
+      .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)

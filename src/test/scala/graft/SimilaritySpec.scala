@@ -58,6 +58,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall $recall < 0.9; ann=$ann exact=$exact")
   }
 
+  test("broadcastIfSmall gates the hint on the optimizer size estimate") {
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      Similarity.broadcastIfSmall(df).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      assert(!hinted(q), "a probe set above the threshold must NOT be force-broadcast")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      assert(hinted(q), "a small probe set should keep the broadcast fast path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ANN probe join above the broadcast threshold stays a keyed equi-join (no BNLJ/cartesian)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      // ALL 500 vectors as queries — far beyond 1KB, so a forced
+      // broadcast would be the driver-OOM shape at real query scale.
+      val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val r = Similarity.annLshTopK(emb, q, 5)
+      assert(r.count() > 0)
+      def expand(p: org.apache.spark.sql.execution.SparkPlan): String = {
+        val kids = p match {
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => p.children
+        }
+        p.nodeName + "\n" + kids.map(expand).mkString("\n")
+      }
+      val plan = expand(r.queryExecution.executedPlan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"candidate generation must stay keyed:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"an over-threshold probe side must shuffle, not broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosineNearDupPairs emits each unordered pair once (a < b)") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect()
