@@ -51,6 +51,7 @@ object Queries {
     "q37_above_avg_orders"  -> (QueriesRelational.q37_above_avg_orders _),
     "q38_asof_attribution"  -> (QueriesRelational.q38_asof_attribution _),
     "q39_event_followups"   -> (QueriesRelational.q39_event_followups _),
+    "q40_srp_neardup"       -> (QueriesSim.q40_srp_neardup _),
   )
 
   /** DuckDB oracle SQL per query — all 37 queries, including the ANN
@@ -98,5 +99,6 @@ object Queries {
     "q37_above_avg_orders"  -> QueriesRelational.q37Sql,
     "q38_asof_attribution"  -> QueriesRelational.q38Sql,
     "q39_event_followups"   -> QueriesRelational.q39Sql,
+    "q40_srp_neardup"       -> QueriesSim.q40Sql,
   )
 }

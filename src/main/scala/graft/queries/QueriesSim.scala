@@ -118,6 +118,40 @@ r AS (SELECT query_id, vec_id, cosine_sim,
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
 
+  /** Banded sign-random-projection near-dup candidates + exact-cosine
+    * verify (Similarity.srpNearDupPairs) — the sub-quadratic approximate
+    * pair path. The catalog instance runs at τ=0.45, this data's
+    * similarity ceiling (isotropic vectors have no higher-τ pairs), so
+    * the result is NON-empty and the banding + verify semantics are
+    * pinned by real rows; partial recall at low τ is by design and
+    * irrelevant to the oracle, which recomputes the SAME fixed-seed
+    * bands in SQL. The τ ≥ 0.9 production regime (near-total recall) is
+    * covered by SimilaritySpec's planted-pair test.
+    */
+  def q40_srp_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDupPairs(emb(s, dir), threshold = 0.45, numBands = 16, planesPerBand = 6)
+      .orderBy("vec_id_a", "vec_id_b")
+
+  /** Oracle mirrors srpNearDupPairs bit-for-bit: per-band signature =
+    * 6 sign bits against the float-cast fixed-seed planes (bit j =
+    * plane b·6+j), candidates = DISTINCT colliding (a < b) pairs in any
+    * band, exact rounded cosine ≥ τ decides membership.
+    */
+  val q40Sql: String = {
+    val planes = planesSqlLiteral(Similarity.hyperplanes(numPlanes = 96, dim = 64))
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pl AS (SELECT unnest(range(0, 96)) AS pj, unnest($planes) AS p),
+sigs AS (SELECT e.vec_id, pl.pj // 6 AS band,
+                CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * pl.p[i])) >= 0
+                              THEN CAST(1 AS BIGINT) << CAST(pl.pj % 6 AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+         FROM e, pl GROUP BY e.vec_id, pl.pj // 6),
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+p AS (SELECT c.vec_id_a, c.vec_id_b, ${cosSql("ea.v", "eb.v")} AS cosine_sim
+      FROM cand c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b)
+SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45 ORDER BY vec_id_a, vec_id_b"""
+  }
+
   /** IVF-style ANN (inverted-file cells + nprobe search) — the other
     * classic scale path next to LSH. The index cells are the k-means INIT
     * centroids (the first 16 vectors; iters=0), which keeps the whole
