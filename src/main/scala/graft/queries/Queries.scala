@@ -52,6 +52,7 @@ object Queries {
     "q38_asof_attribution"  -> (QueriesRelational.q38_asof_attribution _),
     "q39_event_followups"   -> (QueriesRelational.q39_event_followups _),
     "q40_srp_neardup"       -> (QueriesSim.q40_srp_neardup _),
+    "q41_ann_ivf_trained"   -> (QueriesSim.q41_ann_ivf_trained _),
   )
 
   /** DuckDB oracle SQL per query — all 37 queries, including the ANN
@@ -100,5 +101,6 @@ object Queries {
     "q38_asof_attribution"  -> QueriesRelational.q38Sql,
     "q39_event_followups"   -> QueriesRelational.q39Sql,
     "q40_srp_neardup"       -> QueriesSim.q40Sql,
+    "q41_ann_ivf_trained"   -> QueriesSim.q41Sql,
   )
 }

@@ -173,6 +173,82 @@ SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45 ORDER BY v
     * (|e|² is argmin-invariant), first-index tie-break, nprobe=4 nearest
     * cells per query, exact cosine re-rank, row_number ties by vec_id.
     */
+  /** IVF ANN over LLOYD-TRAINED centroids (iters=2) — the production
+    * path, not just the init path, DuckDB-checked. What makes the oracle
+    * possible without any tolerance: every floating-point step of
+    * IvfIndex.train is a SEQUENTIAL double computation in a deterministic
+    * order (sample ordered by vec_id, components in index order), and
+    * DuckDB can replay exactly that order — the per-cluster mean uses the
+    * ordered aggregate `list(x ORDER BY vec_id)` fed to list_sum (both
+    * engines then fold left-to-right in doubles), distances/dots are
+    * list_transform chains mirroring DotF32's double(float)·double(float)
+    * accumulation, and the final assignment applies the same
+    * double→float centroid cast as clusterCol's lit(x.toFloat).
+    */
+  def q41_ann_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(IvfIndex.assign(e, model), queries, model, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** One Lloyd iteration as SQL CTEs: assign the sample to the nearest
+    * `prev` centroid (full squared distance, sequential over components —
+    * exactly IvfIndex.nearest), then per-cluster component means in
+    * vec_id order (exactly train's sums/counts), empty cells keeping
+    * their previous centroid.
+    */
+  private def lloydIterSql(n: Int, prev: String): String =
+    raw"""d$n AS (SELECT s.vec_id, c.cid,
+              list_sum(list_transform(range(1, 65), i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i]))) AS d
+       FROM samp s, $prev c),
+a$n AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$n)
+       WHERE rn = 1),
+m$n AS (SELECT a.cid, idx.ii, list_sum(list(s.v[idx.ii] ORDER BY s.vec_id)) / count(*) AS mi
+       FROM samp s JOIN a$n a ON a.vec_id = s.vec_id, idx
+       GROUP BY a.cid, idx.ii),
+n$n AS (SELECT cid, list(mi ORDER BY ii) AS c FROM m$n GROUP BY cid),
+c$n AS (SELECT p.cid, coalesce(n$n.c, p.c) AS c FROM $prev p LEFT JOIN n$n ON n$n.cid = p.cid)"""
+
+  /** Oracle: replay train(k=8, iters=2) in SQL (init = first 8 vectors,
+    * sample = first 2048 — ids are dense so vec_id < N selects them),
+    * then the q34 search shape against the trained centroids: assignment
+    * and probe score = |c|² − 2·e·c_float (the float-cast dot matching
+    * clusterCol), nprobe=4, exact rounded-cosine re-rank, rnk ≤ 10.
+    */
+  val q41Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+${lloydIterSql(1, "c0")},
+${lloydIterSql(2, "c1")},
+cf AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+              list_sum(list_transform(c, x -> x * x)) AS cn FROM c2),
+scores AS (SELECT e.vec_id, cf.cid,
+                  cf.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * cf.f[i])) AS s
+           FROM e, cf),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
   val q34Sql: String =
     raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
