@@ -24,28 +24,41 @@ import org.apache.spark.sql.types.StructType
   * AsOfSpec). A right row tying a left row's timestamp sorts first and
   * therefore matches (>= semantics, like DuckDB's ASOF JOIN).
   *
-  * Determinism requires (key, rightTime) unique on the right (true for
-  * event streams with unique per-key timestamps); with duplicates the
-  * kept right row is the last under the engine's stable sort.
+  * With duplicate (key, rightTime) right rows, pass `rightTieBreak` (a
+  * unique right column, e.g. an event id): the kept row is then the one
+  * with the GREATEST tie-break value — a total order, deterministic
+  * across runs and partitionings. Without it, the kept duplicate is
+  * whatever the engine's sort left last (plan-dependent).
   */
 object AsOf {
   def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightPrefix: String = "r_"): DataFrame = {
+      leftTime: String, rightTime: String, rightPrefix: String = "r_",
+      rightTieBreak: Option[String] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayloadCols = right.columns.filter(_ != key).toSeq
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filter(_.name != key))
 
+    // Sort key for duplicate (key, t) right rows: ascending tie-break,
+    // so the running `last` keeps the greatest. A constant when unused —
+    // same single code path either way. Left rows carry null (they sort
+    // within their (t, side=1) group only against each other).
+    val rTb = rightTieBreak.map(col).getOrElse(lit(0))
+    val lTb = rightTieBreak.map(c => lit(null).cast(right.schema(c).dataType)).getOrElse(lit(0))
+
     val lS = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(lCols.map(col): _*).as("__l"),
-      lit(null).cast(rType).as("__r"))
+      lit(null).cast(rType).as("__r"),
+      lTb.as("__tb"))
     val rS = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"),
-      struct(rPayloadCols.map(col): _*).as("__r"))
+      struct(rPayloadCols.map(col): _*).as("__r"),
+      rTb.as("__tb"))
 
-    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lS.unionByName(rS)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -58,7 +71,8 @@ object AsOf {
     * [[asOfJoinBackward]]. O(pairs) join output; never use at scale.
     */
   def asOfJoinBackwardNaive(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightPrefix: String = "r_"): DataFrame = {
+      leftTime: String, rightTime: String, rightPrefix: String = "r_",
+      rightTieBreak: Option[String] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayloadCols = right.columns.filter(_ != key).toSeq
     val l = left.select(lCols.map(col): _*)
@@ -66,7 +80,9 @@ object AsOf {
       (col(key).as("__rk") +: col(rightTime).as("__rt") +:
         rPayloadCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
     val joined = l.join(r, col(key) === col("__rk") && col("__rt") <= col(leftTime), "left")
-    val w = Window.partitionBy(lCols.map(col): _*).orderBy(col("__rt").desc_nulls_last)
+    val ord = col("__rt").desc_nulls_last +:
+      rightTieBreak.map(c => col(s"$rightPrefix$c").desc_nulls_last).toSeq
+    val w = Window.partitionBy(lCols.map(col): _*).orderBy(ord: _*)
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(lCols.map(col) ++ rPayloadCols.map(c => col(s"$rightPrefix$c")): _*)
   }

@@ -334,8 +334,12 @@ FROM events GROUP BY event_type ORDER BY event_type"""
       .select("user_id", "event_id", "ts")
     val views = ev.filter(col("event_type") === "view")
       .select("user_id", "ts", "event_id")
+    // event_id tie-break: (user_id, ts) is unique in this data, but the
+    // operator stays deterministic even if a source ever emits duplicate
+    // same-user timestamps.
     graft.operators.AsOf
-      .asOfJoinBackward(purchases, views, "user_id", "ts", "ts", rightPrefix = "view_")
+      .asOfJoinBackward(purchases, views, "user_id", "ts", "ts", rightPrefix = "view_",
+        rightTieBreak = Some("event_id"))
       .orderBy("event_id")
   }
 

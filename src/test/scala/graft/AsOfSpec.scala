@@ -29,6 +29,24 @@ class AsOfSpec extends SparkSpec {
       (104L, None, None)))
   }
 
+  test("duplicate (key, rightTime) rows resolve to the greatest tie-break value, deterministically") {
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L)).toDF("k", "t", "lid")
+    // three right rows share (k=1, t=5); two more share (k=1, t=2)
+    val right = Seq(
+      (1L, 5L, 902L), (1L, 5L, 903L), (1L, 5L, 901L),
+      (1L, 2L, 911L), (1L, 2L, 910L)
+    ).toDF("k", "t", "rid")
+    (1 to 3).foreach { _ =>
+      val got = AsOf.asOfJoinBackward(left, right, "k", "t", "t", rightTieBreak = Some("rid"))
+        .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 903L), (101L, 903L)),
+        "the kept duplicate must be the max-rid row under every run")
+    }
+    val naive = AsOf.asOfJoinBackwardNaive(left, right, "k", "t", "t", rightTieBreak = Some("rid"))
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == Set((100L, 903L), (101L, 903L)))
+  }
+
   test("union+window formulation equals the naive interval-join twin on events") {
     val ev = graft.core.Tables.events(spark, sf("sf0.001"))
     val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts")
