@@ -49,6 +49,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- blocked grid self-join (Similarity.cosineNearDupPairs) ----
+  //
+  // Cell-membership mirror of the join: an a-side row x lands in cells
+  // {(blk(x), j) : j >= blk(x)}, a b-side row y in {(i, blk(y)) : i <=
+  // blk(y)}, and the diagonal filter keeps (bi != bj || id_a < id_b).
+  private def pmodBlk(id: Long, b: Int): Int = (((id % b) + b) % b).toInt
+  private def meetings(x: Long, y: Long, b: Int): Int =
+    Seq((x, y), (y, x)).count { case (a1, b1) =>
+      val (bi, bj) = (pmodBlk(a1, b), pmodBlk(b1, b))
+      bi <= bj && (bi != bj || a1 < b1)
+    }
+
+  test("grid join invariant: every unordered id pair meets in exactly one cell (property)") {
+    val ids: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct)
+    forAllN(Gen.zip(Gen.chooseNum(1, 13), ids), n = 200) { case (b, xs) =>
+      for {
+        i <- xs.indices; j <- (i + 1) until xs.size
+      } assert(meetings(xs(i), xs(j), b) == 1,
+        s"pair (${xs(i)}, ${xs(j)}) met ${meetings(xs(i), xs(j), b)} times with $b blocks")
+      xs.foreach(x => assert(meetings(x, x, b) == 0, s"self-pair $x must never meet"))
+    }
+  }
+
+  test("grid join invariant holds in the real plan: all pairs emitted exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // Negative and non-contiguous ids exercise the pmod block mapping.
+    for ((n, blocks) <- Seq((23, 1), (31, 5), (40, 16))) {
+      val ids = rng.shuffle((-500L to 500L).toList).take(n)
+      val df = ids.map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      // threshold -1 keeps every pair: the output must be each unordered
+      // pair exactly once, with a < b.
+      val pairs = graft.sim.Similarity.cosineNearDupPairs(df, -1.0, numBlocks = blocks)
+        .select(col("vec_id_a"), col("vec_id_b")).as[(Long, Long)].collect().toSeq
+      assert(pairs.length == n * (n - 1) / 2, s"n=$n blocks=$blocks: got ${pairs.length} pairs")
+      assert(pairs.distinct.length == pairs.length, s"n=$n blocks=$blocks: duplicate pairs")
+      assert(pairs.forall { case (a, b) => a < b })
+    }
+  }
+
   /** Scala reimplementation of PortableHash.asciiPolyHash. */
   private def polyHash(s: String): Long =
     s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
