@@ -14,8 +14,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables — all 37 queries have one (the deterministic
-    * ANN pair q27/q34 included).
+    * the same parquet tables — every catalog query has one (the
+    * deterministic ANN entries q27/q34/q40/q41 included).
     */
   def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -55,10 +55,10 @@ object Queries {
     "q41_ann_ivf_trained"   -> (QueriesSim.q41_ann_ivf_trained _),
   )
 
-  /** DuckDB oracle SQL per query — all 37 queries, including the ANN
-    * pair q27/q34: both are deterministic (fixed-seed planes / fixed
-    * init centroids), so their oracles recompute the same buckets and
-    * cells in SQL.
+  /** DuckDB oracle SQL per query — every catalog query, including the
+    * ANN/LSH entries q27/q34/q40/q41: all deterministic (fixed-seed
+    * planes, fixed init centroids, ordered-replay Lloyd training), so
+    * their oracles recompute the same buckets, bands and cells in SQL.
     */
   val oracles: Map[String, String] = Map(
     "q01_wordcount"         -> QueriesText.q01Sql,
