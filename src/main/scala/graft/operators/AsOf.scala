@@ -31,9 +31,24 @@ import org.apache.spark.sql.types.StructType
   * whatever the engine's sort left last (plan-dependent).
   */
 object AsOf {
+  /** Backward: greatest rightTime <= leftTime (DuckDB `ASOF ... >=`). */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightPrefix: String = "r_",
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None): DataFrame =
+    asOfJoin(left, right, key, leftTime, rightTime, rightPrefix, rightTieBreak, forward = false)
+
+  /** Forward: SMALLEST rightTime >= leftTime (DuckDB `ASOF ... <=`) —
+    * e.g. "next view at or after each purchase". Same single-shuffle
+    * union+running-last plan, traversed in descending time order.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPrefix: String = "r_",
+      rightTieBreak: Option[String] = None): DataFrame =
+    asOfJoin(left, right, key, leftTime, rightTime, rightPrefix, rightTieBreak, forward = true)
+
+  private def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPrefix: String,
+      rightTieBreak: Option[String], forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayloadCols = right.columns.filter(_ != key).toSeq
     val lType = StructType(left.schema.fields)
@@ -57,8 +72,13 @@ object AsOf {
       struct(rPayloadCols.map(col): _*).as("__r"),
       rTb.as("__tb"))
 
+    // Backward scans time ascending (the running right payload is the
+    // most recent <= t); forward scans descending (it is the nearest
+    // >= t). Right rows sort before the left rows they answer at equal
+    // __t in both directions (>= / <= tie semantics, like DuckDB ASOF).
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .orderBy(tOrd, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lS.unionByName(rS)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -53,6 +53,9 @@ object Queries {
     "q39_event_followups"   -> (QueriesRelational.q39_event_followups _),
     "q40_srp_neardup"       -> (QueriesSim.q40_srp_neardup _),
     "q41_ann_ivf_trained"   -> (QueriesSim.q41_ann_ivf_trained _),
+    "q42_asof_forward"      -> (QueriesRelational.q42_asof_forward _),
+    "q43_hash_split"        -> (QueriesPipeline.q43_hash_split _),
+    "q44_clean_corpus"      -> (QueriesPipeline.q44_clean_corpus _),
   )
 
   /** DuckDB oracle SQL per query — every catalog query, including the
@@ -102,5 +105,8 @@ object Queries {
     "q39_event_followups"   -> QueriesRelational.q39Sql,
     "q40_srp_neardup"       -> QueriesSim.q40Sql,
     "q41_ann_ivf_trained"   -> QueriesSim.q41Sql,
+    "q42_asof_forward"      -> QueriesRelational.q42Sql,
+    "q43_hash_split"        -> QueriesPipeline.q43Sql,
+    "q44_clean_corpus"      -> QueriesPipeline.q44Sql,
   )
 }

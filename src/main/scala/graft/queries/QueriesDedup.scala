@@ -81,7 +81,7 @@ ORDER BY doc_id_a, doc_id_b"""
   /** DuckDB fragment: the portable polynomial hash of a string expression.
     * Mirrors PortableHash.asciiPolyHash: fold(0, h*31 + ascii) mod 1e9+7.
     */
-  private def polyHashSql(strExpr: String): String =
+  private[queries] def polyHashSql(strExpr: String): String =
     raw"""list_reduce(
   list_prepend(CAST(0 AS BIGINT),
     list_transform(list_filter(string_split($strExpr, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.PortableHash
+import graft.text.Text
+
+/** Training-data curation pipeline queries (SURVEY.md §2.C): the
+  * composition layer a 100 TB corpus build actually runs — deterministic
+  * split assignment and the language/quality/length/dedup cleaning chain
+  * — expressed as single declarative plans over the `documents` table.
+  */
+object QueriesPipeline {
+  import QueriesText.ToksSql
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Deterministic train/valid/test corpus split: slot = portable
+    * polynomial hash of the document id, mod 100 → 80/10/10. The
+    * industrial-correct way to split at scale — no RNG, so assignment is
+    * reproducible across engines, runs, and repartitionings, and any
+    * late-arriving copy of a document lands in the same split. A narrow
+    * per-row projection + one partial-aggregated groupBy; no shuffle
+    * carries the payload.
+    */
+  def q43_hash_split(s: SparkSession, dir: String): DataFrame = {
+    val slot = pmod(PortableHash.asciiPolyHash(col("doc_id").cast("string")), lit(100))
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), slot.as("slot"))
+      .withColumn("split",
+        when(col("slot") < 80, "train").when(col("slot") < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("split")
+  }
+
+  val q43Sql: String =
+    raw"""WITH s AS (SELECT doc_id, n_chars,
+         ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS slot FROM documents),
+b AS (SELECT doc_id, n_chars,
+             CASE WHEN slot < 80 THEN 'train' WHEN slot < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM s)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM b GROUP BY split ORDER BY split"""
+
+  /** The C4-style cleaning chain as ONE plan: language gate (≥ 2 English
+    * marker tokens), quality gate (q23's score ≥ 0.74 ≈ corpus median),
+    * length gate (15–95 tokens), then exact dedup keeping the smallest
+    * doc_id per identical text (digest semi-join — the text itself never
+    * shuffles). Per-source survivor stats; min/max of the rounded quality
+    * instead of avg keeps the aggregate order-independent, so the DuckDB
+    * hash-match is exact.
+    */
+  def q44_clean_corpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        alpha.as("alpha"),
+        size(toks).cast("long").as("n_tokens"),
+        Text.markerCount(toks, Text.EnglishMarkers).as("n_stop"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"), col("n_stop"),
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_tokens")).as("avg_tok_len"))
+      .withColumn("quality",
+        round(col("alpha_ratio") * 0.4
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("stopword_ratio")) * 0.3, 6))
+    val cleaned = scored
+      .filter(col("n_stop") >= 2 && col("quality") >= 0.74 &&
+        col("n_tokens").between(15, 95))
+    Dedup.exactKeepFirst(cleaned, "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("source")
+  }
+
+  val q44Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, source, text, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len($ToksSql) AS n_tokens,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, source, text, n_tokens, n_stop,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END AS avg_tok_len
+  FROM t),
+q AS (
+  SELECT doc_id, source, text, n_tokens, n_stop,
+         round(alpha_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.3 + (1.0 - stopword_ratio) * 0.3, 6) AS quality
+  FROM r),
+cleaned AS (
+  SELECT * FROM q WHERE n_stop >= 2 AND quality >= 0.74 AND n_tokens BETWEEN 15 AND 95),
+kept AS (
+  SELECT source, n_tokens, quality FROM (
+    SELECT source, n_tokens, quality, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM cleaned)
+  WHERE rn = 1)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM kept GROUP BY source ORDER BY source"""
+}

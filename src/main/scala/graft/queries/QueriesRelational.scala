@@ -350,6 +350,30 @@ SELECT p.user_id, p.event_id, p.ts, v.ts AS view_ts, v.event_id AS view_event_id
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id"""
 
+  /** Forward as-of: every purchase matched to the same user's NEXT view
+    * at-or-after the purchase (time-to-next-touch attribution) — the
+    * mirror of q38, same single-shuffle union+running-last plan in
+    * descending time order. Oracle: DuckDB ASOF with the <= comparison.
+    */
+  def q42_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+    graft.operators.AsOf
+      .asOfJoinForward(purchases, views, "user_id", "ts", "ts", rightPrefix = "next_",
+        rightTieBreak = Some("event_id"))
+      .orderBy("event_id")
+  }
+
+  val q42Sql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, v.ts AS next_ts, v.event_id AS next_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+ORDER BY p.event_id"""
+
   /** Interval self-join (range join): every same-user follow-up event
     * within 30 minutes — the batch twin of the streaming stream-stream
     * join (StreamingJobs.followUpPairs). Via the BUCKETED interval join

@@ -29,6 +29,26 @@ class AsOfSpec extends SparkSpec {
       (104L, None, None)))
   }
 
+  test("forward as-of join picks the earliest right row at-or-after each left time") {
+    val left = Seq(
+      (1L, 10L, 100L), // -> right t=12 (nearest following)
+      (1L, 7L, 101L),  // exact tie -> right t=7 (<= semantics)
+      (1L, 13L, 102L), // after all right rows -> null
+      (2L, 5L, 103L)   // key 2 has no right rows -> null
+    ).toDF("k", "t", "lid")
+    val right = Seq((1L, 2L, 900L), (1L, 7L, 901L), (1L, 12L, 902L), (3L, 9L, 903L)).toDF("k", "t", "rid")
+    val got = AsOf.asOfJoinForward(left, right, "k", "t", "t")
+      .select("lid", "r_t", "r_rid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set(
+      (100L, Some(12L), Some(902L)),
+      (101L, Some(7L), Some(901L)),
+      (102L, None, None),
+      (103L, None, None)))
+  }
+
   test("duplicate (key, rightTime) rows resolve to the greatest tie-break value, deterministically") {
     val left = Seq((1L, 10L, 100L), (1L, 5L, 101L)).toDF("k", "t", "lid")
     // three right rows share (k=1, t=5); two more share (k=1, t=2)
