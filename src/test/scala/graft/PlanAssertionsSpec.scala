@@ -84,4 +84,17 @@ class PlanAssertionsSpec extends SparkSpec {
     }.isDefined))
     assert(joins.nonEmpty && !joinsOnText, "join keys must be hashes/bands, never the text payload")
   }
+
+  test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
+    val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val joinsOnText = joins.exists(_.condition.exists(_.find {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name == "text"
+      case _ => false
+    }.isDefined))
+    assert(joins.nonEmpty && !joinsOnText,
+      "at 100 TB the document text must never be a shuffle/join key")
+  }
 }
