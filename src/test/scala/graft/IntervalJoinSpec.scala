@@ -30,6 +30,24 @@ class IntervalJoinSpec extends SparkSpec {
       (101L, 905L)))
   }
 
+  test("bucketed == naive twin on random data: odd windows, microsecond timestamps") {
+    val rng = new scala.util.Random(23)
+    // microsecond-jittered times stress the whole-second bucket floor
+    val rows = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(2000) * 1000000L + rng.nextInt(1000000), rng.nextLong()))
+    val base = rows.toDF("k", "us", "id")
+      .withColumn("t", (col("us") / 1e6d).cast("timestamp")).drop("us")
+    val l = base.toDF("k", "id_a", "t_a")
+    val r = base.toDF("k2", "id_b", "t_b")
+    for (w <- Seq(1L, 7L, 61L)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val fast = rows(IntervalJoin.followUpsWithin(l, r, "k", "k2", "t_a", "t_b", w))
+      val naive = rows(IntervalJoin.followUpsWithinNaive(l, r, "k", "k2", "t_a", "t_b", w))
+      assert(fast == naive, s"window ${w}s diverged: ${fast.size} vs ${naive.size} pairs")
+      assert(fast.nonEmpty, s"window ${w}s: degenerate empty twin test")
+    }
+  }
+
   test("bucketed formulation equals the naive range-join twin on events") {
     val ev = graft.core.Tables.events(spark, sf("sf0.001")).select("user_id", "ts", "event_id")
     val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
