@@ -56,6 +56,7 @@ object Queries {
     "q42_asof_forward"      -> (QueriesRelational.q42_asof_forward _),
     "q43_hash_split"        -> (QueriesPipeline.q43_hash_split _),
     "q44_clean_corpus"      -> (QueriesPipeline.q44_clean_corpus _),
+    "q45_kmv_distinct"      -> (QueriesPipeline.q45_kmv_distinct _),
   )
 
   /** DuckDB oracle SQL per query — every catalog query, including the
@@ -108,5 +109,6 @@ object Queries {
     "q42_asof_forward"      -> QueriesRelational.q42Sql,
     "q43_hash_split"        -> QueriesPipeline.q43Sql,
     "q44_clean_corpus"      -> QueriesPipeline.q44Sql,
+    "q45_kmv_distinct"      -> QueriesPipeline.q45Sql,
   )
 }

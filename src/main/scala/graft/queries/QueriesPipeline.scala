@@ -50,6 +50,46 @@ SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM b GROUP BY split ORDER BY split"""
 
+  /** Approximate distinct users per event type via the KMV bottom-k
+    * sketch (o.a.s.sql.graft.KmvAgg): the sketch state is the 256
+    * smallest distinct portable-hash values, so the shuffle carries
+    * O(groups × k) longs where exact count(distinct) shuffles every
+    * distinct value — the 100 TB way to count uniques. Estimator
+    * (k−1)·D/v_k from exact integers, so the DuckDB oracle replays it
+    * bit-for-bit. n_exact is included for demonstration (the estimate
+    * lands within ~6 % of it); a production run would drop that column.
+    */
+  def q45_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val hashSpace = 1000000007d // PortableHash modulus
+    val h = PortableHash.asciiPolyHash(col("user_id").cast("string"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), h.as("h"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.graft.KmvAgg.kmv(col("h"), k).as("mins"),
+        countDistinct("user_id").as("n_exact"))
+      .select(col("event_type"),
+        size(col("mins")).cast("long").as("n_mins"),
+        col("n_exact"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(hashSpace)
+            / element_at(col("mins"), k).cast("double"), 3))
+          .as("n_distinct_est"))
+      .orderBy("event_type")
+  }
+
+  val q45Sql: String =
+    raw"""WITH h AS (SELECT DISTINCT event_type, ${QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins,
+             max(CASE WHEN rn = 256 THEN hv END) AS v_k
+      FROM r WHERE rn <= 256 GROUP BY event_type),
+x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT m.event_type, m.n_mins, x.n_exact,
+       CASE WHEN m.n_mins < 256 THEN CAST(m.n_mins AS DOUBLE)
+            ELSE round(255.0 * 1000000007 / v_k, 3) END AS n_distinct_est
+FROM m JOIN x ON x.event_type = m.event_type ORDER BY m.event_type"""
+
   /** The C4-style cleaning chain as ONE plan: language gate (≥ 2 English
     * marker tokens), quality gate (q23's score ≥ 0.74 ≈ corpus median),
     * length gate (15–95 tokens), then exact dedup keeping the smallest

@@ -45,7 +45,11 @@ object GraftExtensions {
     ("topk_agg",
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
       (es: Seq[Expression]) => TopKAgg(es(0), es(1),
-        es(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+        es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    ("kmv_sketch",
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+      (es: Seq[Expression]) => KmvAgg(es(0),
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
