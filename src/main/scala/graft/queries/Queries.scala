@@ -57,6 +57,7 @@ object Queries {
     "q43_hash_split"        -> (QueriesPipeline.q43_hash_split _),
     "q44_clean_corpus"      -> (QueriesPipeline.q44_clean_corpus _),
     "q45_kmv_distinct"      -> (QueriesPipeline.q45_kmv_distinct _),
+    "q46_dup_clusters"      -> (QueriesDedup.q46_dup_clusters _),
   )
 
   /** DuckDB oracle SQL per query — every catalog query, including the
@@ -110,5 +111,6 @@ object Queries {
     "q43_hash_split"        -> QueriesPipeline.q43Sql,
     "q44_clean_corpus"      -> QueriesPipeline.q44Sql,
     "q45_kmv_distinct"      -> QueriesPipeline.q45Sql,
+    "q46_dup_clusters"      -> QueriesDedup.q46Sql,
   )
 }

@@ -97,6 +97,33 @@ SELECT doc_id,
        CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Near-duplicate CLUSTERS: connected components over the q19 pair
+    * graph (trigram Jaccard ≥ 0.1), every member labeled with its
+    * cluster's minimum doc_id — the representative a dedup pipeline
+    * keeps. Iterative min-label propagation (one keyed join per round,
+    * diameter-bounded); the oracle recomputes the same labels with a
+    * recursive reachability CTE.
+    */
+  def q46_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val q46Sql: String =
+    raw"""WITH RECURSIVE pairs AS (${jaccardOracle(3, "0.1")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM n
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, count(*) AS n_members FROM c GROUP BY cluster)
+SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster) ORDER BY c.doc_id"""
+
   /** Rolling-hash document fingerprint over the normalized token stream. */
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

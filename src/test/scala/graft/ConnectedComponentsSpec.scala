@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labels(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b").repartition(parts), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, cycles and isolated pairs get min-id labels") {
+    val got = labels(Seq(
+      (1L, 2L), (2L, 3L),           // path -> min 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle -> min 10
+      (20L, 21L),                   // isolated pair
+      (31L, 30L)                    // order within the edge must not matter
+    ))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("a long chain converges (diameter rounds) with the min id at the far end") {
+    // 20-node path with the smallest id at one end — worst case for
+    // per-round propagation distance.
+    val edges = (0L until 19L).map(i => (i + 1, i + 2)) :+ (19L, 0L)
+    val got = labels(edges)
+    assert(got.values.toSet == Set(0L) && got.size == 21)
+  }
+
+  test("labels are partition-invariant") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val p1 = labels(edges, parts = 1)
+    val p7 = labels(edges, parts = 7)
+    assert(p1 == p7 && p1.nonEmpty)
+  }
+
+  test("every label is the true minimum of its component (vs driver-side union-find)") {
+    val rng = new scala.util.Random(5)
+    val edges = Seq.fill(80)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    edges.foreach { case (a, b) => union(a, b) }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    assert(labels(edges) == expect)
+  }
+}
