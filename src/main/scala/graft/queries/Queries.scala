@@ -58,6 +58,7 @@ object Queries {
     "q44_clean_corpus"      -> (QueriesPipeline.q44_clean_corpus _),
     "q45_kmv_distinct"      -> (QueriesPipeline.q45_kmv_distinct _),
     "q46_dup_clusters"      -> (QueriesDedup.q46_dup_clusters _),
+    "q47_stratified_sample" -> (QueriesPipeline.q47_stratified_sample _),
   )
 
   /** DuckDB oracle SQL per query — every catalog query, including the
@@ -112,5 +113,6 @@ object Queries {
     "q44_clean_corpus"      -> QueriesPipeline.q44Sql,
     "q45_kmv_distinct"      -> QueriesPipeline.q45Sql,
     "q46_dup_clusters"      -> QueriesDedup.q46Sql,
+    "q47_stratified_sample" -> QueriesPipeline.q47Sql,
   )
 }

@@ -90,6 +90,36 @@ SELECT m.event_type, m.n_mins, x.n_exact,
             ELSE round(255.0 * 1000000007 / v_k, 3) END AS n_distinct_est
 FROM m JOIN x ON x.event_type = m.event_type ORDER BY m.event_type"""
 
+  /** Deterministic stratified sample: exactly k documents per language,
+    * chosen as the k smallest portable-hash values of doc_id — balanced
+    * subsampling across strata with no RNG, reproducible anywhere. Uses
+    * the bounded-heap top-k aggregate on the negated hash, so the
+    * shuffle carries O(strata × k) rows (a row_number window would
+    * shuffle every document into its stratum's reducer first). Hash ties
+    * break by doc_id — fully total order.
+    */
+  def q47_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val h = PortableHash.asciiPolyHash(col("doc_id").cast("string"))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), (-h.cast("double")).as("negh"))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("negh"), col("doc_id"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("lang"), col("__kv.id").as("doc_id"),
+        (-col("__kv.score")).cast("long").as("h"),
+        (col("__r") + 1).cast("long").as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q47Sql: String =
+    raw"""WITH h AS (SELECT lang, doc_id,
+         ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+r AS (SELECT lang, doc_id, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+      FROM h)
+SELECT lang, doc_id, CAST(hv AS BIGINT) AS h, rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
+
   /** The C4-style cleaning chain as ONE plan: language gate (≥ 2 English
     * marker tokens), quality gate (q23's score ≥ 0.74 ≈ corpus median),
     * length gate (15–95 tokens), then exact dedup keeping the smallest
