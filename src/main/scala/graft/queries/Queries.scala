@@ -59,6 +59,8 @@ object Queries {
     "q45_kmv_distinct"      -> (QueriesPipeline.q45_kmv_distinct _),
     "q46_dup_clusters"      -> (QueriesDedup.q46_dup_clusters _),
     "q47_stratified_sample" -> (QueriesPipeline.q47_stratified_sample _),
+    "q48_pivot_events"      -> (QueriesRelational.q48_pivot_events _),
+    "q49_cube_orders"       -> (QueriesRelational.q49_cube_orders _),
   )
 
   /** DuckDB oracle SQL per query — every catalog query, including the
@@ -114,5 +116,7 @@ object Queries {
     "q45_kmv_distinct"      -> QueriesPipeline.q45Sql,
     "q46_dup_clusters"      -> QueriesDedup.q46Sql,
     "q47_stratified_sample" -> QueriesPipeline.q47Sql,
+    "q48_pivot_events"      -> QueriesRelational.q48Sql,
+    "q49_cube_orders"       -> QueriesRelational.q49Sql,
   )
 }

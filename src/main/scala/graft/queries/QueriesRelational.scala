@@ -238,6 +238,55 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
        count(*) AS n_orders, sum(o_totalprice) AS total_price
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY priority, status"""
 
+  /** PIVOT: per user-id bucket, event counts spread across one column
+    * per event type (explicit value list so the output schema is static
+    * — the scale-correct pivot; an unlisted-values pivot needs a
+    * distinct-values collect first). Absent cells coalesce to 0 to match
+    * SQL's FILTER counts.
+    */
+  def q48_pivot_events(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(10)).cast("long").as("user_bucket"), col("event_type"))
+      .groupBy("user_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_bucket")
+  }
+
+  val q48Sql: String =
+    """SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_bucket ORDER BY user_bucket"""
+
+  /** CUBE over (priority, status) — all four grouping sets, with
+    * per-column grouping flags (portable across engines, unlike the
+    * grouping_id bitmask whose bit order is engine-defined) and q32's
+    * 'ALL' coalescing so the sort never compares SQL NULLs.
+    */
+  def q49_cube_orders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"),
+        grouping(col("o_orderpriority")).cast("long").as("gp"),
+        grouping(col("o_orderstatus")).cast("long").as("gs"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gp"), col("gs"), col("n_orders"), col("total_price"))
+      .orderBy("priority", "status")
+
+  val q49Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority, coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS gp, CAST(GROUPING(o_orderstatus) AS BIGINT) AS gs,
+       count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY priority, status"""
+
   /** Exact interpolated percentiles per event type (both engines use the
     * (n-1)*p linear-interpolation definition) + exact distinct users.
     * Sort-based and sum-free, so values are cross-engine deterministic.
