@@ -255,8 +255,11 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY priority, s
       .orderBy("user_bucket")
   }
 
+  // (user_id % 10 + 10) % 10 mirrors Spark's pmod for negative ids too —
+  // DuckDB's % keeps the dividend's sign, so a bare % 10 would diverge
+  // on negative user_id even though current test data is non-negative.
   val q48Sql: String =
-    """SELECT user_id % 10 AS user_bucket,
+    """SELECT (user_id % 10 + 10) % 10 AS user_bucket,
        count(*) FILTER (event_type = 'click') AS click,
        count(*) FILTER (event_type = 'error') AS error,
        count(*) FILTER (event_type = 'purchase') AS purchase,

@@ -30,6 +30,12 @@ object Similarity {
     * falls back to Spark's shuffle/cartesian chunking instead of
     * OOMing the driver with a forced broadcast (a hard `broadcast()`
     * overrides the threshold entirely, so it must not be unconditional).
+    * The gate is the STATIC optimizedPlan estimate, read at plan-build
+    * time — deliberately conservative: a heavily-filtered-but-tiny probe
+    * side may keep its parent's size estimate and miss the hint, in
+    * which case AQE's runtime join selection still converts the shuffle
+    * join to broadcast from observed sizes. Missing the hint costs only
+    * performance, never correctness or driver memory.
     */
   private[graft] def broadcastIfSmall(df: DataFrame): DataFrame = {
     val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold

@@ -33,6 +33,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L) && got.size == 21)
   }
 
+  test("non-convergence within maxIter throws instead of returning partial labels") {
+    // 6-node path needs ~5 propagation rounds; maxIter=2 must fail loudly.
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, "a", "b", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
   test("labels are partition-invariant") {
     val rng = new scala.util.Random(13)
     val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))

@@ -48,4 +48,21 @@ class KmvSpec extends SparkSpec {
     val arr = spark.sql("SELECT kmv_sketch(h, 2) AS a FROM kmv_in").head().getSeq[Long](0)
     assert(arr == Seq(3L, 5L))
   }
+
+  test("kmv_sketch accepts a BIGINT literal k and rejects non-literal / non-integral k clearly") {
+    GraftExtensions.register(spark)
+    Seq(5L, 3L, 9L, 3L).toDF("h").createOrReplaceTempView("kmv_in2")
+    // widened literal folds fine — no opaque ClassCastException
+    val arr = spark.sql("SELECT kmv_sketch(h, CAST(2 AS BIGINT)) AS a FROM kmv_in2")
+      .head().getSeq[Long](0)
+    assert(arr == Seq(3L, 5L))
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(h, CAST(h AS INT)) FROM kmv_in2").collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable"), nonFoldable.getMessage)
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(h, 'two') FROM kmv_in2").collect()
+    }
+    assert(wrongType.getMessage.contains("INT"), wrongType.getMessage)
+  }
 }
