@@ -456,4 +456,58 @@ ORDER BY p.event_id"""
 FROM events a JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
 ORDER BY id_a, id_b"""
+
+  /** Hot-key-safe fact-to-dim join via explicit salting
+    * (graft.operators.Skew.saltedJoin): the fact side's join key gets a
+    * salt in [0, 8), the dim side is replicated 8×, so one hot user's
+    * rows spread over 8 shuffle partitions instead of one straggler
+    * task. The salt only changes PARTITIONING — results are identical to
+    * the plain join, which is exactly what the oracle runs. AQE's skew
+    * split covers sort-merge joins at runtime; explicit salting is the
+    * static tool when a known key dominates (e.g. the null/default user
+    * of an event stream) or when the engine's runtime split is off.
+    */
+  def q50_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(ev, cust, "user_id", saltBuckets = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q50Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_events, sum(value) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Trailing time-RANGE window: per event, how many events (and how
+    * much value) the same user produced in the preceding hour, computed
+    * with a value-based frame over epoch seconds — one shuffle on
+    * user_id, sorted scan per partition, state bounded by the frame.
+    * RANGE (not ROWS) so ties at the same second are always whole — the
+    * result is deterministic even when ts_sec collides. NTZ has no
+    * direct long cast in Spark 4; the session is pinned UTC so the
+    * timestamp hop is value-preserving (floor division, matching
+    * DuckDB's floor(epoch(ts))).
+    */
+  def q51_trailing_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_events_1h"),
+        sum("value").over(w).as("sum_value_1h"))
+      .orderBy("event_id")
+  }
+
+  val q51Sql: String =
+    """SELECT event_id, user_id, ts_sec,
+       count(*) OVER w AS n_events_1h,
+       sum(value) OVER w AS sum_value_1h
+FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
 }

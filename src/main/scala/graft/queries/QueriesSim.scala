@@ -272,4 +272,27 @@ r AS (SELECT query_id, vec_id, cosine_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM cand)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** Per-label embedding centroids in long (label, dim, value) form —
+    * the group-averaged vector a curation pipeline uses for cluster
+    * summaries / diversity balancing. posexplode keeps it declarative:
+    * scan → generate → partial-aggregated groupBy on (label, dim), so
+    * the shuffle carries one partial (sum, count) per group per task,
+    * never the vectors. Float values widen exactly to double before
+    * averaging; centroid magnitudes (~0.1) vs reorder error (~1e-15)
+    * leave 8 orders of headroom at the harness's 6-significant-digit
+    * float comparison, so no rounding is needed.
+    */
+  def q53_label_centroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("col").cast("double")).as("centroid"))
+      .orderBy("label", "dim")
+
+  val q53Sql: String =
+    """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
+       avg(CAST(v AS DOUBLE)) AS centroid
+FROM x GROUP BY label, i ORDER BY label, dim"""
 }

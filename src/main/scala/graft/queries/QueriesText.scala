@@ -190,4 +190,31 @@ SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
        len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_ws_tokens
 FROM documents ORDER BY doc_id"""
+
+  /** Repetition quality signal (the Gopher/C4-family "repeated n-gram
+    * fraction" filter): per document, 1 − distinct/total word trigrams.
+    * Uses the single-pass native shingler WITH multiplicity; the whole
+    * query is a narrow per-row projection — zero shuffles, a pure map at
+    * any scale. rep_ratio is a ratio of exact integers evaluated in
+    * double the same way on both engines, so no rounding is needed.
+    */
+  def q52_repetition_score(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.shinglesAll(Text.tokens(col("text")), 3).as("tri"))
+      .where(size(col("tri")) > 0)
+      .select(col("doc_id"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+          / size(col("tri")).cast("double")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val q52Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+tri AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+       1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS rep_ratio
+FROM tri GROUP BY doc_id ORDER BY doc_id"""
 }

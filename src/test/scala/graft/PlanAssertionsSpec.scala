@@ -85,6 +85,69 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(joins.nonEmpty && !joinsOnText, "join keys must be hashes/bands, never the text payload")
   }
 
+  test("q50: salted join keys include the salt column") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q50_salted_join(spark, sf("sf0.001")))
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin [") || l.contains("ShuffledHashJoin [") || l.contains("BroadcastHashJoin ["))
+    assert(joinLine.exists(_.contains("__salt")),
+      s"q50 join keys must include the salt, got: $joinLine")
+  }
+
+  /** Every node of the EXECUTED plan, descending into AQE stages. */
+  private def collectPlanNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.write.format("noop").mode("overwrite").save()
+    def go(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  private def hashShuffleCount(nodes: Seq[SparkPlan]): Int = nodes.count {
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+    case _ => false
+  }
+
+  test("q51: trailing range window runs on ONE hash shuffle (user_id), value-bounded frame") {
+    val df = graft.queries.QueriesRelational.q51_trailing_window(spark, sf("sf0.001"))
+    val nodes = collectPlanNodes(df)
+    val windows = nodes.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected a Window node")
+    assert(windows.exists(w => w.toString.contains("RangeFrame") || w.toString.contains("RANGE BETWEEN")),
+      s"frame must be value-based (RANGE), not ROWS: ${windows.head.toString.take(400)}")
+    assert(hashShuffleCount(nodes) == 1,
+      s"expected exactly the user_id shuffle, got ${hashShuffleCount(nodes)}")
+  }
+
+  test("q52: repetition score is a pure map — no hash shuffle at all") {
+    val nodes = collectPlanNodes(graft.queries.QueriesText.q52_repetition_score(spark, sf("sf0.001")))
+    assert(hashShuffleCount(nodes) == 0,
+      "per-document scoring must not shuffle (only the final sort range-partitions)")
+  }
+
+  test("partitioned write + read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    graft.core.Tables.events(spark, sf("sf0.001"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    // collect() (not a fresh write plan) so metrics land on THIS plan's scan
+    assert(pruned.collect().nonEmpty)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a v1 parquet scan")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("event_type")),
+      s"partition filter not applied at scan: ${scans.head.partitionFilters}")
+    // the executed scan must have read only the one matching partition's file
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"scan read ${scans.head.metrics("numFiles").value} files; pruning should leave 1")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
