@@ -148,6 +148,40 @@ class PlanAssertionsSpec extends SparkSpec {
       s"scan read ${scans.head.metrics("numFiles").value} files; pruning should leave 1")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shuffle-reduction feature: when a dim side is filtered
+    // selectively, Catalyst injects bloom_filter_agg on the dim keys and
+    // a might_contain predicate on the FACT side scan, so non-matching
+    // fact rows die before the shuffle. Thresholds are tuned for TB
+    // inputs, so pin them down to make the tiny fixture eligible.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // broadcast would subsume the filter
+      val l = graft.core.Tables(spark, sf("sf0.001"), "lineitem")
+      val o = graft.core.Tables(spark, sf("sf0.001"), "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n${optimized.take(1500)}")
+      assert(optimized.contains("bloom_filter_agg"),
+        "expected bloom_filter_agg built from the filtered dim keys")
+      // and the filtered plan still computes the right answer
+      val n = joined.collect().map(_.getLong(1)).sum
+      val expected = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
+      assert(n == expected, s"bloom-filtered join changed the result: $n vs $expected")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
