@@ -85,4 +85,89 @@ object ConnectedComponents {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Log-depth variant: alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). [[run]] needs diameter-many rounds — right for the
+    * shallow dense clusters near-dup graphs produce, wrong for
+    * adversarially deep graphs (a 10⁶-node chain is 10⁶ shuffles). The
+    * star operations contract paths exponentially: O(log² n) rounds
+    * worst-case, each round the same keyed join + partial-min shape as
+    * [[run]]. Same output contract: (node, cluster = component min).
+    *
+    * Convergence is detected by edge-set fixpoint: (count, xor of
+    * per-edge hashes) — an order-independent signature computed in one
+    * partial aggregation, no extra join. Throws on non-convergence like
+    * [[run]].
+    */
+  def runAlternating(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 64): DataFrame = {
+    // large-star: around every node u, hang each LARGER neighbor v onto
+    // m = min(N(u) ∪ {u}); keeps every component connected while
+    // shrinking long paths; produces edges (v > m) pointing downward.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star: orient every edge high→low, then hang each smaller
+    // neighbor (and u itself) onto the minimum; star-compresses the
+    // downward forest the large-star built.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      val hangNbrs = dir.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      val hangSelf = m.select(col("u").as("a"), col("m").as("b"))
+      hangNbrs.union(hangSelf)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // (count, xor of hashes): order/partition-independent edge-set
+    // signature in ONE partial aggregation (bit_xor is commutative and
+    // merges map-side); equality across rounds means the edge set is
+    // (modulo a 64-bit collision) unchanged, i.e. the star fixpoint.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("a"), col("b")).as("h"))
+        .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      unpersistCheckpoint(e)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) {
+      unpersistCheckpoint(e)
+      throw new IllegalStateException(
+        s"ConnectedComponents.runAlternating did not converge in $maxIter rounds")
+    }
+    // fixpoint edges are star edges (node → component min); centers
+    // label themselves
+    e.select(col("a").as("node"), col("b").as("cluster"))
+      .union(e.select(col("b").as("node"), col("b").as("cluster")))
+      .distinct()
+  }
 }

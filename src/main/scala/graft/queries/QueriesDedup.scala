@@ -124,6 +124,46 @@ c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
 sz AS (SELECT cluster, count(*) AS n_members FROM c GROUP BY cluster)
 SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster) ORDER BY c.doc_id"""
 
+  /** Benchmark-decontamination shape: cross-SOURCE 8-token-shingle
+    * overlap — the standard check that training documents don't contain
+    * eval/benchmark text (here: any other source's text). Candidates
+    * come from an inverted-index equi-join on the shingle (never a doc
+    * pair scan), restricted to pairs from different sources. The
+    * document-frequency cap is the scale guard: a shingle shared by
+    * hundreds of docs is boilerplate, not contamination, and is exactly
+    * the hot key that would turn the shingle self-join quadratic at
+    * 100 TB — drop it BEFORE pairing (standard practice, e.g. df-capped
+    * n-gram decontamination in public LLM data recipes).
+    */
+  def q54_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val maxDf = 25
+    val sh = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 8)).as("sh"))
+    // shingles are distinct per doc, so count(*) per shingle == doc frequency
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val kept = sh.join(rare, Seq("sh"), "left_semi")
+    val a = kept.select(col("sh"), col("doc_id").as("doc_id_a"), col("source").as("source_a"))
+    val b = kept.select(col("sh"), col("doc_id").as("doc_id_b"), col("source").as("source_b"))
+    a.join(b, Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("doc_id_a", "doc_id_b", "source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val q54Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, source, $ToksSql AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s
+       FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8)),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 25),
+kept AS (SELECT sh.* FROM sh JOIN rare USING (s))
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.s = b.s AND a.source < b.source
+GROUP BY 1, 2, 3, 4 ORDER BY doc_id_a, doc_id_b"""
+
   /** Rolling-hash document fingerprint over the normalized token stream. */
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -51,6 +51,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(p1 == p7 && p1.nonEmpty)
   }
 
+  private def labelsAlt(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
+    ConnectedComponents.runAlternating(edges.toDF("a", "b").repartition(parts), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating star variant equals diameter-bounded propagation on random graphs") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(labelsAlt(edges) == labels(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("alternating star variant handles a deep chain in far fewer than diameter rounds") {
+    // 200-node path (diameter 199): run() would need ~200 rounds; the
+    // star variant must finish within its default 64 — convergence
+    // inside maxIter IS the log-depth claim, since non-convergence throws.
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = labelsAlt(edges)
+    assert(got.values.toSet == Set(0L) && got.size == 200)
+  }
+
   test("every label is the true minimum of its component (vs driver-side union-find)") {
     val rng = new scala.util.Random(5)
     val edges = Seq.fill(80)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
