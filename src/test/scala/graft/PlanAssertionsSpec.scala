@@ -93,18 +93,20 @@ class PlanAssertionsSpec extends SparkSpec {
       s"q50 join keys must include the salt, got: $joinLine")
   }
 
+  /** All nodes of a physical plan, descending into AQE stages. */
+  private def planNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(planNodes)
+  }
+
   /** Every node of the EXECUTED plan, descending into AQE stages. */
   private def collectPlanNodes(df: DataFrame): Seq[SparkPlan] = {
     df.write.format("noop").mode("overwrite").save()
-    def go(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case q: QueryStageExec => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => p.children
-      }
-      p +: kids.flatMap(go)
-    }
-    go(df.queryExecution.executedPlan)
+    planNodes(df.queryExecution.executedPlan)
   }
 
   private def hashShuffleCount(nodes: Seq[SparkPlan]): Int = nodes.count {
@@ -176,6 +178,43 @@ class PlanAssertionsSpec extends SparkSpec {
       val n = joined.collect().map(_.getLong(1)).sum
       val expected = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
       assert(n == expected, s"bloom-filtered join changed the result: $n vs $expected")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The other half of the skew story next to Skew.saltedJoin (q50):
+    // when one key dominates a shuffle join, AQE detects the oversized
+    // partition after the map stage and splits it across tasks
+    // (isSkewJoin on the SMJ). Thresholds are TB-tuned; pin them down so
+    // the fixture-sized hot key qualifies.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val restore = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      import org.apache.spark.sql.functions._
+      // one hot key (50k rows) over a uniform tail; dim side uniform
+      val left = spark.range(50000).select(lit(0L).as("k"), col("id").as("payload"))
+        .union(spark.range(5000).select((col("id") % 100).as("k"), col("id").as("payload")))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // skew marking happens as AQE re-plans DURING execution, so drive
+      // THIS Dataset's own queryExecution (a write would build a fresh,
+      // unexecuted one) and inspect the finalized adaptive plan.
+      assert(joined.collect().length == 55000) // every left row matches its one dim row
+      val nodes = planNodes(joined.queryExecution.executedPlan)
+      val smjs = nodes.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join, got: ${nodes.map(_.nodeName).distinct}")
+      assert(smjs.exists(_.isSkewJoin), "AQE did not mark the skewed partition for splitting")
     } finally restore.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
