@@ -124,6 +124,24 @@ c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
 sz AS (SELECT cluster, count(*) AS n_members FROM c GROUP BY cluster)
 SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster) ORDER BY c.doc_id"""
 
+  /** q46's clustering through the LOG-DEPTH connected-components variant
+    * (large-star/small-star, ConnectedComponents.runAlternating) — same
+    * output contract, same oracle, different round complexity: O(log² n)
+    * rounds instead of graph-diameter, the variant a 100 TB pipeline
+    * picks when cluster chains can run deep (e.g. transitive MinHash
+    * matches across a crawl).
+    */
+  def q55_dup_clusters_star(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
+    val cc = graft.operators.ConnectedComponents.runAlternating(pairs, "doc_id_a", "doc_id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String = q46Sql
+
   /** Benchmark-decontamination shape: cross-SOURCE 8-token-shingle
     * overlap — the standard check that training documents don't contain
     * eval/benchmark text (here: any other source's text). Candidates

@@ -47,6 +47,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frames(m, frameBytes = 16).count() == 0)
   }
 
+  test("binaryFile source ingests raw blobs into the multimodal shape") {
+    // Real media arrives as FILES; Spark's binaryFile source reads each
+    // as one row (path, modificationTime, length, content) with the
+    // pathGlobFilter pushed to the file listing — the ingestion edge of
+    // the multimodal pipeline, no custom reader needed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-blobs")
+    val payloads = Map("a.bin" -> "alpha-payload", "b.bin" -> "bee", "skip.txt" -> "not-media")
+    payloads.foreach { case (n, c) =>
+      java.nio.file.Files.write(dir.resolve(n), c.getBytes("UTF-8"))
+    }
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir.toString)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("path"), "([^/]+)$", 1).as("media_id"),
+        org.apache.spark.sql.functions.col("content").as("media"),
+        org.apache.spark.sql.functions.col("length"))
+    val rows = blobs.collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("a.bin", "b.bin"), "glob filter must exclude non-media files")
+    assert(new String(rows("a.bin")._1, "UTF-8") == "alpha-payload")
+    assert(rows("b.bin")._2 == 3L, "length column must match the payload size")
+  }
+
   test("checksum matches a driver-side recompute") {
     val row = Multimodal.extractFeatures(Multimodal.attachBinary(docs.limit(1))).head()
     val text = docs.limit(1).select("text").as[String].head()
