@@ -510,4 +510,77 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
+
+  /** Explicit GROUPING SETS — the general grouping-lattice form that
+    * rollup (q32) and cube (q49) are sugar for: here only the two
+    * single-column marginals, NOT their combination, so one pass
+    * computes what would otherwise be two separate groupBys unioned.
+    * q32/q49's 'ALL' coalescing keeps the sort free of SQL NULLs.
+    */
+  def q56_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority", "status")
+
+  val q56Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority, coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY priority, status"""
+
+  /** Collection aggregation: the sorted distinct event-type array per
+    * user. collect_set + array_sort keeps the shuffle carrying at most
+    * |event_types| strings per user (partial sets merge map-side), and
+    * the sort makes the array value deterministic for the hash gate —
+    * the profile-building shape (user → feature list) of an activity
+    * store.
+    */
+  def q57_user_event_types(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("user_id")
+
+  val q57Sql: String =
+    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Window-function surface sweep: positional (lag/lead), distribution
+    * (ntile, percent_rank) and frame-anchored (first) functions over one
+    * totally-ordered per-user window — all six share a single shuffle +
+    * sort. (user_id, ts) is unique in this table, and event_id breaks
+    * any hypothetical tie, so every function is deterministic.
+    */
+  def q58_window_zoo(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        first("ts_sec").over(w).as("first_ts"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("event_id")
+  }
+
+  val q58Sql: String =
+    """SELECT event_id, user_id,
+       first_value(ts_sec) OVER w AS first_ts,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pr
+FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+ORDER BY event_id"""
 }
