@@ -511,6 +511,42 @@ FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, valu
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+  /** Multiset set-ops (q13 covers the DISTINCT forms): INTERSECT ALL
+    * keeps min(countA, countB) copies per value, EXCEPT ALL keeps
+    * max(countA − countB, 0) — both implemented by Spark as a keyed
+    * count-compare aggregation, never a row-pairing join, so the shuffle
+    * carries one (value, count) per distinct key per side. Counted per
+    * type here so the multiset cardinalities are the observable.
+    */
+  def q59_setops_all(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(2)).as("par"), col("event_type"))
+    val a = ev.filter(col("par") === 0).select("event_type")
+    val b = ev.filter(col("par") === 1).select("event_type")
+    val ia = a.intersectAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n_intersect_all"))
+    val ea = a.exceptAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n_except_all"))
+    ia.join(ea, Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy("event_type")
+  }
+
+  val q59Sql: String =
+    """WITH a AS (SELECT event_type FROM events WHERE (user_id % 2 + 2) % 2 = 0),
+b AS (SELECT event_type FROM events WHERE (user_id % 2 + 2) % 2 = 1),
+ia AS (SELECT event_type, count(*) AS n_intersect_all
+       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY event_type),
+ea AS (SELECT event_type, count(*) AS n_except_all
+       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY event_type)
+SELECT coalesce(ia.event_type, ea.event_type) AS event_type,
+       coalesce(n_intersect_all, 0) AS n_intersect_all,
+       coalesce(n_except_all, 0) AS n_except_all
+FROM ia FULL JOIN ea ON ia.event_type = ea.event_type
+ORDER BY event_type"""
+
   /** Explicit GROUPING SETS — the general grouping-lattice form that
     * rollup (q32) and cube (q49) are sugar for: here only the two
     * single-column marginals, NOT their combination, so one pass
