@@ -511,6 +511,55 @@ FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, valu
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+  /** Exact decimal money math: prices recast to DECIMAL(12,2) and summed
+    * without any floating-point involvement — the accounting-correct
+    * aggregation (bit-exact, associative, order-independent), so the
+    * oracle comparison is string equality on decimals, not a 6-digit
+    * float tolerance. The double→decimal cast rounds to the nearest
+    * cent identically on both engines (binary doubles never land exactly
+    * on a half-cent tie).
+    */
+  def q60_decimal_money(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+        col("l_quantity").cast("decimal(12,2)").as("qty_dec"))
+      .groupBy("l_returnflag")
+      .agg(sum("price_dec").as("sum_price_dec"),
+        sum("qty_dec").as("sum_qty_dec"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val q60Sql: String =
+    """SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_dec,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec, count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of silently dropping — still a hash-partitioned
+    * equi-join (NULL hashes like any value under null-safe equality),
+    * not a nested loop. The NULL group is materialized via nullif, and
+    * the sort pins NULLS FIRST explicitly because Spark and DuckDB
+    * default opposite null orders.
+    */
+  def q61_null_safe_join(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(nullif(col("event_type"), lit("error")).as("et"))
+    val counts = e.groupBy("et").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("et", "et_r")
+    e.join(counts, col("et") <=> col("et_r"))
+      .groupBy("et_r")
+      .agg(first("n").as("n"), count(lit(1)).as("n_joined"))
+      .select(col("et_r").as("et"), col("n"), col("n_joined"))
+      .orderBy(asc_nulls_first("et"))
+  }
+
+  val q61Sql: String =
+    """WITH e AS (SELECT nullif(event_type, 'error') AS et FROM events),
+c AS (SELECT et, count(*) AS n FROM e GROUP BY et)
+SELECT c.et AS et, c.n AS n, count(*) AS n_joined
+FROM e JOIN c ON e.et IS NOT DISTINCT FROM c.et
+GROUP BY c.et, c.n ORDER BY et NULLS FIRST"""
+
   /** Multiset set-ops (q13 covers the DISTINCT forms): INTERSECT ALL
     * keeps min(countA, countB) copies per value, EXCEPT ALL keeps
     * max(countA − countB, 0) — both implemented by Spark as a keyed
