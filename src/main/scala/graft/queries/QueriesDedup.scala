@@ -182,6 +182,78 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM kept a JOIN kept b ON a.s = b.s AND a.source < b.source
 GROUP BY 1, 2, 3, 4 ORDER BY doc_id_a, doc_id_b"""
 
+  /** Fuzzy key matching (record linkage), SymSpell-style: every unordered
+    * pair of distinct customer names at Levenshtein distance ≤ 1 — the
+    * near-key detection an entity-resolution pass runs before merging
+    * records. Candidates come from the deletion neighborhood: each name
+    * keys on itself plus its |w| single-character deletions, and any
+    * distance-1 pair provably shares a key (substitution: both delete
+    * the edited position; insert/delete: the longer name's deletion hits
+    * the shorter name itself) — so pairing is an equi-join on the
+    * variant, O(names × name_len) keys, never a name cross join. The
+    * join can surface distance-2 collisions ("ab"/"ba" share deletion
+    * "a"), so exact levenshtein verifies membership — the same
+    * candidates-then-exact shape as MinHash (q16). The oracle
+    * brute-forces the (sf0.01-sized) name set; at 100 TB only the
+    * blocked join survives, and the blocking key count is the tunable
+    * (depth-d deletions catch distance ≤ d).
+    */
+  def q64_typo_pairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "customer")
+      .select(col("c_name").as("word"))
+      .distinct()
+    val keyed = words.select(col("word"), explode(expr(
+      """array_union(
+           transform(sequence(1, length(word)),
+                     i -> concat(substring(word, 1, i - 1), substring(word, i + 1, 1000000))),
+           array(word))""")).as("k"))
+    keyed.as("a").join(keyed.as("b"), "k")
+      .filter(col("a.word") < col("b.word"))
+      .select(col("a.word").as("w1"), col("b.word").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .select(col("w1"), col("w2"), levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+      .orderBy("w1", "w2")
+  }
+
+  val q64Sql: String =
+    raw"""WITH v AS (SELECT DISTINCT c_name AS word FROM customer)
+SELECT a.word AS w1, b.word AS w2, CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1
+ORDER BY w1, w2"""
+
+  /** Per-document triangle participation in the near-duplicate graph
+    * (q19's trigram-Jaccard ≥ 0.1 edges) — the local clustering signal
+    * that separates dense duplicate cliques from incidental chains.
+    * Edges are already oriented (a < b), so each triangle x<y<z is
+    * enumerated exactly once by two keyed self-joins ((x,y)⋈(y,z) on y,
+    * then closing (x,z)) — the standard compact-forward join, never an
+    * open two-path explosion against unordered edges. All joins are
+    * equi-joins on node ids; at scale the orientation would be by degree
+    * (low→high) to bound the join fan-out by arboricity.
+    */
+  def q65_triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val exy = e.select(col("a").as("x"), col("b").as("y"))
+    val eyz = e.select(col("a").as("y"), col("b").as("z"))
+    val exz = e.select(col("a").as("x"), col("b").as("z"))
+    exy.join(eyz, Seq("y")).join(exz, Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    raw"""WITH pairs AS (${jaccardOracle(3, "0.1")}),
+e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id ORDER BY doc_id"""
+
   /** Rolling-hash document fingerprint over the normalized token stream. */
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

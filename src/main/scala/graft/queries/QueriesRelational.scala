@@ -668,4 +668,134 @@ FROM events GROUP BY user_id ORDER BY user_id"""
 FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
 ORDER BY event_id"""
+
+  /** UNPIVOT (wide→long melt): the four lineitem measures become
+    * (measure, val) rows — the relational dual of q48's PIVOT. Spark's
+    * unpivot is a zero-shuffle Expand node (each input row emits one row
+    * per measure in place), so the only shuffle is the final keyed
+    * aggregation; at 100 TB the melt itself costs no data movement.
+    */
+  def q62_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(sum("val").as("total"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "measure")
+
+  val q62Sql: String =
+    """WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+SELECT l_returnflag, measure, sum(val) AS total, count(*) AS n
+FROM long GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure"""
+
+  /** Time-series gap filling: the dense (hour × event_type) grid over the
+    * table's observed hour range, zero-filled where no events landed —
+    * the shape every downstream forecasting/rate job needs. The calendar
+    * is generated (sequence + explode from one min/max row), never
+    * materialized as input, and both generated sides are broadcast-sized
+    * (hours × types, independent of row count), so the only per-row work
+    * is the keyed count — gap filling stays O(events) at any scale.
+    */
+  def q63_gapfill_hours(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(floor(col("ts").cast("timestamp").cast("long").cast("double") / 3600)
+        .cast("long").as("hour"), col("event_type"))
+    val bounds = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+    val hours = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  val q63Sql: String =
+    """WITH ev AS (SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour, event_type FROM events),
+b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+hours AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+types AS (SELECT DISTINCT event_type FROM ev),
+c AS (SELECT hour, event_type, count(*) AS n FROM ev GROUP BY hour, event_type)
+SELECT h.hour AS hour, t.event_type AS event_type, coalesce(c.n, 0) AS n
+FROM hours h CROSS JOIN types t
+LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type
+ORDER BY h.hour, t.event_type"""
+
+  /** Per-user daily-volume anomalies: z-score of each (user, day) event
+    * count against that user's own distribution. Variance comes from the
+    * integer moments (Σn, Σn²) — counts are exact integers, so both
+    * engines evaluate the identical double formula bit-for-bit (no
+    * Welford-order drift). One groupBy for the day counts, one for the
+    * per-user moments, one broadcast-able join back — three narrow
+    * passes, no window over unbounded partitions.
+    */
+  def q67_daily_zscore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast("timestamp").cast("long").cast("double") / 86400)
+          .cast("long").as("day"))
+    val counts = d.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("s"), sum(col("n") * col("n")).as("sq"))
+      .filter(col("n_days") >= 3)
+    val mean = col("s").cast("double") / col("n_days")
+    val variance = (col("sq").cast("double") - col("s").cast("double") * col("s") / col("n_days")) /
+      (col("n_days") - 1)
+    counts.join(stats, Seq("user_id"))
+      .filter(variance > 0)
+      .select(col("user_id"), col("day"), col("n"),
+        round((col("n") - mean) / sqrt(variance), 6).as("z"),
+        (abs(col("n") - mean) / sqrt(variance) >= 2.0).as("is_anomaly"))
+      .orderBy("user_id", "day")
+  }
+
+  val q67Sql: String =
+    """WITH counts AS (
+  SELECT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day, count(*) AS n
+  FROM events GROUP BY user_id, day),
+stats AS (
+  SELECT user_id, count(*) AS n_days, sum(n) AS s, sum(n * n) AS sq
+  FROM counts GROUP BY user_id HAVING count(*) >= 3)
+SELECT c.user_id, c.day, c.n,
+       round((c.n - CAST(s AS DOUBLE) / n_days)
+             / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)), 6) AS z,
+       abs(c.n - CAST(s AS DOUBLE) / n_days)
+         / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)) >= 2.0 AS is_anomaly
+FROM counts c JOIN stats st ON c.user_id = st.user_id
+WHERE (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1) > 0
+ORDER BY c.user_id, c.day"""
+
+  /** Equi-width histogram of order totals: 20 buckets over the observed
+    * [min, max], per-bucket count and exact min/max — the data-profiling
+    * pass every ingest pipeline runs. The one-row bounds frame is
+    * broadcast; bucketing is a per-row projection with the identical
+    * double expression on both engines (min/max/floor are exact, no
+    * accumulation), so bucket edges agree bit-for-bit.
+    */
+  def q68_price_histogram(s: SparkSession, dir: String): DataFrame = {
+    val bounds = t(s, dir, "orders").agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val width = (col("hi") - col("lo")) / 20
+    t(s, dir, "orders").select("o_totalprice")
+      .crossJoin(broadcast(bounds))
+      .select(least(floor((col("o_totalprice") - col("lo")) / width), lit(19.0))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo_price"), max("o_totalprice").as("hi_price"))
+      .orderBy("bucket")
+
+  }
+
+  val q68Sql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19.0) AS BIGINT) AS bucket,
+       count(*) AS n, min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+FROM orders, b GROUP BY bucket ORDER BY bucket"""
 }

@@ -295,4 +295,36 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
 SELECT label, CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
        avg(CAST(v AS DOUBLE)) AS centroid
 FROM x GROUP BY label, i ORDER BY label, dim"""
+
+  /** Array higher-order-function sweep over the embedding column:
+    * filter+size, aggregate (left fold), array_max, exists, forall — the
+    * lambda surface a feature-engineering pipeline leans on. Everything
+    * is a narrow per-row projection (zero shuffles before the final
+    * sort), and every fold runs left-to-right over doubles in BOTH
+    * engines, so the values agree bit-for-bit before the 6-decimal
+    * rounding. Elements widen float→double once, up front, exactly.
+    */
+  def q66_vector_stats(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    emb(s, dir)
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        size(filter(col("v"), x => x > 0)).cast("long").as("n_pos"),
+        round(aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1"),
+        round(array_max(col("v")), 6).as("vmax"),
+        exists(col("v"), x => x > lit(2.0)).as("has_gt2"),
+        forall(col("v"), x => abs(x) < lit(4.0)).as("bounded4"))
+      .orderBy("vec_id")
+  }
+
+  val q66Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+                         (a, b) -> a + b), 6) AS l1,
+       round(list_max(v), 6) AS vmax,
+       len(list_filter(v, x -> x > 2.0)) > 0 AS has_gt2,
+       len(list_filter(v, x -> abs(x) >= 4.0)) = 0 AS bounded4
+FROM e ORDER BY vec_id"""
 }
