@@ -221,6 +221,36 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q64: fuzzy-match candidates come from the deletion-key equi-join, never a name cross join") {
+    val plan = executedPlanString(graft.queries.QueriesDedup.q64_typo_pairs(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q64 must not cross-join the name set")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q64 must not nested-loop over all name pairs")
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin [") || l.contains("ShuffledHashJoin [") || l.contains("BroadcastHashJoin ["))
+    assert(joinLine.exists(_.contains("k#")),
+      s"q64 join key must be the deletion variant, got: $joinLine")
+  }
+
+  test("q65: triangle enumeration is keyed self-joins on node ids, no unkeyed pair scan") {
+    val plan = executedPlanString(graft.queries.QueriesDedup.q65_triangles(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q65 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q65 must not nested-loop over edge pairs")
+  }
+
+  test("q63: the per-event work is one keyed aggregation; only the bounded grid cross-joins") {
+    // hours × types is an intentional cartesian of two GENERATED
+    // broadcast-sized frames (its size is range × cardinality, independent
+    // of the event count); the events themselves must only ever meet a
+    // groupBy and an equi-join on (hour, event_type).
+    val df = graft.queries.QueriesRelational.q63_gapfill_hours(spark, sf("sf0.001"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val equiOnGridKeys = joins.filter(_.condition.exists(c =>
+      c.toString.contains("hour") && c.toString.contains("event_type")))
+    assert(equiOnGridKeys.nonEmpty, "expected the grid↔counts equi-join on (hour, event_type)")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
