@@ -798,4 +798,100 @@ ORDER BY c.user_id, c.day"""
 SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19.0) AS BIGINT) AS bucket,
        count(*) AS n, min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
 FROM orders, b GROUP BY bucket ORDER BY bucket"""
+
+  /** Calendar-function sweep: month truncation, year/quarter extraction,
+    * day-of-month and weekday classification in one monthly revenue
+    * rollup. Weekday parity trap: Spark's weekday() is Monday=0 while
+    * DuckDB's dayofweek() is Sunday=0 — the oracle uses isodow()-1 to
+    * match. All date parts are exact integers; only the revenue sum is
+    * floating point. One partial-aggregated groupBy on the month — the
+    * standard reporting rollup at any scale.
+    */
+  def q69_date_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekday(col("o_orderdate")).as("wd"),
+        col("o_totalprice"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_totalprice").as("revenue"),
+        round(avg(col("dom")), 6).as("avg_day_of_month"),
+        sum(when(col("wd") >= 5, 1L).otherwise(0L)).as("n_weekend"))
+      .select(col("month"),
+        year(col("month")).cast("long").as("yr"),
+        quarter(col("month")).cast("long").as("qtr"),
+        col("n_orders"), col("revenue"), col("avg_day_of_month"), col("n_weekend"))
+      .orderBy("month")
+
+  val q69Sql: String =
+    """WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       day(o_orderdate) AS dom, isodow(o_orderdate) - 1 AS wd, o_totalprice FROM orders)
+SELECT month, CAST(year(month) AS BIGINT) AS yr, CAST(quarter(month) AS BIGINT) AS qtr,
+       count(*) AS n_orders, sum(o_totalprice) AS revenue,
+       round(avg(dom), 6) AS avg_day_of_month,
+       CAST(sum(CASE WHEN wd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+FROM o GROUP BY month ORDER BY month"""
+
+  /** Schema-full JSON parsing: from_json materializes the props struct
+    * (q30's get_json_object is the schema-less path-extraction twin),
+    * then the typed field feeds a decile histogram. Parsing is a narrow
+    * per-row projection; a malformed document yields a NULL struct
+    * (PERMISSIVE), never a task failure — the ingest-safety contract.
+    */
+  def q70_json_struct(s: SparkSession, dir: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    Tables.events(s, dir)
+      .select(col("event_type"), from_json(col("props"), schema).as("p"))
+      .select(col("event_type"), floor(col("p.k").cast("double") / 10).cast("long").as("k_decile"))
+      .groupBy("event_type", "k_decile")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "k_decile")
+  }
+
+  val q70Sql: String =
+    """SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_decile,
+       count(*) AS n
+FROM events GROUP BY event_type, k_decile ORDER BY event_type, k_decile"""
+
+  /** Per-group Pearson correlation (quantity vs discounted price)
+    * assembled from the five moment sums instead of a black-box corr()
+    * — both engines evaluate the identical closed formula over the same
+    * partial-aggregated sums, so there is no accumulator-algorithm
+    * (Welford vs textbook) divergence to leak past the rounding. The
+    * moment sums are the associative map-side-combinable shape that
+    * scales; corr() itself is spec-checked against this formulation.
+    */
+  def q71_price_correlation(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val moments = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = col("sxy") - col("sx") * col("sy") / n
+    val vx = col("sxx") - col("sx") * col("sx") / n
+    val vy = col("syy") - col("sy") * col("sy") / n
+    moments
+      .select(col("l_returnflag"), col("n"),
+        round(cov / sqrt(vx * vy), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q71Sql: String =
+    """WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice * (1 - l_discount)) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * (1 - l_discount) * l_extendedprice * (1 - l_discount)) AS syy,
+         sum(l_quantity * l_extendedprice * (1 - l_discount)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+FROM m ORDER BY l_returnflag"""
 }
