@@ -78,6 +78,34 @@ object StreamingJobs {
   def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Native session windows: per-user sessions with a 30-minute
+    * inactivity gap via session_window() — the declarative twin of the
+    * flatMapGroupsWithState machine in [[sessionize]], and the form to
+    * prefer at scale (Spark merges windows inside the state store; state
+    * per key is O(open sessions), and the watermark closes and evicts
+    * sessions exactly once). The same expression runs in batch mode, so
+    * the spec can diff the two engines row-for-row.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension. The static side is broadcast to every task — no
+    * stream-side shuffle, no join state at all (unlike stream-stream
+    * joins), re-planned per microbatch so a refreshed dim table is
+    * picked up — the standard shape for attaching account/segment
+    * attributes at ingest.
+    */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -23,4 +23,21 @@ class QueriesSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q71's moment-sum correlation matches Spark's corr() aggregate") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables(spark, sf("sf0.01"), "lineitem")
+    val builtin = li
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("y"))
+      .groupBy("l_returnflag").agg(corr("x", "y").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fromMoments = Queries.all("q71_price_correlation")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(builtin.keySet == fromMoments.keySet)
+    builtin.foreach { case (k, c) =>
+      assert(math.abs(c - fromMoments(k)) < 1e-6,
+        s"corr() and the moment formula disagree for $k: $c vs ${fromMoments(k)}")
+    }
+  }
 }

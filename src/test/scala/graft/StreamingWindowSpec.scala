@@ -18,6 +18,57 @@ class StreamingWindowSpec extends SparkSpec {
     assert(slid == 2 * total, s"each event must land in exactly 2 sliding windows: $slid vs ${2 * total}")
   }
 
+  test("native session_window streaming equals its batch twin and q29's session counts") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StreamingJobs.sessionWindowStats(StreamingJobs.readEvents(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("sesswin").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sesswin")
+      .select(col("session_start").cast("string"), col("session_end").cast("string"),
+        col("user_id"), col("n_events"))
+      .as[(String, String, Long, Long)].collect().toSet
+
+    // batch twin: the same session_window expression over the batch frame
+    val batch = graft.core.Tables.events(spark, sf("sf0.001"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("string"), col("session_window.end").cast("string"),
+        col("user_id"), col("n_events"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "streaming emitted no sessions")
+    assert(got.subsetOf(batch), s"streaming sessions not in batch twin: ${(got -- batch).take(3)}")
+    // the single-batch run only withholds sessions past the watermark tail
+    assert(batch.size - got.size <= 5, s"only the tail may be withheld: ${got.size} of ${batch.size}")
+
+    // and the session COUNT per user agrees with the q29 gap formulation
+    val fromWindows = batch.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val q29 = graft.queries.QueriesRelational.q29_user_sessions(spark, sf("sf0.001"))
+      .select(col("user_id"), col("n_sessions")).as[(Long, Long)].collect().toMap
+    assert(fromWindows == q29, "session_window and the q29 lag-gap formulation disagree")
+  }
+
+  test("stream-static dimension join needs no state and matches the batch join") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      d.resolve("events.parquet"))
+    val dim = graft.core.Tables(spark, sf("sf0.001"), "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = StreamingJobs.enrichWithDimension(StreamingJobs.readEvents(spark, d.toString), dim)
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .as[(Long, Long, String, Double)].collect().toSet
+    val batch = graft.core.Tables.events(spark, sf("sf0.001"))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got == batch, "stream-static enrichment diverged from the batch join")
+  }
+
   test("watermark drops events later than the threshold in streaming mode") {
     // Two batches through a memory-source-like file stream are overkill
     // here; assert the semantics on the watermark column metadata instead:
