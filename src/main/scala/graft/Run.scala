@@ -26,6 +26,11 @@ object Run {
         println(f"[time] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         spark.catalog.clearCache()
       } finally spark.stop()
+    case "explain" :: q :: dir :: Nil if Queries.all.contains(q) =>
+      // Formatted physical plan — the plan-audit loop (pushdown, join
+      // strategies, codegen spans) without running the query.
+      val spark = Sessions.local(s"graft-explain-$q")
+      try Queries.all(q)(spark, dir).explain("formatted") finally spark.stop()
     case q :: dir :: rest if Queries.all.contains(q) =>
       val spark = Sessions.local(s"graft-$q")
       try {

@@ -199,9 +199,17 @@ GROUP BY 1, 2, 3, 4 ORDER BY doc_id_a, doc_id_b"""
     * (depth-d deletions catch distance ≤ d).
     */
   def q64_typo_pairs(s: SparkSession, dir: String): DataFrame = {
+    // Round-robin respread after the tiny distinct: AQE coalesces the
+    // 15k-row exchange to one partition (it optimizes for shuffle BYTES,
+    // blind to downstream per-row cost), which would run the ×|w|
+    // deletion explode, the candidate join AND the levenshtein verify on
+    // a single task (measured 5× slower end-to-end at sf0.1). Must be
+    // round-robin: a repartition on the distinct key is elided as
+    // redundant with the distinct's own exchange and re-coalesced.
     val words = Tables(s, dir, "customer")
       .select(col("c_name").as("word"))
       .distinct()
+      .repartition(s.sparkContext.defaultParallelism)
     val keyed = words.select(col("word"), explode(expr(
       """array_union(
            transform(sequence(1, length(word)),
@@ -253,6 +261,43 @@ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
 n AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
 SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Asymmetric near-dup: shingle CONTAINMENT |A∩B| / |A| — the measure
+    * that catches a document embedded inside a larger one, where
+    * symmetric Jaccard stays low (the quote-a-whole-article case Jaccard
+    * dedup misses). Same inverted-index candidate join as q19 (any pair
+    * with overlap shares a shingle), emitted per ordered direction; the
+    * ratio is exact-integer arithmetic.
+    */
+  def q72_containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("sh"), col("doc_id").as("doc_id_a"))
+    val b = sh.select(col("sh"), col("doc_id").as("doc_id_b"))
+    val common = a.join(b, Seq("sh"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a"), Seq("doc_id_a"))
+      .filter(col("c").cast("double") / col("n") >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("c").cast("double") / col("n"), 6).as("containment"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val q72Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_id_a
+WHERE CAST(c AS DOUBLE) / sa.n >= 0.5
+ORDER BY doc_id_a, doc_id_b"""
 
   /** Rolling-hash document fingerprint over the normalized token stream. */
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -209,6 +209,49 @@ FROM documents ORDER BY doc_id"""
           / size(col("tri")).cast("double")).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 keywords per document — the classic keyword-extraction
+    * / relevance-weighting pass. Term frequencies and document
+    * frequencies are exact integers from two keyed aggregations (both
+    * partial-aggregated, shuffle keys are words/ids, never text); the
+    * only float is ln(N/df), computed from the same exact integers on
+    * both engines and rounded before the rank tie-break on the word.
+    * The per-document top-3 is a bounded window — at scale the same
+    * shape TopKAgg covers for kNN.
+    */
+  def q73_tfidf_keywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).count() // one scalar; the plan stays distributed
+    val scored = tf.join(df, Seq("word"))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).withColumn("rank", col("rank").cast("long"))
+      .filter(col("score") > 0)
+      .orderBy("doc_id", "rank")
+  }
+
+  val q73Sql: String =
+    raw"""WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest($ToksSql) AS word FROM documents) GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n),
+r AS (SELECT doc_id, word, tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+      FROM scored)
+SELECT doc_id, word, tf, score, rank FROM r
+WHERE rank <= 3 AND score > 0 ORDER BY doc_id, rank"""
+
   val q52Sql: String =
     raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
 tri AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
