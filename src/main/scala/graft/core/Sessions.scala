@@ -21,7 +21,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_UI=1 exposes the UI/REST API for stage-level
+      // diagnosis (task counts per stage, shuffle volumes) — off by
+      // default so bench runs carry no server overhead.
+      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "0") == "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

