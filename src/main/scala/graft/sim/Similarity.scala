@@ -235,11 +235,13 @@ object Similarity {
     val planes = hyperplanes(numBands * planesPerBand, dim)
     val e = embeddings.select(
       col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"))
-    // (vec_id, band, sig) — one row per band per vector.
-    val bandSigs: Seq[Column] = (0 until numBands).map { bnd =>
-      bucketId(col("embedding"), planes.slice(bnd * planesPerBand, (bnd + 1) * planesPerBand))
-    }
-    val banded = e.select(col("vec_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    // (vec_id, band, sig) — one row per band per vector, all signatures
+    // from ONE native single-pass expression (bit-exact twin of the
+    // bucketId column formulation, which at 192 planes degrades codegen
+    // and cost ~13 ms/row interpreted — see SrpBandSigs).
+    val banded = e.select(col("vec_id"),
+      posexplode(org.apache.spark.sql.graft.SrpBandSigs.sigs(col("embedding"), planes, planesPerBand))
+        .as(Seq("band", "sig")))
     val ca = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_a"))
     val cb = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_b"))
     val candidates = ca.join(cb, Seq("band", "sig"))

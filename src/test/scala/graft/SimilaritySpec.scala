@@ -132,4 +132,27 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.size >= 10, s"expected the 10 planted pairs, brute found ${brute.size}")
     assert(key(Similarity.srpNearDupPairs(df, 0.95)) == brute)
   }
+
+  test("SrpBandSigs == the bucketId column formulation, incl. degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    val planes = Similarity.hyperplanes(24 * 8, 64)
+    val rng = new scala.util.Random(11)
+    val good = (0L until 50L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat).map(Option(_))))
+    val degenerate = Seq(
+      (900L, null.asInstanceOf[Seq[Option[Float]]]),          // NULL array
+      (901L, Seq.fill(64)(Option(0.5f)).updated(3, None)),    // NULL element
+      (902L, Seq.fill(10)(Option(1.0f))))                     // ragged (dim mismatch)
+    val df = (good ++ degenerate).toDF("vec_id", "embedding")
+    val twin: Seq[org.apache.spark.sql.Column] = (0 until 24).map { b =>
+      Similarity.bucketId(col("embedding"), planes.slice(b * 8, (b + 1) * 8))
+    }
+    val rows = df.select(col("vec_id"),
+      org.apache.spark.sql.graft.SrpBandSigs.sigs(col("embedding"), planes, 8).as("fast"),
+      array(twin: _*).as("slow"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, fast, slow) =>
+      assert(fast == slow, s"vec $id: native sigs $fast != column-formulated $slow")
+    }
+    assert(rows.length == 53)
+  }
 }
