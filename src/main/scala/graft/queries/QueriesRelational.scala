@@ -894,4 +894,79 @@ FROM events GROUP BY event_type, k_decile ORDER BY event_type, k_decile"""
 SELECT l_returnflag, n,
        round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
 FROM m ORDER BY l_returnflag"""
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that — order-dependent (a click before the first
+    * view does not count), which is what separates a funnel from three
+    * independent counts. Three keyed aggregations chained by keyed
+    * joins on user_id; each stage's frame shrinks, so at scale the
+    * chain costs one shuffle per stage over ever-smaller keyed sets.
+    */
+  def q74_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("sec") > col("t_view"))
+      .groupBy("user_id").agg(min("sec").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("sec") > col("t_click"))
+      .groupBy("user_id").agg(min("sec").as("t_purchase"))
+    v.select(lit(1L).as("stage"), lit("view").as("stage_name"), col("user_id"))
+      .union(c.select(lit(2L), lit("click_after_view"), col("user_id")))
+      .union(p.select(lit(3L), lit("purchase_after_click"), col("user_id")))
+      .groupBy("stage", "stage_name")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("stage")
+  }
+
+  val q74Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+v AS (SELECT user_id, min(sec) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, min(sec) AS t_click FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE event_type = 'click' AND sec > t_view GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, min(sec) AS t_purchase FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE event_type = 'purchase' AND sec > t_click GROUP BY ev.user_id),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, user_id FROM v
+  UNION ALL SELECT 2, 'click_after_view', user_id FROM c
+  UNION ALL SELECT 3, 'purchase_after_click', user_id FROM p)
+SELECT stage, stage_name, count(DISTINCT user_id) AS n_users
+FROM stages GROUP BY stage, stage_name ORDER BY stage"""
+
+  /** Weekly retention cohorts: users bucketed by first-activity week,
+    * counted per (cohort, weeks-since-cohort) — the classic retention
+    * triangle. Two keyed aggregations (first week per user; distinct
+    * active weeks per user) and one join on user_id; the cohort grid is
+    * tiny regardless of event volume, and nothing ever pairs events
+    * with events.
+    */
+  def q75_retention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(floor(col("ts").cast("timestamp").cast("long").cast("double") / 86400) / 7)
+          .cast("long").as("week"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(first, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q75Sql: String =
+    """WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(floor(epoch(ts)) / 86400) / 7) AS BIGINT) AS week
+  FROM events),
+first AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset, count(DISTINCT w.user_id) AS n_active
+FROM weeks w JOIN first f ON w.user_id = f.user_id
+GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"""
 }
