@@ -969,4 +969,64 @@ first AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
 SELECT cohort_week, week - cohort_week AS week_offset, count(DISTINCT w.user_id) AS n_active
 FROM weeks w JOIN first f ON w.user_id = f.user_id
 GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"""
+
+  /** Within-session event-type transition counts (the Markov edge list
+    * behind "what do users do next?"): consecutive same-user events at
+    * most 30 minutes apart, keyed by (from, to) type. One shuffle on
+    * user_id for the lag window, then a low-cardinality keyed count —
+    * the transition matrix is |types|² regardless of event volume.
+    * (user_id, sec, event_id) is a total order, so `prev` is
+    * deterministic under same-second ties.
+    */
+  def q76_transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+      .select(col("event_type").as("to_type"),
+        lag("event_type", 1).over(w).as("from_type"),
+        (col("sec") - lag("sec", 1).over(w)).as("gap"))
+      .filter(col("from_type").isNotNull && col("gap") <= 1800)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+t AS (SELECT event_type AS to_type,
+             lag(event_type, 1) OVER w AS from_type,
+             sec - lag(sec, 1) OVER w AS gap
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+SELECT from_type, to_type, count(*) AS n
+FROM t WHERE from_type IS NOT NULL AND gap <= 1800
+GROUP BY from_type, to_type ORDER BY from_type, to_type"""
+
+  /** Per-user inter-event cadence: gap count, mean gap (exact-integer
+    * sum / count) and max gap in seconds. The lag window shares the
+    * (user_id, sec, event_id) shuffle+sort shape of q76; all outputs
+    * derive from integer seconds so the cross-engine hash is exact.
+    */
+  def q77_event_gaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+      .select(col("user_id"), (col("sec") - lag("sec", 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum("gap").cast("double") / count(lit(1)), 6).as("avg_gap_sec"),
+        max("gap").as("max_gap_sec"))
+      .orderBy("user_id")
+  }
+
+  val q77Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+g AS (SELECT user_id, sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e)
+SELECT user_id, count(*) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_sec,
+       max(gap) AS max_gap_sec
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id"""
 }
