@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Text
+
+/** Round-6 analytics layer: join/window/sampling shapes the earlier
+  * catalog does not yet cover — full-outer reconciliation, hopping
+  * windows, array-function surface, winsorized robust aggregation, a
+  * partitioned-layout write/read roundtrip (partition pruning), nearest-
+  * centroid classification, LOCF gap filling, and ratio-to-report
+  * windows. Every query keeps the catalog's scale rules: joins are keyed
+  * or broadcast, aggregations are partial+final, and nothing pairs fact
+  * rows with fact rows.
+  */
+object QueriesAnalytics {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def daySec(c: org.apache.spark.sql.Column) =
+    floor(c.cast("timestamp").cast("long").cast("double") / 86400).cast("long")
+
+  /** Daily order-vs-purchase reconciliation: FULL OUTER join of two
+    * independently keyed daily aggregates, zero-filled on both sides —
+    * the ledger-vs-telemetry diff report. Each side aggregates BEFORE
+    * the join, so the outer join sees one row per day per side (grid-
+    * sized), never event volume.
+    */
+  def q78_daily_recon(s: SparkSession, dir: String): DataFrame = {
+    val od = t(s, dir, "orders")
+      .select(daySec(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("order_total"))
+    val pd = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(daySec(col("ts")).as("day"), col("value"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"), sum("value").as("purchase_total"))
+    od.join(pd, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("order_total"), lit(0.0)), 2).as("order_total"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        round(coalesce(col("purchase_total"), lit(0.0)), 2).as("purchase_total"))
+      .orderBy("day")
+  }
+
+  val q78Sql: String =
+    """WITH od AS (
+  SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) AS day,
+         count(*) AS n_orders, sum(o_totalprice) AS order_total
+  FROM orders GROUP BY 1),
+pd AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS n_purchases, sum(value) AS purchase_total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT coalesce(od.day, pd.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       round(coalesce(order_total, 0.0), 2) AS order_total,
+       coalesce(n_purchases, 0) AS n_purchases,
+       round(coalesce(purchase_total, 0.0), 2) AS purchase_total
+FROM od FULL OUTER JOIN pd ON od.day = pd.day
+ORDER BY day"""
+
+  /** Hopping-window event rates: 1-hour windows sliding every 30
+    * minutes (each event lands in exactly 2 windows). Spark's `window()`
+    * generator expands in place (an Expand node, no data movement); the
+    * only shuffle is the keyed count on (window, type). The batch twin
+    * of the streaming sliding-window job in graft.streaming.
+    */
+  def q79_hopping_windows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  val q79Sql: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+w AS (SELECT (CAST(floor(sec / 1800) AS BIGINT) - k) * 1800 AS win_start, event_type
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) hops)
+SELECT win_start, event_type, count(*) AS n
+FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type"""
+
+  /** Array-function surface over the token arrays: distinct+sort,
+    * intersect/except against a literal vocabulary, slice and join —
+    * all narrow per-row projections that stay inside whole-stage
+    * codegen; there is no shuffle at all besides the final sort.
+    */
+  def q80_array_zoo(s: SparkSession, dir: String): DataFrame = {
+    val markers = array(Text.EnglishMarkers.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(Text.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_distinct"),
+        size(array_intersect(col("toks"), markers)).cast("long").as("n_markers"),
+        size(array_except(col("toks"), markers)).cast("long").as("n_content"),
+        array_join(slice(col("toks"), 1, 5), " ").as("first5"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String = {
+    val markers = Text.EnglishMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+    raw"""WITH t AS (SELECT doc_id, list_sort(list_distinct(${QueriesText.ToksSql})) AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_distinct,
+       len(list_filter(toks, x -> list_contains($markers, x))) AS n_markers,
+       len(list_filter(toks, x -> NOT list_contains($markers, x))) AS n_content,
+       array_to_string(toks[1:5], ' ') AS first5
+FROM t ORDER BY doc_id"""
+  }
+
+  /** Winsorized per-brand price stats: exact p05/p95 per brand, values
+    * clamped into that range, then re-aggregated — the robust-mean
+    * recipe that survives fat-tailed prices. Brands are low-cardinality,
+    * so the percentile table is broadcast back onto the scan; the fact
+    * table is read once per pass and never pairs with itself.
+    */
+  def q81_winsorized_price(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val pct = p.groupBy("p_brand").agg(
+      expr("percentile(p_retailprice, 0.05)").as("lo"),
+      expr("percentile(p_retailprice, 0.95)").as("hi"))
+    val clamped = least(greatest(col("p_retailprice"), col("lo")), col("hi"))
+    p.join(broadcast(pct), Seq("p_brand"))
+      .select(col("p_brand"), col("p_retailprice"), col("lo"), col("hi"),
+        clamped.as("w"),
+        (col("p_retailprice") < col("lo") || col("p_retailprice") > col("hi"))
+          .cast("long").as("clipped"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum("clipped").as("n_clipped"),
+        round(avg("p_retailprice"), 6).as("raw_avg"),
+        round(avg("w"), 6).as("wins_avg"),
+        round(min("lo"), 6).as("p05"),
+        round(max("hi"), 6).as("p95"))
+      .orderBy("p_brand")
+  }
+
+  val q81Sql: String =
+    """WITH pct AS (
+  SELECT p_brand, quantile_cont(p_retailprice, 0.05) AS lo, quantile_cont(p_retailprice, 0.95) AS hi
+  FROM part GROUP BY p_brand)
+SELECT p.p_brand, count(*) AS n,
+       CAST(sum(CASE WHEN p_retailprice < lo OR p_retailprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(avg(p_retailprice), 6) AS raw_avg,
+       round(avg(least(greatest(p_retailprice, lo), hi)), 6) AS wins_avg,
+       round(min(lo), 6) AS p05, round(max(hi), 6) AS p95
+FROM part p JOIN pct ON p.p_brand = pct.p_brand
+GROUP BY p.p_brand ORDER BY p.p_brand"""
+
+  /** Partitioned-layout roundtrip: write the documents table as
+    * lang-partitioned parquet (the layout a 100 TB corpus actually
+    * lives in), read it back with a partition-key predicate, and
+    * aggregate the survivors. The read plans a PartitionFilters entry —
+    * non-matching lang directories are never opened (asserted in
+    * PlanAssertionsSpec) — so the scan cost is proportional to the
+    * selected partitions, not the corpus.
+    */
+  def q82_partitioned_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_q82_docs_" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    t(s, dir, "documents").write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("lang", "source")
+  }
+
+  val q82Sql: String =
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents WHERE lang IN ('en', 'fr')
+GROUP BY lang, source ORDER BY lang, source"""
+
+  /** Nearest-centroid classification over the embeddings: per-label
+    * centroids (elementwise mean — the long-form twin of q53), every
+    * vector assigned to its nearest centroid by squared L2 (rounded to 6
+    * decimals BEFORE the argmin so cross-engine float reorder cannot
+    * flip assignments), reported as a label × predicted confusion
+    * matrix. Centroids are |labels| rows — broadcast; the per-vector
+    * argmin is a partial-aggregated min(struct), so the shuffle carries
+    * one candidate per vector per task, and the confusion matrix itself
+    * is |labels|² regardless of corpus size.
+    */
+  def q83_nearest_centroid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cent = e
+      .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("clabel", "pos").agg(avg("x").as("c"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("clabel"), expr("transform(pc, p -> p.c)").as("cv"))
+    val d = round(
+      aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"), d.as("d"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d"), col("clabel"))).as("m"))
+      .select(col("label"), col("m.clabel").as("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+cm AS (SELECT label AS clabel, i, avg(v[i]) AS cx FROM e CROSS JOIN idx GROUP BY label, i),
+cent AS (SELECT clabel, list(cx ORDER BY i) AS cv FROM cm GROUP BY clabel),
+scored AS (SELECT e.vec_id, e.label, cent.clabel,
+                  round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - cv[i]) * (e.v[i] - cv[i]))), 6) AS d
+           FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, label, clabel FROM (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM scored)
+      WHERE rn = 1)
+SELECT label, clabel AS predicted, count(*) AS n
+FROM a GROUP BY label, clabel ORDER BY label, predicted"""
+
+  /** LOCF (last-observation-carried-forward) gap fill: the dense
+    * (user × day) grid with each user's latest observed event value
+    * carried across silent days — what a feature-store daily snapshot
+    * job emits. The day's representative observation is a partial-
+    * aggregated max(struct(sec,event_id,value)) (deterministic: (sec,
+    * event_id) is unique), the calendar is generated from one min/max
+    * row, and the carry is a running last(ignoreNulls) over the per-user
+    * day order — one shuffle on user_id. Output is grid-sized,
+    * O(users × days), by definition of the snapshot.
+    */
+  def q84_locf_daily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"), col("value"))
+      .withColumn("day", floor(col("sec").cast("double") / 86400).cast("long"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max(struct(col("sec"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.value").as("v"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val users = ev.select("user_id").distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(days)
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        round(last("v", ignoreNulls = true).over(w), 2).as("locf_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val q84Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day, value FROM events),
+daily AS (SELECT user_id, day, value AS v FROM (
+            SELECT user_id, day, value,
+                   row_number() OVER (PARTITION BY user_id, day ORDER BY sec DESC, event_id DESC) AS rn
+            FROM e)
+          WHERE rn = 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+users AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, d.day,
+       round(last_value(v IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value
+FROM users u CROSS JOIN days d
+LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+ORDER BY u.user_id, d.day"""
+
+  /** Ratio-to-report: each nation's share of its region's revenue, plus
+    * its rank within the region. The share/rank windows run over the
+    * pre-aggregated (region, nation) table — at most |nations| rows —
+    * so the window cost is nil at any fact-table scale; dimension joins
+    * broadcast.
+    */
+  def q85_revenue_share(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val agg = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy("r_name")
+    agg.select(col("r_name"), col("n_name"), col("revenue"),
+        round(col("revenue") / sum("revenue").over(w), 6).as("share"),
+        rank().over(w.orderBy(col("revenue").desc, col("n_name"))).cast("long").as("rnk"))
+      .orderBy("r_name", "rnk")
+  }
+
+  val q85Sql: String =
+    """WITH agg AS (
+  SELECT r_name, n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS share,
+       CAST(rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS BIGINT) AS rnk
+FROM agg ORDER BY r_name, rnk"""
+}

@@ -251,6 +251,52 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(equiOnGridKeys.nonEmpty, "expected the grid↔counts equi-join on (hour, event_type)")
   }
 
+  test("q78: both sides aggregate to day grain BEFORE the full-outer join") {
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q78_daily_recon(spark, sf("sf0.001")))
+    assert(plan.contains("FullOuter"), "expected a full-outer join on day")
+    assert(plan.contains("partial_count"), "daily aggregates must be partial before their shuffle")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the reconciliation join must stay keyed on day")
+  }
+
+  test("q79: hopping windows expand in place; one hash shuffle for the keyed count") {
+    val nodes = collectPlanNodes(graft.queries.QueriesAnalytics.q79_hopping_windows(spark, sf("sf0.001")))
+    assert(nodes.exists(_.nodeName.contains("Expand")),
+      "window(slide) must be an Expand node, not a join against a window table")
+    assert(hashShuffleCount(nodes) == 1,
+      s"expected only the (window, type) count shuffle, got ${hashShuffleCount(nodes)}")
+  }
+
+  test("q82: the lang-partitioned read-back prunes non-selected partitions at the scan") {
+    val df = graft.queries.QueriesAnalytics.q82_partitioned_roundtrip(spark, sf("sf0.001"))
+    assert(df.collect().nonEmpty)
+    val scans = planNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a v1 parquet scan of the partitioned layout")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang predicate must prune partitions, got: ${scans.head.partitionFilters}")
+  }
+
+  test("q83: centroid pairing broadcasts the tiny centroid table; argmin is partial") {
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q83_nearest_centroid(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the |labels|-row centroid table must broadcast, never shuffle the vectors against it")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join may touch the vector×centroid pairing")
+    assert(plan.contains("partial_min"),
+      "per-vector argmin must partial-aggregate map-side (one candidate per vector per task)")
+  }
+
+  test("q84: events meet only keyed aggregation and the (user_id, day) grid equi-join") {
+    val df = graft.queries.QueriesAnalytics.q84_locf_daily(spark, sf("sf0.001"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val equiOnGridKeys = joins.filter(_.condition.exists(c =>
+      c.toString.contains("user_id") && c.toString.contains("day")))
+    assert(equiOnGridKeys.nonEmpty, "expected the grid↔daily equi-join on (user_id, day)")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
