@@ -28,7 +28,13 @@ object Bench {
     // inflate 5-10x under outside contention; the minimum is the honest
     // estimate of the query's actual cost.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // System 1-min load average sampled before each query: this process
+    // should be the only load on the host, so readings far above the
+    // (already-running) benchmark's own footprint mean OUTSIDE contention
+    // — timings from such windows measure the host, not the plan.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load = osBean.getSystemLoadAverage
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -36,15 +42,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val sec = times.min
-      System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")})")
+      System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")}, load1m: $load%.1f)")
       // Each query call builds fresh persisted subplans (shingle/norm
       // tables); drop them so cache memory doesn't creep across the run.
       spark.catalog.clearCache()
-      name -> sec
+      (name, sec, load)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l) => "\"" + k + "\":" + f"$l%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

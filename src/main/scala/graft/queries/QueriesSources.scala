@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Interchange-format roundtrips: the documents table written to and read
+  * back from CSV and JSON-lines — the two formats raw corpora actually
+  * arrive in — then aggregated. A catalog user can therefore land data in
+  * csv/jsonl/parquet/orc and run the same queries; the oracle checks the
+  * roundtrip is lossless (the aggregate over the read-back equals the
+  * aggregate over the source table). Reads use an explicit schema: at
+  * 100 TB, schema inference is a full extra pass over the corpus.
+  * Malformed-record semantics (PERMISSIVE/DROPMALFORMED/FAILFAST — the
+  * reference's A8 skip rule generalized to these sources) are spec'd in
+  * SourcesRobustnessSpec.
+  */
+object QueriesSources {
+  private val DocsSchema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+  private def tmp(prefix: String, dir: String) = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    prefix + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+
+  /** CSV roundtrip: header + quoted fields out, explicit-schema read
+    * back, per-lang aggregate including the payload character total —
+    * any mangled row would shift the sums and fail the oracle hash.
+    */
+  def q86_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_q86_csv_", dir)
+    Tables(s, dir, "documents").write.mode("overwrite")
+      .option("header", "true").csv(out)
+    s.read.schema(DocsSchema).option("header", "true").csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("lang")
+  }
+
+  val q86Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** JSON-lines roundtrip: one JSON object per line out (the lingua
+    * franca of web-scale corpus drops), explicit-schema read back,
+    * per-source aggregate. Same losslessness contract as q86.
+    */
+  def q87_jsonl_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_q87_jsonl_", dir)
+    Tables(s, dir, "documents").write.mode("overwrite").json(out)
+    s.read.schema(DocsSchema).json(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("source")
+  }
+
+  val q87Sql: String =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY source ORDER BY source"""
+}
