@@ -1021,6 +1021,61 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type"""
       .orderBy("user_id")
   }
 
+  /** TPC-H Q6 shape (revenue-change forecast): a pure scan → filter →
+    * global agg. Every predicate (date range, discount band, quantity
+    * cap) is a plain column comparison, so ALL of them push into the
+    * parquet scan as PushedFilters and the plan never materializes a
+    * non-qualifying row — the canonical pushdown showcase. No shuffle
+    * at all beyond the single-row final aggregate.
+    */
+  def q88_forecast_revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q88Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * open orders ⋈ late-shipping lineitems, top 10 open orders by
+    * accumulated revenue. The date/segment filters push to each scan
+    * BEFORE the joins; customers broadcast after their segment filter;
+    * the revenue ranking is a keyed aggregation + bounded sort-limit
+    * (TakeOrderedAndProject), never a global materialized sort.
+    */
+  def q89_shipping_priority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = ntz("1999-03-15 00:00:00")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("order_sec"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q89Sql: String =
+    """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15' AND l_shipdate > TIMESTAMP '1999-03-15'
+GROUP BY l_orderkey, order_sec, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
   val q77Sql: String =
     """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
 g AS (SELECT user_id, sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e)

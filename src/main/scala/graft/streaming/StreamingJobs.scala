@@ -50,6 +50,19 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes — the streaming
+    * twin of q79_hopping_windows. Spark expands each event into its 2
+    * overlapping windows in place (no state beyond the open windows);
+    * the watermark closes a window once event time passes its end + 2h,
+    * so state stays bounded by the hop count regardless of stream length.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Stream-stream interval self-join: for every event, the same user's
     * follow-up events within `gapMinutes`. Both sides carry watermarks and
     * the join condition bounds event time on both ends, so state is

@@ -297,6 +297,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(equiOnGridKeys.nonEmpty, "expected the grid↔daily equi-join on (user_id, day)")
   }
 
+  test("q88: every predicate pushes into the parquet scan; no shuffle before the final agg") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q88_forecast_revenue(spark, sf("sf0.001")))
+    assert(plan.contains("PushedFilters: [IsNotNull"), "expected pushed filters on the lineitem scan")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains(c)),
+        s"$c predicate must reach the scan's PushedFilters")
+    assert(plan.contains("partial_"), "global aggregate must still be partial+final")
+  }
+
+  test("q89: top-10 is a bounded TakeOrderedAndProject, customers broadcast post-filter") {
+    val plan = executedPlanString(graft.queries.QueriesRelational.q89_shipping_priority(spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must plan as a bounded top-k, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"), "the filtered customer dim must broadcast")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {

@@ -18,6 +18,30 @@ class StreamingWindowSpec extends SparkSpec {
     assert(slid == 2 * total, s"each event must land in exactly 2 sliding windows: $slid vs ${2 * total}")
   }
 
+  test("streaming hopping windows equal the q79 batch catalog query") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StreamingJobs.hoppingCounts(StreamingJobs.readEvents(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("hopwin").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hopwin")
+      .select(col("win_start").cast("timestamp").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.queries.QueriesAnalytics.q79_hopping_windows(spark, sf("sf0.001"))
+      .as[(Long, String, Long)].collect().toSet
+    // Append mode emits only watermark-closed windows; everything emitted
+    // must match the batch result exactly, and the tail the watermark
+    // still holds open is the ONLY difference.
+    assert(got.nonEmpty && got.subsetOf(batch),
+      s"streaming hopping windows diverge from batch: ${(got -- batch).take(3)}")
+    val unemitted = batch -- got
+    val maxClosed = got.map(_._1).max
+    assert(unemitted.forall(_._1 > maxClosed - 7200),
+      "only the watermark-open tail may be missing from append output")
+  }
+
   test("native session_window streaming equals its batch twin and q29's session counts") {
     val d = java.nio.file.Files.createTempDirectory("graft-ev-sess")
     java.nio.file.Files.copy(
