@@ -33,7 +33,12 @@ object Bench {
     // (already-running) benchmark's own footprint mean OUTSIDE contention
     // — timings from such windows measure the host, not the plan.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated allowlist (scaling experiments run a
+    // headline subset on larger-than-sf0.1 data); default = full catalog.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val load = osBean.getSystemLoadAverage
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

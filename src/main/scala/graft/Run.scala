@@ -26,6 +26,24 @@ object Run {
         println(f"[time] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         spark.catalog.clearCache()
       } finally spark.stop()
+    case "srpauto" :: dir :: rest =>
+      // Capacity probe: occupancy-targeted SRP near-dup vs the fixed q40
+      // band config on the same embeddings — the scaling comparison
+      // behind SCALING.md (the fixed config is quadratic in n).
+      val tau = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val spark = Sessions.local("graft-srpauto")
+      try {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val n = emb.count()
+        val (bands, bits) = graft.sim.Similarity.srpParams(n, tau)
+        for ((label, df) <- Seq(
+            s"auto(${bands}x$bits)" -> graft.sim.Similarity.srpNearDupPairs(emb, tau, bands, bits),
+            "fixed(24x8)" -> graft.sim.Similarity.srpNearDupPairs(emb, tau))) {
+          val t0 = System.nanoTime()
+          val rows = df.count()
+          println(f"[srpauto] n=$n $label: $rows pairs in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } finally spark.stop()
     case "explain" :: q :: dir :: Nil if Queries.all.contains(q) =>
       // Formatted physical plan — the plan-audit loop (pushdown, join
       // strategies, codegen spans) without running the query.

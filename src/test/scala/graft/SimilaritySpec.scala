@@ -133,6 +133,38 @@ class SimilaritySpec extends SparkSpec {
     assert(key(Similarity.srpNearDupPairs(df, 0.95)) == brute)
   }
 
+  test("srpParams pins bucket occupancy and true-pair recall as n grows") {
+    for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L); tau <- Seq(0.9, 0.95, 0.99)) {
+      val (bands, bits) = Similarity.srpParams(n, tau)
+      // occupancy bound: 2^bits buckets keep expected n/2^bits ≤ 2× target
+      assert(n.toDouble / math.pow(2, bits) <= 8.0 + 1e-9,
+        s"occupancy unbounded at n=$n: bits=$bits")
+      // recall bound: a true pair at tau is missed with prob (1-p^bits)^bands
+      val p = 1.0 - math.acos(tau) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, bits), bands)
+      assert(miss <= 1.1e-4, s"miss prob $miss too high at n=$n tau=$tau ($bands×$bits)")
+    }
+    // parameters grow with n (log-scale), never shrink
+    val (b1, r1) = Similarity.srpParams(4000, 0.95)
+    val (b2, r2) = Similarity.srpParams(32000, 0.95)
+    assert(r2 > r1 && b2 >= b1, s"params must scale with n: ($b1,$r1) vs ($b2,$r2)")
+  }
+
+  test("srpNearDupPairsAuto == brute force on the planted regime") {
+    val rng = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val dups = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id_a", "vec_id_b", "cosine_sim").as[(Long, Long, Double)].collect().sorted.toSeq
+    val brute = key(Similarity.cosineNearDupPairsBrute(df, 0.95))
+    assert(brute.size >= 10)
+    assert(key(Similarity.srpNearDupPairsAuto(df, 0.95)) == brute)
+  }
+
   test("SrpBandSigs == the bucketId column formulation, incl. degenerate inputs") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(24 * 8, 64)
