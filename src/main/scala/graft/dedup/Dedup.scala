@@ -169,6 +169,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (AllPairs/PPJoin family) —
+    * the exact set-similarity join that survives scale when the threshold
+    * is high (the regime a 100 TB dedup actually runs: τ ≥ ~0.5).
+    *
+    * Principle: order every doc's shingles by a global total order
+    * (document frequency asc, hash asc — rarest first). If J(a,b) ≥ τ
+    * then c = |a∩b| ≥ ⌈τ·|a|⌉ and ≥ ⌈τ·|b|⌉ (proof: c(1+τ) ≥ τ(|a|+|b|)
+    * and |b| ≥ c ⟹ c ≥ τ|a| + τ(|b|−c) ≥ τ|a|), and by pigeonhole on
+    * the o-th largest common element, the first |s|−o+1 shingles of EACH
+    * doc must contain a COMMON element. So the inverted index is built
+    * over only each doc's (1−τ)·|s|+1 rarest shingles: posting lists
+    * shrink to the rare tail of the df distribution and candidate pairs
+    * collapse, while exactness is preserved — every candidate is then
+    * verified against the FULL shingle sets. Versus [[ngramJaccardPairs]]
+    * (index over every shingle, O(Σ_h df(h)²) enumerated pairs), the
+    * per-bucket quadratic term runs over prefix df only. The ceiling is
+    * computed with a 1e-9 slack so FP error can only LENGTHEN a prefix
+    * (extra candidates), never shorten it (lost pairs).
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"prefix filter needs 0 < tau < 1, got $threshold")
+    val sh = shingleHashes(docs, shingleN).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    def ceilTau(n: org.apache.spark.sql.Column) =
+      greatest(lit(1L), ceil(n * lit(threshold) - lit(1e-9)).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefixes = sh.join(dfreq, "h").join(sizes, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("n") - ceilTau(col("n")) + lit(1L))
+      .select(col("doc_id"), col("h"), col("n"))
+    val pa = prefixes.select(col("doc_id").as("doc_id_a"), col("h"), col("n").as("na"))
+    val pb = prefixes.select(col("doc_id").as("doc_id_b"), col("h"), col("n").as("nb"))
+    val cands = pa.join(pb, "h")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      // length filter: c ≤ min(na,nb) and c ≥ ⌈τ·max⌉ ⟹ sizes within τ
+      .filter(col("nb") >= ceilTau(col("na")) && col("na") >= ceilTau(col("nb")))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

@@ -75,6 +75,23 @@ ORDER BY doc_id_a, doc_id_b"""
 
   val q19Sql: String = jaccardOracle(3, "0.1")
 
+  /** EXACT 5-gram Jaccard at the production dedup threshold (τ=0.8, the
+    * same regime as q16's MinHash), via the prefix-filtered set-
+    * similarity join: the index holds only each doc's (1−τ)·n+1 RAREST
+    * shingles (global df order), so candidate generation rides the rare
+    * tail of the df distribution instead of every posting list — the
+    * deterministic exact alternative to LSH when the tail exists (it
+    * does for organic corpora and for this table's 5-grams; SCALING.md
+    * discusses when it does not). Oracle = the same SQL shape as
+    * q16/q19; results carry no trace of the pruning.
+    */
+  def q90_jaccard_prefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(docs(s, dir), shingleN = 5, threshold = 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  val q90Sql: String = jaccardOracle(5, "0.8")
+
   def q21_simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(s, dir)).orderBy("doc_id")
 

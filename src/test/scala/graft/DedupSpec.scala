@@ -15,6 +15,32 @@ class DedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("prefix-filtered Jaccard join == full inverted index at every threshold") {
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id_a"), col("doc_id_b"),
+        org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    for (tau <- Seq(0.1, 0.3, 0.5, 0.8, 0.95)) {
+      val full = key(Dedup.ngramJaccardPairs(docs, shingleN = 3, threshold = tau))
+      val pref = key(Dedup.ngramJaccardPairsPrefix(docs, shingleN = 3, threshold = tau))
+      assert(pref == full, s"prefix join diverged at tau=$tau: ${pref.size} vs ${full.size}")
+    }
+  }
+
+  test("prefix-filtered Jaccard join == full index on exact-boundary set sizes") {
+    // J hits the threshold EXACTLY (c=2, na=nb=3 -> J=0.5): the ceiling
+    // slack must not lose or invent boundary pairs.
+    val df = Seq(
+      (1L, "a b c d e"),   // trigrams: {abc, bcd, cde}
+      (2L, "a b c d f"),   // shares {abc, bcd} with 1 => J = 2/4 = 0.5
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().sorted.toSeq
+    val full = key(Dedup.ngramJaccardPairs(df, 3, 0.5))
+    assert(full == Seq((1L, 2L)), s"fixture must sit exactly on the boundary: $full")
+    assert(key(Dedup.ngramJaccardPairsPrefix(df, 3, 0.5)) == full)
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.exactKeepFirst(docs, "text", "doc_id")
     val twice = Dedup.exactKeepFirst(once, "text", "doc_id")
