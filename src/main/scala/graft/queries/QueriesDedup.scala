@@ -159,6 +159,33 @@ SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster) ORDER BY
 
   val q55Sql: String = q46Sql
 
+  /** Duplicate clustering at the PRODUCTION threshold: connected
+    * components over the prefix-filtered exact τ=0.8 pair graph (q90's
+    * operator) — the composition a 100 TB dedup job actually runs.
+    * Unlike q46/q55/q65 (which deliberately stress the dense τ=0.1
+    * graph), both the pair generation and the cluster graph here stay
+    * near-linear in the corpus (SCALING.md).
+    */
+  def q91_dup_clusters_prefix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs(s, dir), shingleN = 5, threshold = 0.8)
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    raw"""WITH RECURSIVE pairs AS (${jaccardOracle(5, "0.8")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM n
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, count(*) AS n_members FROM c GROUP BY cluster)
+SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster) ORDER BY c.doc_id"""
+
   /** Benchmark-decontamination shape: cross-SOURCE 8-token-shingle
     * overlap — the standard check that training documents don't contain
     * eval/benchmark text (here: any other source's text). Candidates
