@@ -29,4 +29,50 @@ object QueriesBinary {
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        upper(left(hex(encode(text)), 16)) AS head_hex
 FROM documents ORDER BY doc_id"""
+
+  /** The multimodal feature pipeline end-to-end, oracle-checkable:
+    * payload → deterministic feature vector → cosine kNN. The "decoder"
+    * here is a portable-hash feature extractor (8 dims, each the
+    * polynomial hash of the payload salted by the dim index, mapped to
+    * [-0.5, 0.5]) — standing in for the real media decoder the sandbox
+    * can't host (Multimodal.FakeDecoder), but unlike it, replayable in
+    * SQL so the WHOLE binary→feature→search pipeline hash-matches
+    * DuckDB. Feature extraction is a narrow per-row projection;
+    * similarity is the q17 brute shape (one query row broadcast against
+    * the corpus; rounded before ordering).
+    */
+  def q93_payload_knn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val dims = 8
+    val vec = array((0 until dims).map { j =>
+      (pmod(PortableHash.asciiPolyHash(concat(lit(j.toString), col("text"))), lit(997L))
+        .cast("double") / lit(997.0) - lit(0.5))
+    }: _*)
+    val e = Tables(s, dir, "documents").select(col("doc_id"), vec.as("v"))
+    val q = e.filter(col("doc_id") === 0)
+      .select(col("v").as("qv"))
+    val dot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (s0, x) => s0 + x)
+    def norm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (s0, x) => s0 + x))
+    e.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), round(dot / (norm(col("v")) * norm(col("qv"))), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q93Sql: String = {
+    val polyHash = graft.queries.QueriesDedup.polyHashSql("CAST(j AS VARCHAR) || text")
+    raw"""WITH e AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), j -> CAST($polyHash % 997 AS DOUBLE) / 997.0 - 0.5) AS v
+  FROM documents),
+q AS (SELECT v AS qv FROM e WHERE doc_id = 0),
+s AS (SELECT e.doc_id,
+             round(list_sum(list_transform(range(1, 9), i -> e.v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine_sim
+      FROM e, q WHERE e.doc_id <> 0)
+SELECT doc_id, cosine_sim FROM s ORDER BY cosine_sim DESC, doc_id LIMIT 10"""
+  }
 }

@@ -1021,6 +1021,40 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type"""
       .orderBy("user_id")
   }
 
+  /** ANSI-mode safe arithmetic surface: Spark 4 runs with ANSI on, so a
+    * division by zero or a bad cast in a raw expression is a JOB
+    * FAILURE — the ingest-safe form is try_divide/try_cast, which yield
+    * NULL exactly where DuckDB's double division and TRY_CAST do, so
+    * the null-accounting aggregate is cross-engine exact. k=0 rows
+    * exist in the data; 'event_type' never parses as a number — both
+    * failure paths are exercised, and the query completes where the
+    * unguarded form would throw.
+    */
+  def q92_try_functions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_type"),
+        expr("try_divide(value, k)").as("ratio"),
+        expr("try_cast(event_type as bigint)").as("numeric_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ratio").isNull.cast("long")).as("n_null_ratio"),
+        round(sum(coalesce(col("ratio"), lit(0.0))), 6).as("ratio_sum"),
+        count(col("numeric_type")).as("n_numeric"))
+      .orderBy("event_type")
+
+  val q92Sql: String =
+    """WITH e AS (SELECT event_type, value,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+r AS (SELECT event_type, CAST(value AS DOUBLE) / k AS ratio,
+             TRY_CAST(event_type AS BIGINT) AS numeric_type FROM e)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
+       round(sum(coalesce(ratio, 0.0)), 6) AS ratio_sum,
+       CAST(count(numeric_type) AS BIGINT) AS n_numeric
+FROM r GROUP BY event_type ORDER BY event_type"""
+
   /** TPC-H Q6 shape (revenue-change forecast): a pure scan → filter →
     * global agg. Every predicate (date range, discount band, quantity
     * cap) is a plain column comparison, so ALL of them push into the

@@ -42,6 +42,32 @@ class StreamingWindowSpec extends SparkSpec {
       "only the watermark-open tail may be missing from append output")
   }
 
+  test("watermark EVICTS closed hopping windows from the state store (bounded state)") {
+    // Two chronological chunks so the watermark advances between batches;
+    // after the second batch the store must hold only the un-closed tail,
+    // not every window ever seen — the claim behind "state is bounded by
+    // the watermark, not by stream length", checked against the actual
+    // state-store row metrics.
+    val all = graft.core.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+    val cut = all.selectExpr("percentile(cast(cast(ts as timestamp) as long), 0.5)").first().getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-evict").toString
+    all.filter(col("ts").cast("timestamp").cast("long") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.hoppingCounts(StreamingJobs.readEvents(spark, d))
+      .writeStream.outputMode("append").format("memory").queryName("hopevict").start()
+    q.processAllAvailable()
+    all.filter(col("ts").cast("timestamp").cast("long") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val totalGroups = all
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .count().count()
+    assert(stateRows > 0, "state store should hold the watermark-open tail")
+    assert(stateRows < totalGroups / 2,
+      s"watermark did not evict: $stateRows state rows vs $totalGroups total windows")
+  }
+
   test("native session_window streaming equals its batch twin and q29's session counts") {
     val d = java.nio.file.Files.createTempDirectory("graft-ev-sess")
     java.nio.file.Files.copy(
