@@ -120,6 +120,35 @@ r AS (SELECT lang, doc_id, hv,
       FROM h)
 SELECT lang, doc_id, CAST(hv AS BIGINT) AS h, rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): key =
+    * u^(1/w) with u a portable-hash uniform in (0,1] and w = n_chars —
+    * longer documents proportionally likelier, exactly the
+    * quality/length-weighted subsampling a curation pipeline runs. No
+    * RNG: u is derived from doc_id, so the sample is reproducible
+    * across engines/runs/repartitionings and the DuckDB oracle replays
+    * it bit-for-bit (keys rounded to 9 decimals BEFORE ranking, doc_id
+    * tie-break, so a last-ulp pow() divergence cannot flip the cut).
+    * The global top-k by key is a TakeOrderedAndProject — O(k) per
+    * partition, one tiny final merge; nothing sorts the corpus.
+    */
+  def q94_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val h = PortableHash.asciiPolyHash(col("doc_id").cast("string"))
+    val u = (h.cast("double") + 1.0) / (lit(PortableHash.Mod.toDouble) + 1.0)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(pow(u, lit(1.0) / col("n_chars").cast("double")), 9).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q94Sql: String =
+    raw"""WITH s AS (SELECT doc_id, lang, n_chars,
+         round(pow((${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} + 1.0) / 1000000008.0,
+                   1.0 / n_chars), 9) AS key
+      FROM documents)
+SELECT doc_id, lang, n_chars, key FROM s ORDER BY key DESC, doc_id LIMIT 20"""
+
   /** The C4-style cleaning chain as ONE plan: language gate (≥ 2 English
     * marker tokens), quality gate (q23's score ≥ 0.74 ≈ corpus median),
     * length gate (15–95 tokens), then exact dedup keeping the smallest

@@ -313,6 +313,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "the filtered customer dim must broadcast")
   }
 
+  test("q94: the weighted sample is a bounded top-k, never a global sort") {
+    val plan = executedPlanString(graft.queries.QueriesPipeline.q94_weighted_sample(spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "A-ES sampling must plan as TakeOrderedAndProject (O(k) per partition)")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no range-partitioned global sort may back the sample")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
