@@ -69,4 +69,46 @@ FROM documents GROUP BY lang ORDER BY lang"""
        CAST(sum(length(text)) AS BIGINT) AS total_text_len,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY source ORDER BY source"""
+
+  /** Schema evolution across ingestion generations: an old batch written
+    * WITHOUT a column and a new batch written WITH it, read back as one
+    * table via mergeSchema — the v1/v2 drop problem every long-lived
+    * corpus hits. Old rows surface the new column as NULL (never a read
+    * failure); the aggregate accounts for exactly which generation each
+    * row came from. Production note: mergeSchema costs a footer read
+    * per file at planning — at 100 TB, pin the unified schema in a
+    * catalog/metastore instead and let the scan apply it for free; the
+    * READ semantics (absent column → NULL) are identical either way.
+    */
+  def q95_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_q95_evo_", dir)
+    val base = Tables(s, dir, "documents")
+    base.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=v1")
+    base.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") >= 200).as("is_long"))
+      .write.mode("overwrite").parquet(s"$out/gen=v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen=v1", s"$out/gen=v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_long").isNull.cast("long")).as("n_v1_rows"),
+        sum(when(col("is_long"), 1L).otherwise(0L)).as("n_long_v2"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val q95Sql: String =
+    """WITH unioned AS (
+  SELECT doc_id, lang, n_chars, CAST(NULL AS BOOLEAN) AS is_long
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars, n_chars >= 200 AS is_long
+  FROM documents WHERE doc_id % 2 <> 0)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_long IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_rows,
+       CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long_v2,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM unioned GROUP BY lang ORDER BY lang"""
 }

@@ -24,6 +24,19 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q94's A-ES weighting actually biases the sample toward heavy documents") {
+    import org.apache.spark.sql.functions._
+    val sampledAvg = graft.queries.QueriesPipeline.q94_weighted_sample(spark, sf("sf0.01"))
+      .agg(avg("n_chars")).first().getDouble(0)
+    val corpusAvg = graft.core.Tables(spark, sf("sf0.01"), "documents")
+      .agg(avg("n_chars")).first().getDouble(0)
+    // With w = n_chars, inclusion probability rises with length; on this
+    // fixed corpus + hash the sampled mean must sit clearly above the
+    // corpus mean (deterministic, so this is a regression pin, not a flake).
+    assert(sampledAvg > corpusAvg * 1.1,
+      s"weighted sample not biased: sampled avg $sampledAvg vs corpus $corpusAvg")
+  }
+
   test("q71's moment-sum correlation matches Spark's corr() aggregate") {
     import org.apache.spark.sql.functions._
     val li = graft.core.Tables(spark, sf("sf0.01"), "lineitem")
