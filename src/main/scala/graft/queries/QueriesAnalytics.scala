@@ -281,6 +281,58 @@ FROM users u CROSS JOIN days d
 LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
 ORDER BY u.user_id, d.day"""
 
+  /** Snapshot diff (dataset versioning / CDC reconciliation): old and
+    * new generations of the documents table keyed on doc_id, classified
+    * added / removed / changed / unchanged via ONE full-outer join on
+    * the key with a digest comparison — the shape behind "what changed
+    * between yesterday's corpus and today's". The new generation is
+    * derived deterministically (every 7th doc deleted, every 10th
+    * re-chunked to a different n_chars, a shifted-id block added), so
+    * both engines construct identical versions. Payloads never join:
+    * the change test compares a per-row digest, so at 100 TB the
+    * shuffle carries (key, 32-byte digest), not documents.
+    */
+  def q96_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val oldGen = base
+    val newGen = base.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 10 === 0, col("n_chars") + 17).otherwise(col("n_chars")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("n_chars")))
+    def digest(d: DataFrame) = d.select(col("doc_id"), col("lang"),
+      sha2(concat_ws("|", col("lang"), col("n_chars")), 256).as("dg"))
+    val o = digest(oldGen).withColumnRenamed("dg", "dg_old").withColumnRenamed("lang", "lang_old")
+    val n = digest(newGen).withColumnRenamed("dg", "dg_new").withColumnRenamed("lang", "lang_new")
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_old"), col("lang_new")).as("lang"),
+        when(col("dg_old").isNull, "added")
+          .when(col("dg_new").isNull, "removed")
+          .when(col("dg_old") =!= col("dg_new"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy("lang", "change")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "change")
+  }
+
+  val q96Sql: String =
+    """WITH old_gen AS (SELECT doc_id, lang, n_chars FROM documents),
+new_gen AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 17 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 13 = 0),
+o AS (SELECT doc_id, lang AS lang_old, sha256(lang || '|' || CAST(n_chars AS VARCHAR)) AS dg_old FROM old_gen),
+n AS (SELECT doc_id, lang AS lang_new, sha256(lang || '|' || CAST(n_chars AS VARCHAR)) AS dg_new FROM new_gen),
+d AS (SELECT coalesce(lang_old, lang_new) AS lang,
+             CASE WHEN dg_old IS NULL THEN 'added'
+                  WHEN dg_new IS NULL THEN 'removed'
+                  WHEN dg_old <> dg_new THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM o FULL OUTER JOIN n USING (doc_id))
+SELECT lang, change, count(*) AS n FROM d GROUP BY lang, change ORDER BY lang, change"""
+
   /** Ratio-to-report: each nation's share of its region's revenue, plus
     * its rank within the region. The share/rank windows run over the
     * pre-aggregated (region, nation) table — at most |nations| rows —
