@@ -321,6 +321,20 @@ class PlanAssertionsSpec extends SparkSpec {
       "no range-partitioned global sort may back the sample")
   }
 
+  test("q96: the snapshot diff joins digests on the key; the text payload is never read") {
+    val df = graft.queries.QueriesAnalytics.q96_snapshot_diff(spark, sf("sf0.001"))
+    val plan = executedPlanString(df)
+    assert(plan.contains("FullOuter"), "expected the full-outer key join")
+    assert(!plan.contains("text"), "the diff must never scan or shuffle the document payload")
+  }
+
+  test("q95: the merged-schema read surfaces the absent v1 column as NULL, not a failure") {
+    val out = graft.queries.QueriesSources.q95_schema_evolution(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(2)).sum > 0,
+      "v1-generation rows must appear with the evolved column NULL")
+  }
+
   test("q44: the cleaning chain's dedup joins on the id, never the text payload") {
     val df = graft.queries.QueriesPipeline.q44_clean_corpus(spark, sf("sf0.001"))
     val joins = df.queryExecution.optimizedPlan.collect {
