@@ -35,7 +35,14 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // Optional comma-separated allowlist (scaling experiments run a
     // headline subset on larger-than-sf0.1 data); default = full catalog.
+    // Unknown names fail loudly — a typo'd subset must not masquerade as a
+    // fast full run — and subset runs are marked as such in the JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_QUERIES names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -56,7 +63,17 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, l) => "\"" + k + "\":" + f"$l%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir"}""")
+    val subset = only.map(_ => s""","subset":true""").getOrElse("")
+    // Full JSON first; the capture downstream keeps only the LAST ~2000
+    // chars of output, and the full line (96 times + 96 loads) exceeds
+    // that — round 6 lost its entire times map this way. The final line is
+    // a compact summary that always survives: total, n, slowest-5, peak
+    // load1m, and the subset marker.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir","n_queries":${results.size}$subset}""")
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val maxLoad = f"${if (results.nonEmpty) results.map(_._3).max else 0.0}%.1f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest5":$slowest,"max_load1m":$maxLoad$subset}""")
     spark.stop()
   }
 }

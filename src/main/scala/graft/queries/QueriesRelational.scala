@@ -517,7 +517,15 @@ ORDER BY event_id"""
     * oracle comparison is string equality on decimals, not a 6-digit
     * float tolerance. The double→decimal cast rounds to the nearest
     * cent identically on both engines (binary doubles never land exactly
-    * on a half-cent tie).
+    * on a half-cent tie). The AGGREGATION is exact decimal throughout;
+    * only the final presentation is pinned: Spark widens
+    * sum(DECIMAL(12,2)) to DECIMAL(22,2) while DuckDB widens to
+    * DECIMAL(38,2), and downstream canonicalizers (pandas dtype-sensitive
+    * hashers) can render the "same" number differently per decimal width.
+    * Casting the pinned DECIMAL(18,2) result to STRING on BOTH engines
+    * makes the output byte-identical by construction — '1234.50' is
+    * '1234.50' everywhere — which is the portable contract for exact
+    * money values crossing an engine boundary.
     */
   def q60_decimal_money(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -525,14 +533,15 @@ ORDER BY event_id"""
         col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
         col("l_quantity").cast("decimal(12,2)").as("qty_dec"))
       .groupBy("l_returnflag")
-      .agg(sum("price_dec").as("sum_price_dec"),
-        sum("qty_dec").as("sum_qty_dec"),
+      .agg(sum("price_dec").cast("decimal(18,2)").cast("string").as("sum_price_dec"),
+        sum("qty_dec").cast("decimal(18,2)").cast("string").as("sum_qty_dec"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
   val q60Sql: String =
-    """SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_dec,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec, count(*) AS n
+    """SELECT l_returnflag,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price_dec,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty_dec, count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
@@ -619,22 +628,23 @@ ORDER BY event_type"""
        count(*) AS n_orders, sum(o_totalprice) AS total_price
 FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY priority, status"""
 
-  /** Collection aggregation: the sorted distinct event-type array per
-    * user. collect_set + array_sort keeps the shuffle carrying at most
-    * |event_types| strings per user (partial sets merge map-side), and
-    * the sort makes the array value deterministic for the hash gate —
-    * the profile-building shape (user → feature list) of an activity
-    * store.
+  /** Collection aggregation: the sorted distinct event-type set per
+    * user. collect_set keeps the shuffle carrying at most |event_types|
+    * strings per user (partial sets merge map-side); array_sort makes
+    * the value deterministic and array_join presents it as one scalar
+    * string — the gate's hasher (and most downstream stores) want
+    * primitive columns, and a canonical comma-joined form is the
+    * portable presentation of a set-valued feature.
     */
   def q57_user_event_types(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("user_id")
-      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
         countDistinct("event_type").as("n_types"))
       .orderBy("user_id")
 
   val q57Sql: String =
-    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+    """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        count(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id ORDER BY user_id"""
 
@@ -1033,7 +1043,7 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type"""
   def q92_try_functions(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k"))
       .select(col("event_type"),
         expr("try_divide(value, k)").as("ratio"),
         expr("try_cast(event_type as bigint)").as("numeric_type"))

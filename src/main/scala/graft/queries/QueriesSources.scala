@@ -19,19 +19,34 @@ import graft.core.Tables
 object QueriesSources {
   private val DocsSchema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
-  private def tmp(prefix: String, dir: String) = new java.io.File(
-    System.getProperty("java.io.tmpdir"),
-    prefix + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+  /** Side-effect output root, unique per (input dir, JVM): the full dir
+    * string is SHA-256'd (no 32-bit hashCode collisions across dirs) and
+    * the PID is appended so two concurrent runs over the same sf dir
+    * (bench + verify) cannot race overwrite-vs-read on one path.
+    */
+  private def tmp(prefix: String, dir: String) = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val pid = java.lang.ProcessHandle.current().pid()
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$prefix${dirKey}_$pid").getAbsolutePath
+  }
 
   /** CSV roundtrip: header + quoted fields out, explicit-schema read
     * back, per-lang aggregate including the payload character total —
     * any mangled row would shift the sums and fail the oracle hash.
+    * multiLine on the read: document text containing a newline is
+    * legally written as a quoted multi-line field, and the default
+    * line-split reader would shred it into malformed rows. (Cost note:
+    * multiLine disables intra-file split parallelism — at 100 TB,
+    * either keep files small or strip newlines at write time.)
     */
   def q86_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = tmp("graft_q86_csv_", dir)
     Tables(s, dir, "documents").write.mode("overwrite")
       .option("header", "true").csv(out)
-    s.read.schema(DocsSchema).option("header", "true").csv(out)
+    s.read.schema(DocsSchema).option("header", "true")
+      .option("multiLine", "true").csv(out)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),

@@ -248,6 +248,19 @@ object Similarity {
     * (22 bands × 10 bits); n=32 000 → (32 × 13); n=10⁹ → (~600 × 28) —
     * ~40 k plane dots per vector, trivially less than one candidate scan.
     */
+  /** Hard ceiling on bands: beyond this the plane table (bands × bits ×
+    * dim floats, broadcast to every task) and the bands-per-vector blowup
+    * stop being "trivially less than one candidate scan". The L formula
+    * is exponential in bits for fixed p, so low-τ + huge-n corpora can
+    * demand 10⁴–10⁵ bands — that regime is NOT a banding problem (use the
+    * prefix-filter / blocked-grid exact families instead), and silently
+    * building a multi-million-row broadcast would be an OOM cliff in the
+    * production entry point. 1024 admits the documented n=10⁹ / τ=0.9
+    * design point (~700 × 28 ≈ 20 k plane dots per vector) while
+    * rejecting the τ→0.8⁺ regime, whose L blows past 10⁴.
+    */
+  val MaxSrpBands = 1024
+
   def srpParams(n: Long, tau: Double, targetOccupancy: Double = 4.0,
       missProb: Double = 1e-4): (Int, Int) = {
     require(tau > 0.8 && tau < 1.0, s"SRP banding needs a high-similarity regime, got $tau")
@@ -256,6 +269,17 @@ object Similarity {
     val p = 1.0 - math.acos(tau) / math.Pi
     val bands = math.max(8,
       math.ceil(math.log(missProb) / math.log1p(-math.pow(p, bits))).toInt)
+    if (bands > MaxSrpBands) {
+      // Practical τ floor at this n: the largest band count we allow still
+      // has to reach missProb, i.e. (1 − p^bits)^MaxSrpBands ≤ missProb.
+      val pFloor = math.pow(1.0 - math.pow(missProb, 1.0 / MaxSrpBands), 1.0 / bits)
+      val tauFloor = math.cos(math.Pi * (1.0 - pFloor))
+      throw new IllegalArgumentException(
+        f"srpParams(n=$n, tau=$tau): occupancy-pinned banding needs $bands bands " +
+          f"(> $MaxSrpBands cap) to hold missProb=$missProb at $bits bits. At this corpus " +
+          f"size SRP banding is only efficient for tau >= $tauFloor%.3f; below that use the " +
+          "exact prefix-filter (Dedup.jaccardPairsPrefix) or blocked-grid families, or relax missProb.")
+    }
     (bands, bits)
   }
 

@@ -20,6 +20,30 @@ class QueriesSpec extends SparkSpec {
     assert(Queries.all.keySet -- Queries.oracles.keySet == Set.empty)
   }
 
+  test("every catalog output schema is gate-safe (primitive, no raw decimals)") {
+    // The driver's correctness gate loads outputs into pandas, sorts, and
+    // hashes. That pipeline crashes on array/map/struct columns (round-6
+    // q57: "unhashable type: numpy.ndarray") and is dtype-sensitive for
+    // DECIMAL (round-6 q60: same value, different widths, hash mismatch).
+    // Gate-safe = string / integral / float / boolean / date / timestamp.
+    // Present sets as sorted joined strings, decimals as STRING or a type
+    // pinned identically in the oracle SQL.
+    import org.apache.spark.sql.types._
+    val ok: DataType => Boolean = {
+      case _: StringType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val bad = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf("sf0.001")).schema.fields.collect {
+        case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"gate-unsafe output columns (driver hasher would choke):\n  ${bad.mkString("\n  ")}")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

