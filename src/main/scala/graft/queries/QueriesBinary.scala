@@ -75,4 +75,65 @@ s AS (SELECT e.doc_id,
       FROM e, q WHERE e.doc_id <> 0)
 SELECT doc_id, cosine_sim FROM s ORDER BY cosine_sim DESC, doc_id LIMIT 10"""
   }
+
+  /** The multimodal→embedding→ANN composition END-TO-END: binary payload
+    * → deterministic feature vector (the q93 extractor, cast to the
+    * float embedding type) → sign-random-projection bucket ANN
+    * (Similarity.annLshTopK, the q27 operator) instead of q93's brute
+    * scan. The plan's candidate generation is an EQUI-JOIN on the small
+    * bucket id — at 100 TB the feature scan is embarrassingly parallel
+    * and the probe join hash-co-locates by bucket; no per-pair predicate
+    * exists anywhere. The oracle replays every stage in SQL: the same
+    * polynomial-hash features (float-cast like the Spark side), the same
+    * fixed-seed hyperplane sign buckets, the same Hamming-≤2 multi-probe,
+    * the same exact-cosine re-rank.
+    */
+  def q97_payload_ann(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val dims = 8
+    val vec = array((0 until dims).map { j =>
+      (pmod(PortableHash.asciiPolyHash(concat(lit(j.toString), col("text"))), lit(997L))
+        .cast("double") / lit(997.0) - lit(0.5))
+    }: _*)
+    val e = Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), vec.cast("array<float>").as("embedding"))
+    val queries = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.sim.Similarity.annLshTopK(e, queries, k = 10,
+        numPlanes = 6, probeHamming = 2, dim = dims)
+      .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Mirrors q97 stage by stage: feature doubles are squeezed through
+    * REAL (the Spark side stores array<float>), buckets recompute the
+    * sign bits against the same float-cast plane literals, candidates
+    * are the Hamming-≤2 buckets, cosine re-ranks exactly.
+    */
+  val q97Sql: String = {
+    val polyHash = graft.queries.QueriesDedup.polyHashSql("CAST(j AS VARCHAR) || text")
+    val planes = QueriesSim.planesSqlLiteral(graft.sim.Similarity.hyperplanes(numPlanes = 6, dim = 8))
+    raw"""WITH e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 8),
+           j -> CAST(CAST(CAST($polyHash % 997 AS DOUBLE) / 997.0 - 0.5 AS REAL) AS DOUBLE)) AS v
+  FROM documents),
+pl AS (SELECT unnest(range(0, 6)) AS j, unnest($planes) AS p),
+eb AS (SELECT e.vec_id,
+              CAST(sum(CASE WHEN list_sum(list_transform(range(1, 9), i -> e.v[i] * pl.p[i])) >= 0
+                            THEN CAST(1 AS BIGINT) << CAST(pl.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+       FROM e, pl GROUP BY e.vec_id),
+q AS (SELECT eb.bucket AS qbucket, e.v AS qv, e.vec_id AS qid
+      FROM eb JOIN e ON e.vec_id = eb.vec_id WHERE e.vec_id = 0),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 9), i -> e.v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine_sim
+      FROM e JOIN eb ON e.vec_id = eb.vec_id, q
+      WHERE bit_count(xor(eb.bucket, q.qbucket)) <= 2 AND e.vec_id <> q.qid),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
 }

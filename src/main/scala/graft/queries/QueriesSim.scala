@@ -94,7 +94,7 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 5 ORDER BY query_id
     * (Similarity.bucketId uses lit(x.toFloat)), printed via
     * Double.toString so they parse back to the identical double.
     */
-  private def planesSqlLiteral(planes: Array[Array[Double]]): String =
+  private[queries] def planesSqlLiteral(planes: Array[Array[Double]]): String =
     planes.map(p =>
       "[" + p.map(x => java.lang.Double.toString(x.toFloat.toDouble)).mkString(", ") + "]")
       .mkString("[", ", ", "]")
@@ -150,6 +150,60 @@ cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
 p AS (SELECT c.vec_id_a, c.vec_id_b, ${cosSql("ea.v", "eb.v")} AS cosine_sim
       FROM cand c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b)
 SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45 ORDER BY vec_id_a, vec_id_b"""
+  }
+
+  /** q40's production companion: the SAME banded-SRP near-dup operator,
+    * but with (bands, bits) derived by [[Similarity.srpParams]] — the
+    * occupancy-pinned parameter rule that survives scale-up (fixed
+    * parameters measured 41× slower at 8× the vectors; SCALING.md) —
+    * instead of q40's pinned 16×6. The design point is the gate corpus:
+    * n = 516 (the 500 sf0.01 embeddings + the 16 planted twins below) at
+    * τ = 0.95 → srpParams gives (17 bands × 8 bits), and those DERIVED
+    * values parameterize both the Spark plan and the oracle's plane
+    * literals, so the rule itself is what the gate checks.
+    *
+    * Because isotropic test vectors have no organic pairs near τ = 0.95,
+    * the fixture plants 16 exact twins (vec_id + 1_000_000, embedding
+    * unchanged). Identical vectors agree with every hyperplane, so they
+    * collide in ALL bands deterministically — the catalog result is the
+    * 16 planted pairs at cosine 1.0, immune to banding randomness, while
+    * recall at τ for near-twins (miss ≈ 4.6e-5 at the derived
+    * parameters) is property-tested in SimilaritySpec.
+    */
+  val Q98DesignN = 516L
+  val Q98Tau = 0.95
+  private val q98Params: (Int, Int) = Similarity.srpParams(Q98DesignN, Q98Tau)
+
+  def q98_srp_params(s: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = q98Params
+    val base = emb(s, dir).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.srpNearDupPairs(base.unionByName(planted), Q98Tau,
+        numBands = bands, planesPerBand = bits)
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** Same oracle shape as q40Sql, with the srpParams-derived band/bit
+    * counts spliced in as literals and the planted-twin union in front.
+    */
+  val q98Sql: String = {
+    val (bands, bits) = q98Params
+    val planes = planesSqlLiteral(Similarity.hyperplanes(bands * bits, dim = 64))
+    raw"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 16),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base),
+pl AS (SELECT unnest(range(0, ${bands * bits})) AS pj, unnest($planes) AS p),
+sigs AS (SELECT e.vec_id, pl.pj // $bits AS band,
+                CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * pl.p[i])) >= 0
+                              THEN CAST(1 AS BIGINT) << CAST(pl.pj % $bits AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+         FROM e, pl GROUP BY e.vec_id, pl.pj // $bits),
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+p AS (SELECT c.vec_id_a, c.vec_id_b, ${cosSql("ea.v", "eb.v")} AS cosine_sim
+      FROM cand c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b)
+SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= $Q98Tau ORDER BY vec_id_a, vec_id_b"""
   }
 
   /** IVF-style ANN (inverted-file cells + nprobe search) — the other

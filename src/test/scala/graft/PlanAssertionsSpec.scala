@@ -60,6 +60,26 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), "q27 candidates must come from an equi-join on bucket")
   }
 
+  test("q97: payload→feature→ANN composition keeps the bucket equi-join end-to-end") {
+    // The multimodal composition must inherit q27's scale shape: feature
+    // extraction is a narrow projection over the documents scan, and ANN
+    // candidates come from an equi-join on the bucket id — no node in the
+    // whole plan may enumerate (document, query) pairs.
+    val plan = executedPlanString(graft.queries.QueriesBinary.q97_payload_ann(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q97 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q97 must not scan all (doc, query) pairs")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "q97 candidates must come from an equi-join on bucket")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q97 scan must read only doc_id+text:\n${plan.take(2000)}")
+  }
+
+  test("q98: srpParams-derived banding joins on (band, sig), never pairs") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q98_srp_params(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q98 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q98 must not nested-loop over vector pairs")
+  }
+
   test("q39: interval-join equi keys include the 30-min time bucket") {
     val plan = executedPlanString(graft.queries.QueriesRelational.q39_event_followups(spark, sf("sf0.001")))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
