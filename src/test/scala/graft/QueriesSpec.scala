@@ -48,6 +48,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("portable modulo: (x % n + n) % n == pmod(x, n) on NEGATIVE keys") {
+    // The q48/q59 oracles rewrite Spark's pmod as (x % n + n) % n because
+    // DuckDB's % keeps the dividend's sign. Spark's % has the SAME
+    // dividend-sign semantics, so this identity over negative ids is an
+    // executable twin of the cross-engine contract — current test data is
+    // all non-negative, which is exactly why this needs its own fixture.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = Seq(-23L, -10L, -7L, -3L, -1L, 0L, 1L, 7L, 10L, 23L, Long.MinValue + 1).toDF("id")
+    for (n <- Seq(2, 10, 997)) {
+      val bad = ids.select(col("id"),
+          pmod(col("id"), lit(n)).as("pm"),
+          ((col("id") % n + n) % n).as("rewrite"))
+        .filter(col("pm") =!= col("rewrite") || col("pm") < 0 || col("pm") >= n)
+        .collect()
+      assert(bad.isEmpty, s"portable-modulo contract broken at n=$n: ${bad.mkString(",")}")
+    }
+  }
+
   test("q94's A-ES weighting actually biases the sample toward heavy documents") {
     import org.apache.spark.sql.functions._
     val sampledAvg = graft.queries.QueriesPipeline.q94_weighted_sample(spark, sf("sf0.01"))

@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
       s"expected one row per original event: ${got.length} vs $batchDistinct")
   }
 
+  test("dedup state is EVICTED by the watermark, measured from query progress") {
+    // Two chronological chunks so the watermark advances between batches.
+    // dropDuplicatesWithinWatermark keeps one state row per id seen — the
+    // boundedness claim is that ids older than the watermark are evicted,
+    // so final state tracks the watermark tail, NOT the stream length.
+    // Measured via lastProgress.stateOperators (the operational telemetry
+    // an on-call engineer reads), not by poking store internals.
+    //
+    // Chunks MUST be staged in the raw int64-nanos form readEvents
+    // expects: staging through the batch loader (ts already µs) would
+    // make readEvents's `ts div 1000` compress 30 days into 44 minutes —
+    // inside the 2h delay, where NO watermark can ever evict anything.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-dedup-evict").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.dedupEvents(StreamingJobs.readEvents(spark, d))
+      .writeStream.outputMode("append").format("memory").queryName("dedupevict").start()
+    q.processAllAvailable()
+    val afterChunk1 = q.lastProgress.stateOperators.head.numRowsTotal
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    val afterChunk2 = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val total = raw.count()
+    // A 2h watermark tail of a 15-day chunk holds a handful of the 1000
+    // ids (measured: 4-7); half is a generous ceiling that still rules
+    // out any implementation accumulating state with stream length.
+    assert(afterChunk1 < total / 2,
+      s"chunk-1 dedup state not evicted: $afterChunk1 ids retained")
+    assert(afterChunk2 < total / 2,
+      s"final dedup state tracks stream length, not watermark: $afterChunk2 of $total ids")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
       .writeStream.outputMode("append").format("memory").queryName("pairs").start()

@@ -48,24 +48,62 @@ class StreamingWindowSpec extends SparkSpec {
     // not every window ever seen — the claim behind "state is bounded by
     // the watermark, not by stream length", checked against the actual
     // state-store row metrics.
-    val all = graft.core.Tables.events(spark, sf("sf0.001"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
-    val cut = all.selectExpr("percentile(cast(cast(ts as timestamp) as long), 0.5)").first().getDouble(0).toLong
+    //
+    // Chunks are staged in the raw int64-nanos form readEvents expects:
+    // staging through the batch loader (ts already µs) would make
+    // readEvents's `ts div 1000` compress the 30-day stream inside the
+    // 2h watermark delay, where nothing can ever close or evict — the
+    // assertion would then measure an artifact, not eviction.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
     val d = java.nio.file.Files.createTempDirectory("graft-ev-evict").toString
-    all.filter(col("ts").cast("timestamp").cast("long") <= cut).coalesce(1).write.mode("append").parquet(d)
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
     val q = StreamingJobs.hoppingCounts(StreamingJobs.readEvents(spark, d))
       .writeStream.outputMode("append").format("memory").queryName("hopevict").start()
     q.processAllAvailable()
-    all.filter(col("ts").cast("timestamp").cast("long") > cut).coalesce(1).write.mode("append").parquet(d)
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
     q.processAllAvailable()
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     q.stop()
-    val totalGroups = all
+    val totalGroups = graft.core.Tables.events(spark, sf("sf0.001"))
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .count().count()
     assert(stateRows > 0, "state store should hold the watermark-open tail")
     assert(stateRows < totalGroups / 2,
       s"watermark did not evict: $stateRows state rows vs $totalGroups total windows")
+  }
+
+  test("session_window state is EVICTED by the watermark, measured from query progress") {
+    // Same two-chunk shape as the hopping-window eviction test, for the
+    // OTHER stateful aggregation: closed sessions must leave the store
+    // once the watermark passes their end, so state is O(open sessions),
+    // not O(all sessions ever). Read from lastProgress.stateOperators —
+    // the progress telemetry — so the bounded-state claim is measured
+    // the way production monitoring would measure it.
+    // Staged in the raw int64-nanos form readEvents expects — batch-loader
+    // staging would double-apply the nanos→µs division and compress the
+    // whole stream inside the watermark delay (see the dedup twin test).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-sess-evict").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.sessionWindowStats(StreamingJobs.readEvents(spark, d))
+      .writeStream.outputMode("append").format("memory").queryName("sessevict").start()
+    q.processAllAvailable()
+    val afterChunk1 = q.lastProgress.stateOperators.head.numRowsTotal
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    val afterChunk2 = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val totalSessions = graft.core.Tables.events(spark, sf("sf0.001"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().count()
+    assert(afterChunk1 < totalSessions / 2,
+      s"chunk-1 session state not evicted: $afterChunk1 rows vs $totalSessions sessions")
+    assert(afterChunk2 < totalSessions / 2,
+      s"final session state tracks all sessions ever, not open ones: $afterChunk2 vs $totalSessions")
   }
 
   test("native session_window streaming equals its batch twin and q29's session counts") {
