@@ -110,6 +110,67 @@ class StreamingSpec extends SparkSpec {
       s"final dedup state tracks stream length, not watermark: $afterChunk2 of $total ids")
   }
 
+  test("streaming near-dup pairs equal batch minHashNearDup when the horizon covers the stream") {
+    // Documents streamed with synthetic arrival times 60s apart; a
+    // horizon wider than the whole stream makes every pair eligible, so
+    // the streaming result must equal the batch MinHash+LSH path exactly
+    // (same permutation family, same band layout → identical candidates;
+    // exact Jaccard decides on both sides).
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-stream").toString
+    docs.withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") * 60))
+      .select("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.nearDupPairsStream(
+        StreamingJobs.readDocs(spark, d), shingleN = 5, threshold = 0.8, horizon = "30 days")
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup")
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.dedup.Dedup.minHashNearDup(docs, shingleN = 5, threshold = 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    assert(got == batch,
+      s"streaming vs batch near-dup diverge: extra=${(got -- batch).take(3)} missing=${(batch -- got).take(3)}")
+  }
+
+  test("streaming near-dup with a bounded horizon emits only in-horizon pairs and bounds state") {
+    // 10-minute horizon over 60s-spaced arrivals: only pairs ≤ 10 ids
+    // apart are eligible. Equality against the time-filtered batch pairs
+    // pins the semantics; join state measured from progress telemetry
+    // must track the horizon, not the stream length.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val staged = docs.withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") * 60))
+      .select("doc_id", "ts", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-stream-h").toString
+    val n = docs.count()
+    staged.filter(col("doc_id") < n / 2).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.nearDupPairsStream(
+        StreamingJobs.readDocs(spark, d), shingleN = 5, threshold = 0.8, horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_h").start()
+    q.processAllAvailable()
+    staged.filter(col("doc_id") >= n / 2).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val got = spark.table("neardup_h")
+      .select(col("doc_id_a"), col("doc_id_b")).as[(Long, Long)].collect().toSet
+    val batch = graft.dedup.Dedup.minHashNearDup(docs, shingleN = 5, threshold = 0.8)
+      .filter(abs(col("doc_id_a") - col("doc_id_b")) <= 10)
+      .select(col("doc_id_a"), col("doc_id_b")).as[(Long, Long)].collect().toSet
+    assert(got == batch,
+      s"bounded-horizon pairs diverge: extra=${(got -- batch).take(3)} missing=${(batch -- got).take(3)}")
+    // Unbounded accumulation would hold every banded row ever seen
+    // (2 sides × docs × 32 bands); the horizon holds ~10-20 docs' worth.
+    val unbounded = 2L * n * 32
+    assert(stateRows < unbounded / 4,
+      s"join state tracks stream length, not horizon: $stateRows of $unbounded banded rows")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
       .writeStream.outputMode("append").format("memory").queryName("pairs").start()
