@@ -216,6 +216,55 @@ object StreamingJobs {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming CDC APPLY — the other half of q96's snapshot DIFF: an
+    * upsert stream (key, …, event-time) maintained as a last-writer-wins
+    * keyed snapshot via foreachBatch. Each microbatch reduces to its
+    * newest row per key (event-time order — callers must have unique
+    * (key, ts) pairs, as a CDC log does), anti-joins the previous
+    * snapshot, and writes the merged result as a NEW version directory
+    * `v=<batchId>`:
+    *  - versioned-overwrite makes replay idempotent — a redelivered
+    *    batch rebuilds from its PREDECESSOR version and overwrites its
+    *    own output, so at-least-once foreachBatch upgrades to
+    *    exactly-once snapshots (the idempotentParquetSink argument,
+    *    applied to merge instead of append);
+    *  - the merge itself is one keyed anti-join + union — the payload
+    *    shuffles once per batch, keyed by `keyCol`.
+    * 100 TB note: full-snapshot rewrite per batch is the demo-scale
+    * simplification; production uses a transactional table format where
+    * this same (dedupe batch → anti-join → union) plan is the MERGE's
+    * physical shape, applied to touched files only. The SEMANTICS tested
+    * here (last-writer-wins, replay-idempotent, batch-atomic) carry over.
+    */
+  def cdcUpsertSink(outDir: String, keyCol: String, tsCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol).desc)
+    val newest = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val prev = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+      .sorted.lastOption
+    val merged = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$outDir/v=$v")
+          .join(newest, Seq(keyCol), "left_anti")
+          .unionByName(newest)
+      case None => newest
+    }
+    merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+  }
+
+  /** The current CDC snapshot: the highest version directory. */
+  def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+    val latest = new java.io.File(outDir).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    spark.read.parquet(s"$outDir/v=$latest")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
       s"join state tracks stream length, not horizon: $stateRows of $unbounded banded rows")
   }
 
+  test("CDC upsert sink: streamed events materialize the batch last-value-per-user snapshot, replay-idempotent") {
+    // Events as an upsert stream keyed by user_id: after streaming the
+    // whole log in two chronological chunks, the maintained snapshot must
+    // equal the batch "newest event per user" query; redelivering a batch
+    // to the sink must leave the snapshot byte-identical (exactly-once
+    // from at-least-once replay).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-cdc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cdc-out").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val upserts = StreamingJobs.readEvents(spark, d).select("user_id", "ts", "value")
+    val q = upserts.writeStream
+      .foreachBatch(StreamingJobs.cdcUpsertSink(out, "user_id", "ts") _)
+      .start()
+    q.processAllAvailable()
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable(); q.stop()
+
+    def snap() = StreamingJobs.cdcSnapshot(spark, out)
+      .select(col("user_id"), col("ts").cast("string"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    val batch = graft.core.Tables.events(spark, sf("sf0.001"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts").cast("string"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    val afterStream = snap()
+    assert(afterStream == batch,
+      s"CDC snapshot diverges from batch newest-per-key: extra=${(afterStream -- batch).take(3)} missing=${(batch -- afterStream).take(3)}")
+
+    // at-least-once replay: re-deliver the LAST batch with the same id,
+    // reconstructed exactly as readEvents presented it (nanos → µs)
+    val lastBatch = raw.filter(col("ts") > cut)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "value")
+    val versions = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    StreamingJobs.cdcUpsertSink(out, "user_id", "ts")(lastBatch, versions.max)
+    assert(snap() == afterStream, "replaying a batch changed the snapshot — sink is not idempotent")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
       .writeStream.outputMode("append").format("memory").queryName("pairs").start()
