@@ -136,4 +136,69 @@ r AS (SELECT query_id, vec_id, cosine_sim,
       FROM s)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
+
+  /** The payload composition through the OTHER ANN family: binary payload
+    * → deterministic features → IVF (inverted-file cells, nprobe probing)
+    * — q34's operator fed from q97's feature extractor, so both classic
+    * ANN scale paths are exercised end-to-end from raw payload. Init
+    * centroids (iters = 0) keep every step SQL-replayable: cells are the
+    * first 16 docs' feature vectors, assignment/probing use the
+    * |c|² − 2·e·c argmin with first-index tie-break, exact cosine
+    * re-ranks within the probed cells. At scale the cell equi-join reads
+    * only nprobe cells per query — the candidate key is a cell id, never
+    * a vector.
+    */
+  def q99_payload_ivf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val dims = 8
+    val vec = array((0 until dims).map { j =>
+      (pmod(PortableHash.asciiPolyHash(concat(lit(j.toString), col("text"))), lit(997L))
+        .cast("double") / lit(997.0) - lit(0.5))
+    }: _*)
+    val e = Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), vec.cast("array<float>").as("embedding"))
+    val model = graft.sim.IvfIndex.train(e, k = 16, iters = 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.sim.IvfIndex.annTopK(graft.sim.IvfIndex.assign(e, model), queries, model,
+        k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The q34 oracle shape over the q97 feature CTE: centroids are the
+    * first 16 feature vectors, every score/tie-break/probe/re-rank step
+    * replayed in SQL.
+    */
+  val q99Sql: String = {
+    val polyHash = graft.queries.QueriesDedup.polyHashSql("CAST(j AS VARCHAR) || text")
+    raw"""WITH e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 8),
+           j -> CAST(CAST(CAST($polyHash % 997 AS DOUBLE) / 997.0 - 0.5 AS REAL) AS DOUBLE)) AS v
+  FROM documents),
+c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id,
+                round(list_sum(list_transform(range(1, 9), i -> e.v[i] * qe.v[i]))
+                      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(qe.v, x -> x * x)))), 6) AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
 }

@@ -362,4 +362,37 @@ ORDER BY doc_id_a, doc_id_b"""
   val q25Sql: String =
     raw"""SELECT doc_id, ${polyHashSql(s"array_to_string($ToksSql, ' ')")} AS fingerprint
 FROM documents ORDER BY doc_id"""
+
+  /** Incremental ingest dedup — the production shape of "dedup a new
+    * crawl against the existing corpus": the batch (docs with
+    * doc_id ≡ 3 mod 4, standing in for the new arrivals) keeps only
+    * documents that are novel against BOTH the existing corpus (digest
+    * anti-join) and the batch itself (min-id per digest), in one plan.
+    * Everything shuffles 32-byte sha2 digests keyed by content — the
+    * payload text never moves, and the existing-corpus side needs only
+    * its digest column read (at 100 TB: a digest column/index scan, not
+    * a corpus scan). The oracle expresses the same semantics with raw
+    * text equality — digest-join vs text-equality is exactly the
+    * injectivity the exact-dedup family rests on.
+    */
+  def q100_ingest_novel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      sha2(col("text"), 256).as("dg"), pmod(col("doc_id"), lit(4)).as("m"))
+    val existing = d.filter(col("m") =!= 3).select("dg")
+    val batch = d.filter(col("m") === 3)
+    val novel = batch.join(existing, Seq("dg"), "left_anti")
+    val keep = novel.groupBy("dg").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    novel.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q100Sql: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE (doc_id % 4 + 4) % 4 = 3),
+ex AS (SELECT DISTINCT text FROM documents WHERE (doc_id % 4 + 4) % 4 <> 3),
+novel AS (SELECT b.* FROM b ANTI JOIN ex ON b.text = ex.text),
+kept AS (SELECT doc_id, lang, n_chars,
+                row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM novel)
+SELECT doc_id, lang, n_chars FROM kept WHERE rn = 1 ORDER BY doc_id"""
 }

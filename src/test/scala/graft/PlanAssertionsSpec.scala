@@ -80,6 +80,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "q98 must not nested-loop over vector pairs")
   }
 
+  test("q99: payload→IVF composition probes cells via equi-join, never pairs") {
+    val plan = executedPlanString(graft.queries.QueriesBinary.q99_payload_ivf(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q99 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q99 must not scan all (doc, query) pairs")
+  }
+
+  test("q100: ingest dedup joins on the digest — document text never a join key") {
+    val plan = executedPlanString(graft.queries.QueriesDedup.q100_ingest_novel(spark, sf("sf0.001")))
+    // Joins/exchanges must be keyed by the sha2 digest (or doc_id), never
+    // by the text payload: at 100 TB the corpus text must not shuffle.
+    val keyLines = plan.linesIterator.filter(l =>
+      l.contains("Join") || l.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!keyLines.contains("text"),
+      s"document text appears in a join/shuffle key:\n$keyLines")
+  }
+
   test("q39: interval-join equi keys include the 30-min time bucket") {
     val plan = executedPlanString(graft.queries.QueriesRelational.q39_event_followups(spark, sf("sf0.001")))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
