@@ -95,8 +95,11 @@ SELECT doc_id, cosine_sim FROM s ORDER BY cosine_sim DESC, doc_id LIMIT 10"""
       (pmod(PortableHash.asciiPolyHash(concat(lit(j.toString), col("text"))), lit(997L))
         .cast("double") / lit(997.0) - lit(0.5))
     }: _*)
+    // Persist the feature projection: it feeds the corpus side, the
+    // query side and the exact re-rank — one scan instead of three.
     val e = Tables(s, dir, "documents")
       .select(col("doc_id").as("vec_id"), vec.cast("array<float>").as("embedding"))
+      .persist()
     val queries = e.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     graft.sim.Similarity.annLshTopK(e, queries, k = 10,
@@ -155,8 +158,13 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
       (pmod(PortableHash.asciiPolyHash(concat(lit(j.toString), col("text"))), lit(997L))
         .cast("double") / lit(997.0) - lit(0.5))
     }: _*)
+    // The feature projection is the expensive part (8 polynomial hashes
+    // over full text) and feeds FOUR consumers (train sample, assignment,
+    // the probe side, the re-rank join) — persist it so the scan runs
+    // once, the same pattern minHashNearDup uses for its shingle table.
     val e = Tables(s, dir, "documents")
       .select(col("doc_id").as("vec_id"), vec.cast("array<float>").as("embedding"))
+      .persist()
     val model = graft.sim.IvfIndex.train(e, k = 16, iters = 0)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
