@@ -211,6 +211,54 @@ object Dedup {
     exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC prefix-filtered exact Jaccard join — near-dup screening
+    * of a new batch AGAINST an existing corpus (the ingest-time
+    * companion of [[ngramJaccardPairsPrefix]]): pairs (existing, new)
+    * with shingle Jaccard ≥ τ, never existing×existing or new×new.
+    *
+    * The prefix principle is per-document, so it transfers unchanged —
+    * the only requirement is that BOTH sides' prefixes are taken under
+    * one COMMON global shingle order (df over the union here; any fixed
+    * total order preserves exactness, df just makes prefixes rare). The
+    * inverted index is built over the EXISTING side's prefixes only as
+    * deep as the new side probes it: candidates are (prefixA ⋈ prefixB)
+    * on the shingle hash + the size-compatibility filter, then the FULL
+    * sets verify. At 100 TB the corpus-side df and prefix index are
+    * incrementally maintained artifacts (df only grows, which can only
+    * LENGTHEN prefixes → candidates are a superset → still exact) — the
+    * per-batch cost is probing with the new docs' prefixes.
+    *
+    * Caller contract: the two sides' doc_id spaces are disjoint.
+    */
+  def crossJaccardPrefix(existing: DataFrame, batch: DataFrame,
+      shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"prefix filter needs 0 < tau < 1, got $threshold")
+    val shA = shingleHashes(existing, shingleN)
+    val shB = shingleHashes(batch, shingleN)
+    val sh = shA.unionByName(shB).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    def ceilTau(n: org.apache.spark.sql.Column) =
+      greatest(lit(1L), ceil(n * lit(threshold) - lit(1e-9)).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefixes = sh.join(dfreq, "h").join(sizes, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("n") - ceilTau(col("n")) + lit(1L))
+      .select(col("doc_id"), col("h"), col("n"))
+    val aIds = existing.select(col("doc_id")).distinct()
+    val bIds = batch.select(col("doc_id")).distinct()
+    val pa = prefixes.join(aIds, "doc_id")
+      .select(col("doc_id").as("existing_id"), col("h"), col("n").as("na"))
+    val pb = prefixes.join(bIds, "doc_id")
+      .select(col("doc_id").as("new_id"), col("h"), col("n").as("nb"))
+    val cands = pa.join(pb, "h")
+      .filter(col("nb") >= ceilTau(col("na")) && col("na") >= ceilTau(col("nb")))
+      .select(col("existing_id").as("doc_id_a"), col("new_id").as("doc_id_b"))
+      .distinct()
+    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a").as("existing_id"), col("doc_id_b").as("new_id"), col("jaccard"))
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

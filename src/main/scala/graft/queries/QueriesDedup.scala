@@ -395,4 +395,38 @@ novel AS (SELECT b.* FROM b ANTI JOIN ex ON b.text = ex.text),
 kept AS (SELECT doc_id, lang, n_chars,
                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM novel)
 SELECT doc_id, lang, n_chars FROM kept WHERE rn = 1 ORDER BY doc_id"""
+
+  /** q100's NEAR-dup companion: the new batch screened against the
+    * existing corpus for high-overlap (not just identical) documents,
+    * via the ASYMMETRIC prefix-filter exact Jaccard join
+    * (Dedup.crossJaccardPrefix) — the production ingest screen, where
+    * the corpus-side prefix index is the incrementally-maintained
+    * artifact and each batch only probes it. Exact (prefix filtering
+    * never loses a pair; full sets verify), so the oracle recomputes
+    * raw cross-side shingle Jaccard with no reference to the pruning.
+    */
+  def q101_ingest_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("m", pmod(col("doc_id"), lit(4)))
+    val existing = d.filter(col("m") =!= 3).select("doc_id", "text")
+    val batch = d.filter(col("m") === 3).select("doc_id", "text")
+    Dedup.crossJaccardPrefix(existing, batch, shingleN = 5, threshold = 0.5)
+      .select(col("new_id"), col("existing_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("new_id", "existing_id")
+  }
+
+  val q101Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS existing_id, b.doc_id AS new_id, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s
+           WHERE (a.doc_id % 4 + 4) % 4 <> 3 AND (b.doc_id % 4 + 4) % 4 = 3
+           GROUP BY 1, 2)
+SELECT new_id, existing_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = existing_id
+JOIN sizes sb ON sb.doc_id = new_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+ORDER BY new_id, existing_id"""
 }

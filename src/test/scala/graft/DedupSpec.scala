@@ -41,6 +41,36 @@ class DedupSpec extends SparkSpec {
     assert(key(Dedup.ngramJaccardPairsPrefix(df, 3, 0.5)) == full)
   }
 
+  test("asymmetric prefix join == cross-side pairs of the full index at every threshold") {
+    // crossJaccardPrefix(existing, batch) must find exactly the
+    // (existing, new) pairs of the symmetric full-index join, no
+    // intra-side pairs, at every threshold — the exactness contract of
+    // the ingest near-dup screen.
+    val tagged = docs.withColumn("m", pmod(col("doc_id"), lit(4)))
+    val existing = tagged.filter(col("m") =!= 3).select("doc_id", "text")
+    val batch = tagged.filter(col("m") === 3).select("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val cross = Dedup.crossJaccardPrefix(existing, batch, shingleN = 3, threshold = tau)
+        .select(col("existing_id"), col("new_id"),
+          org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.ngramJaccardPairs(docs, shingleN = 3, threshold = tau)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j"))
+        .as[(Long, Long, Double)].collect()
+        .flatMap { case (a, b, j) =>
+          // keep only cross-side pairs, canonicalized (existing, new)
+          (a % 4 == 3, b % 4 == 3) match {
+            case (false, true) => Some((a, b, j))
+            case (true, false) => Some((b, a, j))
+            case _ => None
+          }
+        }.toSet
+      assert(cross == full,
+        s"asymmetric prefix join diverged at tau=$tau: extra=${(cross -- full).take(3)} missing=${(full -- cross).take(3)}")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.exactKeepFirst(docs, "text", "doc_id")
     val twice = Dedup.exactKeepFirst(once, "text", "doc_id")
