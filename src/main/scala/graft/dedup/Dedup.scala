@@ -259,6 +259,55 @@ object Dedup {
       .select(col("doc_id_a").as("existing_id"), col("doc_id_b").as("new_id"), col("jaccard"))
   }
 
+  /** Exact shingle CONTAINMENT pairs (|a∩b| / |a| ≥ τ, a ≠ b) via
+    * ONE-SIDED prefix filtering — the scale path for the asymmetric
+    * measure (a document embedded in a larger one), where symmetric
+    * Jaccard pruning does not apply.
+    *
+    * Containment bounds only the CONTAINED side: c = |a∩b| ≥ ⌈τ·|a|⌉
+    * says nothing about |b|, so only a's side can take a prefix — at
+    * most |a| − ⌈τ·|a|⌉ of a's shingles are outside b, hence the first
+    * |a| − ⌈τ·|a|⌉ + 1 under ANY fixed global order contain a common
+    * element (pigeonhole), while b must stay fully indexed. The global
+    * order is df asc (rarest first), so a's probes hit the df tail and
+    * avoid boilerplate hot keys unless a consists of nothing else —
+    * the intrinsic worst case of exact containment, which no pruning
+    * can remove (cf. the df-capped APPROXIMATE screen in the q54
+    * decontamination family). Candidates are verified on the FULL sets;
+    * the ceiling carries the same downward FP slack as the Jaccard
+    * prefix filters (extra candidates possible, lost pairs impossible).
+    */
+  def containmentPrefix(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"prefix filter needs 0 < tau < 1, got $threshold")
+    val sh = shingleHashes(docs, shingleN).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    def ceilTau(n: org.apache.spark.sql.Column) =
+      greatest(lit(1L), ceil(n * lit(threshold) - lit(1e-9)).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefixes = sh.join(dfreq, "h").join(sizes, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("n") - ceilTau(col("n")) + lit(1L))
+      .select(col("doc_id").as("doc_id_a"), col("h"))
+    val index = sh.select(col("doc_id").as("doc_id_b"), col("h"))
+    val cands = prefixes.join(index, "h")
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_id_a"), col("h"))
+    val sb = sh.select(col("doc_id").as("doc_id_b"), col("h"))
+    val common = cands
+      .join(sa, "doc_id_a")
+      .join(sb, Seq("doc_id_b", "h"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("c").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

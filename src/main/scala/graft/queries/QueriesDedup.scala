@@ -429,4 +429,30 @@ JOIN sizes sa ON sa.doc_id = existing_id
 JOIN sizes sb ON sb.doc_id = new_id
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 ORDER BY new_id, existing_id"""
+
+  /** q72's scale path: the same containment measure at a production
+    * threshold through the ONE-SIDED prefix filter
+    * (Dedup.containmentPrefix) — only the contained side probes, with
+    * its rarest (1−τ)·|a|+1 shingles, while the index side stays full;
+    * exact by the same pigeonhole argument as the Jaccard prefixes.
+    * 5-gram shingles because prefix filtering needs a df tail to ride
+    * (SCALING.md: trigrams on this vocabulary have none).
+    */
+  def q102_containment_prefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPrefix(graft.operators.Respread.ifCoarse(docs(s, dir)),
+        shingleN = 5, threshold = 0.6)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("containment"), 6).as("containment"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  val q102Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_id_a
+WHERE CAST(c AS DOUBLE) / sa.n >= 0.6
+ORDER BY doc_id_a, doc_id_b"""
 }

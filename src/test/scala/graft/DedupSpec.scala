@@ -71,6 +71,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("one-sided containment prefix filter == full inverted index at every threshold") {
+    import graft.text.Text
+    // full-index containment formulation (the q72 shape) as ground truth
+    def full(tau: Double): Set[(Long, Long, Double)] = {
+      val sh = docs.select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("sh"), col("doc_id").as("doc_id_a"))
+      val b = sh.select(col("sh"), col("doc_id").as("doc_id_b"))
+      a.join(b, Seq("sh")).filter(col("doc_id_a") =!= col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("c"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_a"), Seq("doc_id_a"))
+        .filter(col("c").cast("double") / col("n") >= tau)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("c").cast("double") / col("n"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.containmentPrefix(docs, shingleN = 3, threshold = tau)
+        .select(col("doc_id_a"), col("doc_id_b"), round(col("containment"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = full(tau)
+      assert(pref == expected,
+        s"containment prefix diverged at tau=$tau: extra=${(pref -- expected).take(3)} missing=${(expected -- pref).take(3)}")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.exactKeepFirst(docs, "text", "doc_id")
     val twice = Dedup.exactKeepFirst(once, "text", "doc_id")
