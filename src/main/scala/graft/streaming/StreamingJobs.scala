@@ -216,6 +216,51 @@ object StreamingJobs {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming ANN SERVING: an unbounded query-vector stream probing a
+    * STATIC embedding corpus — the online face of Similarity.annLshTopK.
+    * The corpus is banded ONCE (bucket id per vector, same fixed-seed
+    * hyperplanes as batch) and the stream side explodes each query to
+    * its Hamming-≤`probeHamming` probe buckets; candidates come from the
+    * stream-static equi-join on `bucket`, which is STATELESS (the static
+    * side broadcasts / re-plans per microbatch — no join state at all).
+    * The only stateful operator is the per-query top-k: a windowed
+    * TopKAgg keyed by (event-time window, query), whose state the
+    * watermark closes and evicts — so serving state is O(open windows ×
+    * queries-per-window × k), independent of stream length.
+    *
+    * Append mode emits each query's final top-k exactly once, when its
+    * window closes — the contract an online retrieval consumer wants.
+    */
+  def annServeStream(queryStream: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 6, probeHamming: Int = 2, dim: Int = 64,
+      window: String = "1 minute", delay: String = "2 minutes"): DataFrame = {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val indexed = corpus
+      .withColumn("bucket", Similarity.bucketId(col("embedding"), planes))
+      .withColumn("__n", normF32(col("embedding")))
+    val masks = Similarity.probeMasks(numPlanes, probeHamming)
+    val probes = queryStream
+      .withColumn("qbucket", Similarity.bucketId(col("query_vec"), planes))
+      .withColumn("__qn", normF32(col("query_vec")))
+      .withColumn("bucket", explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+      .withWatermark("ts", delay)
+    probes
+      .join(indexed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("ts"), col("query_id"), col("vec_id"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), k).as("top"))
+      .select(col("window.start").as("win_start"), col("query_id"),
+        posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("win_start"), col("query_id"),
+        col("__kv.id").as("vec_id"), col("__kv.score").as("cosine_sim"),
+        (col("__r") + 1).cast("long").as("rnk"))
+  }
+
   /** Streaming CDC APPLY — the other half of q96's snapshot DIFF: an
     * upsert stream (key, …, event-time) maintained as a last-writer-wins
     * keyed snapshot via foreachBatch. Each microbatch reduces to its

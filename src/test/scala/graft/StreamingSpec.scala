@@ -171,6 +171,45 @@ class StreamingSpec extends SparkSpec {
       s"join state tracks stream length, not horizon: $stateRows of $unbounded banded rows")
   }
 
+  test("streaming ANN serving equals batch annLshTopK per query") {
+    // 20 query vectors streamed 30s apart against the static embedding
+    // corpus; a far-future flusher query advances the watermark so every
+    // real window closes and emits. Each query's served top-k must equal
+    // the batch probe-bucket ANN exactly (same planes, same probes, same
+    // rounding, same tie-break).
+    val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val staged = queries
+      .select(col("vec_id").as("query_id"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id") * 30).as("ts"),
+        col("embedding").as("query_vec"))
+      .unionByName(queries.limit(1)
+        .select(lit(999999L).as("query_id"),
+          timestamp_seconds(lit(1700000000L + 3600L)).as("ts"),
+          col("embedding").as("query_vec")))
+    val d = java.nio.file.Files.createTempDirectory("graft-ann-serve").toString
+    staged.coalesce(1).write.mode("append").parquet(d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("query_vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(d)
+    val q = StreamingJobs.annServeStream(stream, emb, k = 10)
+      .writeStream.outputMode("append").format("memory").queryName("annserve").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("annserve").filter(col("query_id") =!= 999999L)
+      .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = graft.sim.Similarity.annLshTopK(emb,
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")), k = 10)
+      .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(batch.nonEmpty && got == batch,
+      s"served ANN diverges from batch: extra=${(got -- batch).take(3)} missing=${(batch -- got).take(3)}")
+  }
+
   test("CDC upsert sink: streamed events materialize the batch last-value-per-user snapshot, replay-idempotent") {
     // Events as an upsert stream keyed by user_id: after streaming the
     // whole log in two chronological chunks, the maintained snapshot must
