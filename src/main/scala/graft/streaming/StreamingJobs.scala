@@ -310,6 +310,27 @@ object StreamingJobs {
     spark.read.parquet(s"$outDir/v=$latest")
   }
 
+  /** Version-chain retention for [[cdcUpsertSink]]: drop all but the
+    * newest `keepVersions` snapshot directories. keepVersions ≥ 2 is the
+    * floor — a replayed batch rebuilds from its PREDECESSOR, so the
+    * at-least-once replay window needs the latest version's parent to
+    * survive; keeping only the head would turn a replay into a snapshot
+    * that forgot every key the replayed batch didn't touch. (The same
+    * invariant every transactional table format encodes as "don't vacuum
+    * past the oldest uncommitted reader/writer".)
+    */
+  def cdcCompact(outDir: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2,
+      s"keepVersions must be >= 2 (replay rebuilds from the predecessor), got $keepVersions")
+    val versions = new java.io.File(outDir).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    versions.dropRight(keepVersions).foreach { v =>
+      val dir = java.nio.file.Paths.get(outDir, s"v=$v")
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

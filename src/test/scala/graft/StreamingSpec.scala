@@ -252,6 +252,15 @@ class StreamingSpec extends SparkSpec {
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
     StreamingJobs.cdcUpsertSink(out, "user_id", "ts")(lastBatch, versions.max)
     assert(snap() == afterStream, "replaying a batch changed the snapshot — sink is not idempotent")
+
+    // retention: compaction keeps the head + predecessor, drops the rest,
+    // and the snapshot AND replay-idempotence both survive it
+    StreamingJobs.cdcCompact(out, keepVersions = 2)
+    val left = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(left.length == 2, s"compaction kept ${left.mkString(",")}")
+    assert(snap() == afterStream, "compaction changed the current snapshot")
+    StreamingJobs.cdcUpsertSink(out, "user_id", "ts")(lastBatch, versions.max)
+    assert(snap() == afterStream, "replay after compaction changed the snapshot")
   }
 
   test("stream-stream interval join equals the batch formulation") {
