@@ -188,6 +188,81 @@ SELECT doc_id, lang, n_chars, key FROM s ORDER BY key DESC, doc_id LIMIT 20"""
       .orderBy("source")
   }
 
+  /** PII scrub pass — the redaction step every training-corpus build runs
+    * before anything else sees the text. The synthetic corpus carries no
+    * organic PII, so the query PLANTS a deterministic contact line on
+    * every third document (derived from doc_id — the oracle replays the
+    * plant exactly), then redacts emails and phone-shaped tokens with the
+    * regex families and reports per-language audit stats, including a
+    * residual match count that must be 0 after redaction.
+    *
+    * Scale shape: one narrow per-row projection (regexp_* are codegen'd
+    * string expressions — no UDF), then a partial-aggregated per-lang
+    * groupBy; the document text never enters a shuffle key. The regexes
+    * stay inside the RE2 ∩ java.util.regex common subset (character
+    * classes, bounded repeats, no backrefs/lookaround) so both engines
+    * match identically — the same portability constraint a cross-engine
+    * production pipeline must respect.
+    */
+  def q103_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "555-[0-9]{4}"
+    val planted = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("raw",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" Reach user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+    planted
+      .select(col("lang"), col("raw"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).cast("long").as("n_phone"),
+        regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>").as("red"))
+      .select(col("lang"), col("n_email"), col("n_phone"),
+        (length(col("raw")) - length(col("red"))).cast("long").as("delta"),
+        (size(regexp_extract_all(col("red"), lit(email), lit(0)))
+          + size(regexp_extract_all(col("red"), lit(phone), lit(0)))).cast("long").as("residual"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
+        sum("n_email").as("n_emails"),
+        sum("n_phone").as("n_phones"),
+        sum("delta").as("chars_removed"),
+        sum("residual").as("n_residual"))
+      .orderBy("lang")
+  }
+
+  val q103Sql: String =
+    raw"""WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' Reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS raw
+  FROM documents),
+m AS (
+  SELECT lang, raw,
+         len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phone,
+         regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '555-[0-9]{4}', '<PHONE>', 'g') AS red
+  FROM p),
+r AS (
+  SELECT lang, n_email, n_phone,
+         length(raw) - length(red) AS delta,
+         len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(red, '555-[0-9]{4}')) AS residual
+  FROM m)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(delta) AS BIGINT) AS chars_removed,
+       CAST(sum(residual) AS BIGINT) AS n_residual
+FROM r GROUP BY lang ORDER BY lang"""
+
   val q44Sql: String =
     raw"""WITH t AS (
   SELECT doc_id, source, text, n_chars,

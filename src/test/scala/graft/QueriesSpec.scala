@@ -67,6 +67,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q103 redaction is total: zero residual matches, every planted doc counted") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.QueriesPipeline.q103_pii_redact(spark, sf("sf0.01"))
+    val agg = out.agg(
+      sum("n_residual").as("residual"),
+      sum("n_docs_pii").as("pii"),
+      sum("n_emails").as("emails"),
+      sum("n_phones").as("phones"),
+      sum("chars_removed").as("removed")).first()
+    assert(agg.getLong(0) == 0, "redacted text still matches a PII pattern")
+    // Every third doc gets exactly one planted email + one planted phone.
+    val planted = graft.core.Tables(spark, sf("sf0.01"), "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(agg.getLong(1) >= planted, s"planted docs uncounted: ${agg.getLong(1)} < $planted")
+    assert(agg.getLong(2) >= planted && agg.getLong(3) >= planted)
+    // Redaction must shrink: planted address+phone are longer than the tags.
+    assert(agg.getLong(4) > 0)
+  }
+
   test("q94's A-ES weighting actually biases the sample toward heavy documents") {
     import org.apache.spark.sql.functions._
     val sampledAvg = graft.queries.QueriesPipeline.q94_weighted_sample(spark, sf("sf0.01"))
