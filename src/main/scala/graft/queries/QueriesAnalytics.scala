@@ -371,4 +371,172 @@ SELECT r_name, n_name, revenue,
        round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS share,
        CAST(rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS BIGINT) AS rnk
 FROM agg ORDER BY r_name, rnk"""
+
+  /** 2-D skyline (Pareto frontier): parts where no other part is both
+    * cheaper-or-equal and smaller-or-equal (with one strict). Computed as
+    * a DISTRIBUTED PREFIX-MIN, never a pairwise compare: (1) min size per
+    * distinct price — keyed agg; (2) running min WITHIN each coarse price
+    * bucket — window partitioned by bucket, parallel across buckets;
+    * (3) running min ACROSS buckets — a global window over the per-bucket
+    * minima only (|distinct buckets| rows, bounded by the price domain,
+    * not the row count); (4) each part checks `least(within, below)`.
+    * The only global-ordered structure is bucket-sized, so the plan holds
+    * at any fact-table scale — the classic two-level scan decomposition.
+    * NULL-free sentinel (`Int.MaxValue`) instead of null-skipping
+    * `least`, whose NULL semantics differ across engines.
+    */
+  def q104_skyline(s: SparkSession, dir: String): DataFrame = {
+    val big = lit(2147483647L)
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // (1) one row per distinct price; bucket = floor(price / 100)
+    val pp = p.groupBy("p_retailprice").agg(min("p_size").cast("long").as("msize"))
+      .withColumn("bucket", floor(col("p_retailprice") / 100).cast("long"))
+    // (2) strictly-cheaper min within the bucket (distinct prices, so
+    // ROWS ... 1 PRECEDING == strictly lower price)
+    val wIn = Window.partitionBy("bucket").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = pp.withColumn("min_within", coalesce(min("msize").over(wIn), big))
+    // (3) min over all strictly-lower buckets (tiny: one row per bucket)
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = pp.groupBy("bucket").agg(min("msize").as("bmin"))
+      .withColumn("min_below", coalesce(min("bmin").over(wB), big))
+      .select("bucket", "min_below")
+    // (4) frontier test per part row
+    within.join(perBucket, Seq("bucket"))
+      .withColumn("best_lt", least(col("min_within"), col("min_below")))
+      .join(p, Seq("p_retailprice"))
+      .where(col("p_size").cast("long") === col("msize") && col("p_size") < col("best_lt"))
+      .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"),
+        col("p_size").cast("long").as("size"))
+      .orderBy("p_partkey")
+  }
+
+  val q104Sql: String =
+    """WITH pp AS (
+  SELECT p_retailprice, CAST(min(p_size) AS BIGINT) AS msize,
+         CAST(floor(p_retailprice / 100) AS BIGINT) AS bucket
+  FROM part GROUP BY p_retailprice),
+w AS (
+  SELECT p_retailprice, msize, bucket,
+         coalesce(min(msize) OVER (PARTITION BY bucket ORDER BY p_retailprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2147483647) AS min_within
+  FROM pp),
+pb AS (
+  SELECT bucket,
+         coalesce(min(bmin) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2147483647) AS min_below
+  FROM (SELECT bucket, min(msize) AS bmin FROM pp GROUP BY bucket))
+SELECT p_partkey, round(p_retailprice, 2) AS price, CAST(p_size AS BIGINT) AS size
+FROM part
+JOIN w USING (p_retailprice)
+JOIN pb USING (bucket)
+WHERE CAST(p_size AS BIGINT) = msize AND p_size < least(min_within, min_below)
+ORDER BY p_partkey"""
+
+  /** Robust anomaly detection: median / MAD (median absolute deviation)
+    * per event type, flagging values beyond 3 MADs — the outlier screen
+    * that survives the heavy tails a mean/stddev z-score (q67) does not.
+    * Two grouped EXACT percentiles with a broadcast join of the 5-row
+    * median table between them; the comparison reuses q35's proven
+    * percentile ≡ quantile_cont interpolation parity, and both engines
+    * compute |value − med| on identical doubles, so the 3·MAD boundary
+    * is bit-deterministic. At 100 TB the same plan runs with
+    * approx_percentile for med/mad (the only change is the agg function);
+    * exact percentile is kept here because the oracle can replay it.
+    */
+  def q106_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("adev") > lit(3.0) * col("mad"), true)).as("n_outliers"),
+        round(min("med"), 6).as("med"),
+        round(min("mad"), 6).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val q106Sql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT event_type, count(*) AS n,
+       count(*) FILTER (WHERE adev > 3.0 * mad) AS n_outliers,
+       round(min(med), 6) AS med,
+       round(min(mad), 6) AS mad
+FROM dev JOIN mad USING (event_type)
+GROUP BY event_type ORDER BY event_type"""
+
+  /** PageRank over the customer-nation → supplier-nation trade graph,
+    * 5 iterations, damping 0.85 — iterative graph compute as keyed
+    * join + aggregate per round (the Pregel-by-join pattern, same shape
+    * as ConnectedComponents). All arithmetic is FIXED-POINT on scaled
+    * longs (rank₀ = 10¹², contribution = (rank·w) div outW, update =
+    * base + (85·inbound) div 100): integer ops are associative and
+    * identical across engines, so five iterations stay bit-deterministic
+    * where float contributions would drift with partition sum order.
+    * The edge aggregation is the only fact-scale shuffle; iterations run
+    * on the |nations|² edge list. At extreme weights (rank·w near 2⁶³)
+    * drop SCALE a decimal digit per 10× edge-weight growth.
+    */
+  def q107_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val l  = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o  = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c  = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"), col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+    val e2 = edges.join(outW, Seq("src")).persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    var ranks = nodes.withColumn("pr", lit(1000000000000L))
+    for (_ <- 1 to 5) {
+      val contrib = e2.join(ranks, e2("src") === ranks("node"))
+        .select(col("dst"), expr("(pr * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("inbound"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr("150000000000 + (85 * coalesce(inbound, 0)) div 100").as("pr"))
+    }
+    val out = ranks.join(broadcast(t(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("pr").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("n_name"))
+    e2.unpersist(); nodes.unpersist()
+    out
+  }
+
+  val q107Sql: String = {
+    val iter = (1 to 5).map { i =>
+      s"""r$i AS (SELECT n.node,
+       CAST(150000000000 + (85 * coalesce(s.inbound, 0)) // 100 AS BIGINT) AS pr
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst, CAST(sum((r.pr * e.w) // e.ow) AS BIGINT) AS inbound
+         FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst) s
+       ON s.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, dst, CAST(w AS BIGINT) AS w, ow FROM edges JOIN ow USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+$iter
+SELECT n_name, pr AS rank_fp
+FROM r5 JOIN nation ON node = n_nationkey
+ORDER BY rank_fp DESC, n_name"""
+  }
 }

@@ -260,4 +260,60 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
        1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS rep_ratio
 FROM tri GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Count-Min-sketch heavy hitters: a depth-4 × width-256 CMS over the
+    * word stream (PortableHash polynomial hash composed with the q16
+    * MinHash permutation family per row), then the classic point-query
+    * estimate — min over the word's 4 cells — for the top-20 words,
+    * reported beside the exact count. The sketch is 1,024 cells of
+    * partial-summed longs REGARDLESS of corpus size: each partition
+    * builds its own and they merge by cell-wise add (here: one keyed agg
+    * on (row, cell)), which is exactly why a CMS is the 100-TB frequency
+    * sketch — the estimate probe is a broadcast join of the fixed-size
+    * sketch. est_cnt ≥ exact_cnt by construction (collisions only add).
+    * The tiny synthetic vocabulary makes most estimates exact; the
+    * OPERATOR under test is the sketch build/merge/probe plan, which the
+    * oracle replays cell by cell.
+    */
+  def q105_cms_heavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val depth = 4; val width = 256L
+    val wc = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val coords = wc
+      .withColumn("h", PortableHash.asciiPolyHash(col("word")))
+      .select(col("word"), col("cnt"),
+        posexplode(array((0 until depth).map(k =>
+          PortableHash.minHashPerm(col("h"), k) % width): _*)))
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "cell")
+    val sketch = coords.groupBy("row", "cell").agg(sum("cnt").as("csum"))
+    coords.join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy("word")
+      .agg(min("cnt").as("exact_cnt"), min("csum").as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("word"))
+      .limit(20)
+      .select(col("word"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  val q105Sql: String = {
+    import graft.functions.PortableHash
+    val ks = (0 until 4).map { k =>
+      val (a, b) = PortableHash.minHashCoeffs(k)
+      s"($k, $a, $b)"
+    }.mkString(", ")
+    raw"""WITH wc AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest($ToksSql) AS word FROM documents) GROUP BY word),
+h AS (SELECT word, cnt, ${QueriesDedup.polyHashSql("word")} AS h FROM wc),
+ks(rw, a, b) AS (VALUES $ks),
+coords AS (
+  SELECT word, cnt, rw, ((h * a + b) % 2147483647) % 256 AS cell
+  FROM h CROSS JOIN ks),
+sketch AS (SELECT rw, cell, CAST(sum(cnt) AS BIGINT) AS csum
+           FROM coords GROUP BY rw, cell)
+SELECT word, CAST(min(cnt) AS BIGINT) AS exact_cnt, CAST(min(csum) AS BIGINT) AS est_cnt
+FROM coords JOIN sketch USING (rw, cell)
+GROUP BY word ORDER BY est_cnt DESC, word LIMIT 20"""
+  }
 }
