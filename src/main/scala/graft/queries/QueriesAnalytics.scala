@@ -488,30 +488,42 @@ GROUP BY event_type ORDER BY event_type"""
     val o  = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val c  = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val sp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    // Persist the AGGREGATED edge list (|nations|² rows): it feeds the
+    // out-weight table, the node set (twice, via the union) and every
+    // iteration — without the persist the fact-scale 3-join re-runs for
+    // each of those consumers.
     val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
       .groupBy(col("c_nationkey").cast("long").as("src"), col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .persist()
     val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-    val e2 = edges.join(outW, Seq("src")).persist()
+    val e2 = edges.join(broadcast(outW), Seq("src"))
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().persist()
-    var ranks = nodes.withColumn("pr", lit(1000000000000L))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // The rank vector is |nations|-sized, so each iteration BROADCASTS it
+    // onto the (persisted, src-partitioned) edge list: the per-round work
+    // is a map-side join + one tiny keyed agg — the edge table never
+    // re-shuffles. Each round is localCheckpoint()ed (the CC pattern):
+    // a broadcast collects its input eagerly, so without truncation every
+    // round would re-execute all previous rounds' lineage — compounding.
+    // For graphs whose node set outgrows a broadcast, drop the hints and
+    // the same loop runs as co-partitioned shuffle joins.
+    var ranks = nodes.withColumn("pr", lit(1000000000000L)).localCheckpoint()
     for (_ <- 1 to 5) {
-      val contrib = e2.join(ranks, e2("src") === ranks("node"))
+      val contrib = e2.join(broadcast(ranks), e2("src") === ranks("node"))
         .select(col("dst"), expr("(pr * w) div ow").as("c"))
         .groupBy("dst").agg(sum("c").as("inbound"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           expr("150000000000 + (85 * coalesce(inbound, 0)) div 100").as("pr"))
+        .localCheckpoint()
     }
-    val out = ranks.join(broadcast(t(s, dir, "nation")),
+    ranks.join(broadcast(t(s, dir, "nation")),
         col("node") === col("n_nationkey"))
       .select(col("n_name"), col("pr").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("n_name"))
-    e2.unpersist(); nodes.unpersist()
-    out
   }
 
   val q107Sql: String = {
