@@ -383,4 +383,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(joins.nonEmpty && !joinsOnText,
       "at 100 TB the document text must never be a shuffle/join key")
   }
+
+  test("q104: the skyline is prefix-min windows + equi-joins — no pairwise dominance compare") {
+    // The naive skyline is an O(n²) self-join (dominated-by EXISTS); this
+    // plan must instead be the two-level prefix-min decomposition, whose
+    // only joins are equi-joins back on price/bucket.
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q104_skyline(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q104 must not pair parts with parts")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q104 must not nested-loop over part pairs")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "q104's frontier must come from window prefix-mins")
+  }
+
+  test("q105: the CMS probe broadcasts the fixed-size sketch; counts partial-aggregate") {
+    // The sketch is 1,024 cells regardless of corpus size — the probe
+    // side must consume it as a broadcast, and both the word count and
+    // the cell sums must partial-aggregate before their shuffles.
+    val plan = executedPlanString(graft.queries.QueriesText.q105_cms_heavy(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), "q105 must broadcast the 1,024-cell sketch")
+    assert(!plan.contains("CartesianProduct"), "q105 must not cross words with cells")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "q105's counts must partial-aggregate map-side")
+  }
+
+  test("q107: every pagerank round is a broadcast join + keyed agg; edges never re-shuffle") {
+    // The rank vector broadcasts onto the persisted edge list each round:
+    // the plan may contain no shuffle of the edge table per iteration and
+    // no unkeyed pair enumeration anywhere.
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q107_pagerank(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q107 must not cross nodes with nodes")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q107 must not nested-loop the graph")
+    assert(plan.contains("BroadcastHashJoin"), "q107 iterations must broadcast the rank vector")
+  }
 }
