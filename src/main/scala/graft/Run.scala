@@ -44,6 +44,10 @@ object Run {
           println(f"[srpauto] n=$n $label: $rows pairs in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       } finally spark.stop()
+    case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
+      // Print the DuckDB oracle SQL — pipe into duckdb for one-query
+      // local verification without a full graft.Verify pass.
+      println(Queries.oracles(q))
     case "explain" :: q :: dir :: Nil if Queries.all.contains(q) =>
       // Formatted physical plan — the plan-audit loop (pushdown, join
       // strategies, codegen spans) without running the query.

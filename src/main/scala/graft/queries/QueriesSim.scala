@@ -381,4 +381,63 @@ SELECT vec_id,
        len(list_filter(v, x -> x > 2.0)) > 0 AS has_gt2,
        len(list_filter(v, x -> abs(x) >= 4.0)) = 0 AS bounded4
 FROM e ORDER BY vec_id"""
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space, then search for
+    * near-duplicates WITHIN each cluster only — the pair candidates are
+    * a keyed equi-join on the cell id, never a global self-join. A
+    * vector is dropped iff a lower-id cell-mate has cosine ≥ τ (the
+    * deterministic keep-one-exemplar rule); the reported `kept_by` is
+    * the smallest such exemplar id.
+    *
+    * Scale shape: assignment is a narrow per-row argmin over k dot
+    * products against broadcast centroid literals (identical to q34's
+    * inverted file); pair generation shuffles on `cluster`, so the work
+    * is Σ|cell|² instead of n² — and at 100 TB k is sized so cells stay
+    * bounded (k ≈ n / targetCellSize; SemDeDup itself runs k in the
+    * tens of thousands). The catalog pins k=16 at the fixture's n so
+    * the oracle can replay the centroid argmin exactly (init centroids
+    * = first k vectors, the q34 convention).
+    */
+  def q108_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, k = 16, iters = 0)
+    val a = IvfIndex.assign(e, model)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        normF32(col("embedding")).as("__n"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("kept_by"),
+        round(dotF32(col("x.embedding"), col("y.embedding")) / (col("x.__n") * col("y.__n")), 6)
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= 0.45)
+    pairs.groupBy("vec_id")
+      .agg(min(struct(col("kept_by"), col("cosine_sim"))).as("m"))
+      .select(col("vec_id"), col("m.kept_by").as("kept_by"),
+        col("m.cosine_sim").as("cosine_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** The oracle replays the q34 init-centroid argmin (centroid score
+    * |c|² − 2·e·c, first-index tie-break), joins cell-mates, and keeps
+    * the smallest qualifying exemplar per dropped id.
+    */
+  val q108Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+p AS (SELECT b.vec_id AS vec_id, a.vec_id AS kept_by, ${cosSql("ea.v", "eb.v")} AS cosine_sim
+      FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id),
+d AS (SELECT vec_id, kept_by, cosine_sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rn
+      FROM p WHERE cosine_sim >= 0.45)
+SELECT vec_id, kept_by, cosine_sim FROM d WHERE rn = 1 ORDER BY vec_id"""
 }

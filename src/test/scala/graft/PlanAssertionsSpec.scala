@@ -406,6 +406,15 @@ class PlanAssertionsSpec extends SparkSpec {
       "q105's counts must partial-aggregate map-side")
   }
 
+  test("q108: semantic dedup pairs come from the cell equi-join, never a global self-join") {
+    // SemDeDup's whole point at scale: candidates are keyed by cluster
+    // id (work = sum of |cell|^2, with |cell| a design parameter), so
+    // the plan must contain no unkeyed pair enumeration.
+    val plan = executedPlanString(graft.queries.QueriesSim.q108_semantic_dedup(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q108 must not pair vectors globally")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q108 must not nested-loop the corpus")
+  }
+
   test("q107: every pagerank round is a broadcast join + keyed agg; edges never re-shuffle") {
     // The rank vector broadcasts onto the persisted edge list each round:
     // the plan may contain no shuffle of the edge table per iteration and

@@ -182,6 +182,38 @@ class SimilaritySpec extends SparkSpec {
     assert(key(Similarity.srpNearDupPairsAuto(df, 0.95)) == brute)
   }
 
+  test("q108 semantic dedup == the brute-force SemDeDup rule per cell") {
+    // Recompute the keep/drop decision in plain Scala: a vector is
+    // dropped iff a lower-id cell-mate has round(cosine, 6) >= 0.45,
+    // and its kept_by is the SMALLEST such exemplar.
+    val model = graft.sim.IvfIndex.train(emb, k = 16, iters = 0)
+    val assigned = graft.sim.IvfIndex.assign(emb, model)
+      .select("vec_id", "cluster", "embedding")
+      .as[(Long, Int, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (idB, cB, vB) <- assigned
+      hit <- assigned.iterator
+        .filter { case (idA, cA, _) => cA == cB && idA < idB }
+        .map { case (idA, _, vA) => (idA, cos(vA, vB)) }
+        .filter(_._2 >= 0.45)
+        .reduceOption((x, y) => if (x._1 <= y._1) x else y)
+    } yield (idB, hit._1, hit._2)).toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesSim.q108_semantic_dedup(spark, sf("sf0.001"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty, "fixture must contain at least one in-cell near-dup")
+    assert(got == expected)
+  }
+
   test("SrpBandSigs == the bucketId column formulation, incl. degenerate inputs") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(24 * 8, 64)
