@@ -290,4 +290,93 @@ kept AS (
 SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(quality) AS min_quality, max(quality) AS max_quality
 FROM kept GROUP BY source ORDER BY source"""
+
+  /** Data-quality profile (the Deequ-style audit a pipeline runs before
+    * trusting a 100 TB drop): ONE scan of lineitem computes completeness
+    * per column, distinctness, primary-key duplicate count, min/max
+    * ranges, and domain/range constraint-violation counts, emitted as
+    * narrow (metric, value) rows.
+    *
+    * Scale shape: everything partial-aggregates map-side into a single
+    * row; the only caveat is the exact COUNT(DISTINCT) trio, which
+    * Spark plans as one Expand (row multiplied per distinct group) —
+    * the exact-audit contract. When approximate distinctness suffices,
+    * swap in the KMV sketch (q45) and the Expand disappears.
+    */
+  def q109_data_profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L)).cast("double")
+    val epochDay = floor(unix_timestamp(col("l_shipdate")) / 86400).cast("double")
+    val agg = li.agg(
+      count(lit(1)).cast("double").as("row_count"),
+      (count("l_quantity") / count(lit(1))).as("completeness_l_quantity"),
+      (count("l_returnflag") / count(lit(1))).as("completeness_l_returnflag"),
+      (count("l_shipdate") / count(lit(1))).as("completeness_l_shipdate"),
+      countDistinct(col("l_returnflag")).cast("double").as("distinct_l_returnflag"),
+      countDistinct(col("l_linestatus")).cast("double").as("distinct_l_linestatus"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .cast("double").as("pk_duplicates"),
+      min("l_quantity").as("min_l_quantity"),
+      max("l_quantity").as("max_l_quantity"),
+      min("l_extendedprice").as("min_l_extendedprice"),
+      max("l_extendedprice").as("max_l_extendedprice"),
+      min(epochDay).as("min_shipdate_epoch_day"),
+      max(epochDay).as("max_shipdate_epoch_day"),
+      viol(!col("l_quantity").between(1, 50)).as("viol_quantity_range"),
+      viol(!col("l_discount").between(0, 0.1)).as("viol_discount_range"),
+      viol(col("l_extendedprice") <= 0).as("viol_price_nonpositive"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("viol_returnflag_domain"))
+    val metrics = Seq(
+      "row_count", "completeness_l_quantity", "completeness_l_returnflag",
+      "completeness_l_shipdate", "distinct_l_returnflag", "distinct_l_linestatus",
+      "pk_duplicates", "min_l_quantity", "max_l_quantity", "min_l_extendedprice",
+      "max_l_extendedprice", "min_shipdate_epoch_day", "max_shipdate_epoch_day",
+      "viol_quantity_range", "viol_discount_range", "viol_price_nonpositive",
+      "viol_returnflag_domain")
+    val stackArgs = metrics.map(m => s"'$m', `$m`").mkString(", ")
+    agg.select(expr(s"stack(${metrics.length}, $stackArgs) as (metric, value)"))
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+
+  val q109Sql: String =
+    """WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS row_count,
+         CAST(count(l_quantity) AS DOUBLE) / count(*) AS completeness_l_quantity,
+         CAST(count(l_returnflag) AS DOUBLE) / count(*) AS completeness_l_returnflag,
+         CAST(count(l_shipdate) AS DOUBLE) / count(*) AS completeness_l_shipdate,
+         CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS distinct_l_returnflag,
+         CAST(count(DISTINCT l_linestatus) AS DOUBLE) AS distinct_l_linestatus,
+         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) AS pk_duplicates,
+         min(l_quantity) AS min_l_quantity,
+         max(l_quantity) AS max_l_quantity,
+         min(l_extendedprice) AS min_l_extendedprice,
+         max(l_extendedprice) AS max_l_extendedprice,
+         CAST(min(floor(epoch(l_shipdate) / 86400)) AS DOUBLE) AS min_shipdate_epoch_day,
+         CAST(max(floor(epoch(l_shipdate) / 86400)) AS DOUBLE) AS max_shipdate_epoch_day,
+         CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_quantity_range,
+         CAST(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_discount_range,
+         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_price_nonpositive,
+         CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS DOUBLE) AS viol_returnflag_domain
+  FROM lineitem)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'row_count' AS metric, row_count AS value FROM a
+  UNION ALL SELECT 'completeness_l_quantity', completeness_l_quantity FROM a
+  UNION ALL SELECT 'completeness_l_returnflag', completeness_l_returnflag FROM a
+  UNION ALL SELECT 'completeness_l_shipdate', completeness_l_shipdate FROM a
+  UNION ALL SELECT 'distinct_l_returnflag', distinct_l_returnflag FROM a
+  UNION ALL SELECT 'distinct_l_linestatus', distinct_l_linestatus FROM a
+  UNION ALL SELECT 'pk_duplicates', pk_duplicates FROM a
+  UNION ALL SELECT 'min_l_quantity', min_l_quantity FROM a
+  UNION ALL SELECT 'max_l_quantity', max_l_quantity FROM a
+  UNION ALL SELECT 'min_l_extendedprice', min_l_extendedprice FROM a
+  UNION ALL SELECT 'max_l_extendedprice', max_l_extendedprice FROM a
+  UNION ALL SELECT 'min_shipdate_epoch_day', min_shipdate_epoch_day FROM a
+  UNION ALL SELECT 'max_shipdate_epoch_day', max_shipdate_epoch_day FROM a
+  UNION ALL SELECT 'viol_quantity_range', viol_quantity_range FROM a
+  UNION ALL SELECT 'viol_discount_range', viol_discount_range FROM a
+  UNION ALL SELECT 'viol_price_nonpositive', viol_price_nonpositive FROM a
+  UNION ALL SELECT 'viol_returnflag_domain', viol_returnflag_domain FROM a)
+ORDER BY metric"""
 }

@@ -316,4 +316,57 @@ SELECT word, CAST(min(cnt) AS BIGINT) AS exact_cnt, CAST(min(csum) AS BIGINT) AS
 FROM coords JOIN sketch USING (rw, cell)
 GROUP BY word ORDER BY est_cnt DESC, word LIMIT 20"""
   }
+
+  /** BM25 document ranking (Robertson/Sparck Jones; k1=1.2, b=0.75) for
+    * a fixed conjunctive query — the retrieval scorer a curation
+    * pipeline uses to mine topical subsets, where q73's raw TF-IDF
+    * over-rewards long documents.
+    *
+    * Scale shape: the term filter lands immediately after the token
+    * explode, so only query-term postings ever reach a shuffle (three
+    * terms' postings, not the corpus vocabulary); df and the corpus
+    * length stats are one-row/terms-row broadcasts. Every floating
+    * step derives from exact integer counts in a fixed written order;
+    * the per-doc sum over <= 3 term scores is the only reorderable
+    * float add, 9 orders above the harness's 6-significant-digit floor.
+    */
+  def q110_bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "hash", "vector")
+    val k1 = 1.2; val b = 0.75
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"), size(Text.tokens(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // one row: corpus size + mean doc length
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val q110Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, CAST(len($ToksSql) AS DOUBLE) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
+       WHERE word IN ('join', 'hash', 'vector') GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_score
+  FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+SELECT doc_id, round(sum(term_score), 6) AS bm25
+FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15"""
 }
