@@ -126,4 +126,43 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long_v2,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM unioned GROUP BY lang ORDER BY lang"""
+
+  /** Z-order layout roundtrip: lineitem rewritten clustered along the
+    * Morton curve of (partkey bucket, suppkey bucket), then scanned with
+    * a predicate on BOTH dimensions. The answer is layout-invariant (the
+    * oracle reads the raw table), so the hash check proves the rewrite
+    * moved every row intact; what the layout buys — tight per-file
+    * min/max on BOTH bucket columns, vs a one-column sort that bounds
+    * only its leading column — is measured in ZOrderSpec, and the
+    * dimension predicates still reach the read-back scan as
+    * PushedFilters (plan-asserted). At 100 TB the rewrite is the
+    * one-off OPTIMIZE pass; every multi-dimension point/range query
+    * after it prunes files by footer stats alone.
+    */
+  def q111_zorder_scan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val out = tmp("graft_q111_z_", dir)
+    // partkey/orderkey buckets: both dimensions span their bucket range
+    // at every sf (suppkey does not — 10 suppliers at sf0.001)
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("pb", pmod(col("l_partkey"), lit(256)).cast("int"))
+      .withColumn("ob", pmod(col("l_orderkey"), lit(256)).cast("int"))
+    ZOrder.writeZOrdered(li, "pb", "ob", bits = 8, numFiles = 32, out)
+    s.read.parquet(out)
+      .filter(col("pb").between(16, 47) && col("ob").between(16, 47))
+      .groupBy(col("pb").cast("long").as("pb"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_extendedprice").as("revenue"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"))
+      .orderBy("pb")
+  }
+
+  val q111Sql: String =
+    """SELECT CAST(l_partkey % 256 AS BIGINT) AS pb, count(*) AS n_rows,
+       sum(l_extendedprice) AS revenue,
+       min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
+FROM lineitem
+WHERE (l_partkey % 256) BETWEEN 16 AND 47 AND (l_orderkey % 256) BETWEEN 16 AND 47
+GROUP BY 1 ORDER BY pb"""
 }

@@ -415,6 +415,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "q108 must not nested-loop the corpus")
   }
 
+  test("q111: both dimension predicates reach the z-layout read-back scan") {
+    val plan = executedPlanString(
+      graft.queries.QueriesSources.q111_zorder_scan(spark, sf("sf0.001")))
+    for (c <- Seq("pb", "ob"))
+      assert(plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains(c)),
+        s"$c predicate must reach the z-layout scan's PushedFilters")
+  }
+
   test("q107: every pagerank round is a broadcast join + keyed agg; edges never re-shuffle") {
     // The rank vector broadcasts onto the persisted edge list each round:
     // the plan may contain no shuffle of the edge table per iteration and
