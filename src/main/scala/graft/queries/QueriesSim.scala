@@ -382,6 +382,63 @@ SELECT vec_id,
        len(list_filter(v, x -> abs(x) >= 4.0)) = 0 AS bounded4
 FROM e ORDER BY vec_id"""
 
+  /** Recall@10 of the SRP-LSH ANN index against exact brute-force kNN —
+    * the index-quality evaluation every ANN deployment runs before
+    * trusting the approximate path at scale. ONE plan computes both
+    * sides (the probe-bucket equi-join ANN and the bounded-heap exact
+    * top-k), joins them per (query, neighbor), and reports the hit
+    * fraction per query. At 100 TB the exact side runs on a sampled
+    * query set exactly like this fixed 8-query panel — recall
+    * evaluation is always a sampled audit, never a full pass.
+    */
+  def q112_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = Similarity.annLshTopK(e, queries, k = 10).select("query_id", "vec_id")
+    val exact = Similarity.knnJoinAgg(e, queries, k = 10).select("query_id", "vec_id")
+    val hits = exact.join(ann, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle: the q27 bucket/probe replay for the ANN side, the q17 full
+    * scan for the exact side, same (cosine DESC, vec_id) tie-break both
+    * sides, then the same hit count.
+    */
+  val q112Sql: String = {
+    val planes = planesSqlLiteral(Similarity.hyperplanes(numPlanes = 6, dim = 64))
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pl AS (SELECT unnest(range(0, 6)) AS j, unnest($planes) AS p),
+eb AS (SELECT e.vec_id,
+              CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * pl.p[i])) >= 0
+                            THEN CAST(1 AS BIGINT) << CAST(pl.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+       FROM e, pl GROUP BY e.vec_id),
+q AS (SELECT eb.bucket AS qbucket, e.v AS qv, e.vec_id AS qid
+      FROM eb JOIN e ON e.vec_id = eb.vec_id WHERE e.vec_id < 8),
+anns AS (SELECT q.qid AS query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine_sim
+         FROM e JOIN eb ON e.vec_id = eb.vec_id, q
+         WHERE bit_count(xor(eb.bucket, q.qbucket)) <= 2 AND e.vec_id <> q.qid),
+annr AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+           FROM anns) WHERE rnk <= 10),
+ex AS (SELECT q.qid AS query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS cosine_sim
+       FROM e, q WHERE e.vec_id <> q.qid),
+exr AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+          FROM ex) WHERE rnk <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit
+         FROM exr JOIN annr USING (query_id, vec_id) GROUP BY query_id)
+SELECT qid AS query_id, round(coalesce(n_hit, 0) / 10.0, 6) AS recall10
+FROM q LEFT JOIN hits ON hits.query_id = q.qid
+ORDER BY query_id"""
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space, then search for
     * near-duplicates WITHIN each cluster only — the pair candidates are
