@@ -44,6 +44,24 @@ object Run {
           println(f"[srpauto] n=$n $label: $rows pairs in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       } finally spark.stop()
+    case "semauto" :: dir :: rest =>
+      // Capacity probe: occupancy-scaled SemDeDup (k = ceil(n/targetCell))
+      // vs the fixed q108 k=16 on the same embeddings — the scaling
+      // comparison behind SCALING.md (fixed k is quadratic per cell).
+      val tau = rest.headOption.map(_.toDouble).getOrElse(0.45)
+      val spark = Sessions.local("graft-semauto")
+      try {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val n = emb.count()
+        val k = math.max(1, math.min(2048, math.ceil(n / 128.0).toInt))
+        for ((label, df) <- Seq(
+            s"auto(k=$k)" -> graft.sim.Similarity.semanticDedup(emb, tau),
+            "fixed(k=16)" -> graft.sim.Similarity.semanticDedupK(emb, tau, k = 16))) {
+          val t0 = System.nanoTime()
+          val rows = df.count()
+          println(f"[semauto] n=$n $label: $rows dropped in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query
       // local verification without a full graft.Verify pass.

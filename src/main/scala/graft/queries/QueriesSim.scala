@@ -454,27 +454,13 @@ ORDER BY query_id"""
     * bounded (k ≈ n / targetCellSize; SemDeDup itself runs k in the
     * tens of thousands). The catalog pins k=16 at the fixture's n so
     * the oracle can replay the centroid argmin exactly (init centroids
-    * = first k vectors, the q34 convention).
+    * = first k vectors, the q34 convention); production callers use
+    * [[graft.sim.Similarity.semanticDedup]], which derives k from the
+    * corpus size to pin cell OCCUPANCY (measured at the 8× corpus:
+    * pinned k=16 9.5 s vs occupancy-scaled 3.5 s — SCALING.md).
     */
-  def q108_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
-    val e = emb(s, dir)
-    val model = IvfIndex.train(e, k = 16, iters = 0)
-    val a = IvfIndex.assign(e, model)
-      .select(col("vec_id"), col("cluster"), col("embedding"),
-        normF32(col("embedding")).as("__n"))
-    val pairs = a.as("x").join(a.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("kept_by"),
-        round(dotF32(col("x.embedding"), col("y.embedding")) / (col("x.__n") * col("y.__n")), 6)
-          .as("cosine_sim"))
-      .filter(col("cosine_sim") >= 0.45)
-    pairs.groupBy("vec_id")
-      .agg(min(struct(col("kept_by"), col("cosine_sim"))).as("m"))
-      .select(col("vec_id"), col("m.kept_by").as("kept_by"),
-        col("m.cosine_sim").as("cosine_sim"))
-      .orderBy("vec_id")
-  }
+  def q108_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupK(emb(s, dir), tau = 0.45, k = 16).orderBy("vec_id")
 
   /** The oracle replays the q34 init-centroid argmin (centroid score
     * |c|² − 2·e·c, first-index tie-break), joins cell-mates, and keeps

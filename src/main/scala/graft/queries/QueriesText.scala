@@ -369,4 +369,99 @@ scored AS (
   FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
 SELECT doc_id, round(sum(term_score), 6) AS bm25
 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15"""
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009,
+    * ICML): tokens map to a fixed 512-dim index space via the portable
+    * polynomial hash, with a hash-bit sign so collisions cancel in
+    * expectation instead of accumulating. Per-document summary of the
+    * resulting sparse vector (dimensionality, L2 norm, peak weight).
+    *
+    * Scale shape: a pure narrow projection into (doc, idx, sign) plus
+    * one partial-aggregated groupBy — the vectorizer never materializes
+    * a dense 512-wide row, and the shuffle key is (doc_id, idx), never
+    * text. This is how a 100 TB corpus becomes fixed-width features
+    * with zero vocabulary state (no dictionary to build, ship, or
+    * version — the property that makes the trick deployable).
+    */
+  def q113_feature_hashing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val h = PortableHash.asciiPolyHash(col("tok"))
+    val feat = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (h % 512).as("idx"),
+        when((h.divide(lit(512)).cast("long")) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "idx").agg(sum("sgn").as("w"))
+      .filter(col("w") =!= 0)
+    feat.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        round(sqrt(sum(col("w") * col("w"))), 6).as("l2"),
+        max(abs(col("w"))).as("max_abs_w"))
+      .orderBy("doc_id")
+  }
+
+  val q113Sql: String = {
+    val ph = QueriesDedup.polyHashSql("tok")
+    raw"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+h AS (SELECT doc_id, $ph AS hv FROM toks),
+feat AS (SELECT doc_id, hv % 512 AS idx,
+                CASE WHEN (hv // 512) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         FROM h),
+w AS (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w FROM feat GROUP BY doc_id, idx),
+nz AS (SELECT * FROM w WHERE w <> 0)
+SELECT doc_id, count(*) AS n_features,
+       round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6) AS l2,
+       CAST(max(abs(w)) AS BIGINT) AS max_abs_w
+FROM nz GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Perplexity-style quality scoring with a corpus-trained bigram LM
+    * (the CCNet/C4 "LM filter" pattern, with the corpus itself as the
+    * reference model): P(w2 | w1) is add-one-smoothed over the corpus
+    * bigram table, each document scores its mean token-transition log
+    * probability, and the 20 least-likely documents surface — the ones
+    * a perplexity gate would drop as gibberish relative to the corpus
+    * distribution.
+    *
+    * Scale shape: bigram extraction is a narrow slice/zip projection
+    * (no self-join); the model tables are keyed groupBys; scoring joins
+    * instances to counts on (w1, w2) and w1 — word keys, never text.
+    * The vocabulary size is the one scalar broadcast row. Every ln
+    * argument is a ratio of exact integers in a fixed order; only the
+    * per-doc mean is a reorderable float sum, rounded at 6 with ~9
+    * orders of headroom.
+    */
+  def q114_bigram_logprob(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val pairs = arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
+    val inst = docs(s, dir)
+      .where(size(t) >= 2) // slice length must be non-negative
+      .select(col("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("v"))
+    inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // one row: |V|
+      .select(col("doc_id"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(20)
+  }
+
+  val q114Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+inst AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest($ToksSql) AS tok FROM documents)),
+scored AS (SELECT inst.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v)) AS lp
+           FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY avg_logprob, doc_id LIMIT 20"""
 }

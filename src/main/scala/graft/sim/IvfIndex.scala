@@ -67,12 +67,27 @@ object IvfIndex {
     best
   }
 
-  /** Cluster assignment as pure column arithmetic: squared distance to
-    * centroid c is |e|² - 2·e·c + |c|²; |e|² is constant across the
-    * argmin so only -2·e·c + |c|² matters. First-index tie-break via
-    * array_position of the min.
+  /** Cluster assignment: squared distance to centroid c is
+    * |e|² - 2·e·c + |c|²; |e|² is constant across the argmin so only
+    * -2·e·c + |c|² matters. First-index tie-break.
+    *
+    * Evaluated by the native
+    * [[org.apache.spark.sql.graft.NearestCentroid]] expression — one
+    * node doing k × dim primitive multiply-adds. The previous column
+    * formulation (array_position(array_min) over k score columns with
+    * k embedded array literals) is its bit-exact twin (spec-enforced in
+    * IvfSpec) but builds a k-wide expression tree that dominates the
+    * scan once k is occupancy-scaled (⌈n/targetCell⌉ — thousands at
+    * real scale).
     */
-  def clusterCol(emb: Column, model: Model): Column = {
+  def clusterCol(emb: Column, model: Model): Column =
+    org.apache.spark.sql.graft.NearestCentroid.nearest(emb, model.centroids)
+
+  /** The column-arithmetic twin of [[clusterCol]], kept for the
+    * equivalence spec: array_position of the min of k per-centroid
+    * score columns.
+    */
+  private[graft] def clusterColTwin(emb: Column, model: Model): Column = {
     val scores: Seq[Column] = model.centroids.toSeq.map { ctr =>
       val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
       val normSq = ctr.map(x => x * x).sum

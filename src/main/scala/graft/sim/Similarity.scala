@@ -322,4 +322,48 @@ object Similarity {
         round(dotF32(col("ea"), col("eb")) / (col("__na") * col("__nb")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** SemDeDup (q108's operator) with the cluster count derived from the
+    * corpus size — the production entry point. Pair work inside a cell
+    * is |cell|², so a FIXED k means 8× the corpus costs 64× the pairs
+    * (measured: q108's pinned k=16 runs 11× slower at the 8× corpus);
+    * pinning the OCCUPANCY instead (k = ⌈n / targetCell⌉) keeps the
+    * per-cell quadratic constant and total pair work linear in n.
+    *
+    * k is capped by the training-sample size (init centroids are the
+    * first k sample vectors); at 100 TB, raise sampleN with k — the
+    * sample is still one bounded driver-side collect.
+    *
+    * Returns (vec_id, kept_by, cosine_sim): one row per DROPPED vector,
+    * kept_by = its smallest lower-id cell-mate with cosine ≥ tau.
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double,
+      targetCell: Int = 128, sampleN: Int = 2048): DataFrame = {
+    val n = embeddings.count()
+    val k = math.max(1, math.min(sampleN, math.ceil(n.toDouble / targetCell).toInt))
+    semanticDedupK(embeddings, tau, k, sampleN)
+  }
+
+  /** SemDeDup at an explicit cluster count (q108 pins k=16 so its
+    * DuckDB oracle can replay the centroid argmin): nearest-init-
+    * centroid assignment, then the keep-lowest-id rule over exact
+    * cosine WITHIN cells only.
+    */
+  def semanticDedupK(embeddings: DataFrame, tau: Double, k: Int,
+      sampleN: Int = 2048): DataFrame = {
+    val model = IvfIndex.train(embeddings, k = k, iters = 0, sampleN = sampleN)
+    val a = IvfIndex.assign(embeddings, model)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        normF32(col("embedding")).as("__n"))
+    a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("kept_by"),
+        round(dotF32(col("x.embedding"), col("y.embedding")) / (col("x.__n") * col("y.__n")), 6)
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= tau)
+      .groupBy("vec_id")
+      .agg(min(struct(col("kept_by"), col("cosine_sim"))).as("m"))
+      .select(col("vec_id"), col("m.kept_by").as("kept_by"),
+        col("m.cosine_sim").as("cosine_sim"))
+  }
 }

@@ -42,4 +42,24 @@ class IvfSpec extends SparkSpec {
       .select("vec_id", "rnk").as[(Long, Long)].collect().toSeq.sorted
     assert(run() == run())
   }
+
+  test("native NearestCentroid == the column-arithmetic twin, incl. degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    val model = IvfIndex.train(emb, k = 16, iters = 2)
+    val clean = emb.select(col("vec_id"), col("embedding"))
+    val degenerate = Seq(
+      (900L, null.asInstanceOf[Seq[Option[Float]]]),       // NULL array
+      (901L, Seq.fill(64)(Option(0.5f)).updated(3, None)), // NULL element
+      (902L, Seq.fill(10)(Option(1.0f))))                  // ragged
+      .toDF("vec_id", "embedding")
+    val rows = clean.unionByName(degenerate)
+      .select(col("vec_id"),
+        IvfIndex.clusterCol(col("embedding"), model).as("fast"),
+        IvfIndex.clusterColTwin(col("embedding"), model).as("slow"))
+      .as[(Long, Option[Int], Option[Int])].collect()
+    rows.foreach { case (id, fast, slow) =>
+      assert(fast == slow, s"vec $id: native $fast != column twin $slow")
+    }
+    assert(rows.count(_._2.isEmpty) == 3, "exactly the degenerate rows must be NULL")
+  }
 }

@@ -214,6 +214,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("semanticDedup (occupancy-scaled k) == the brute rule at its derived k") {
+    val rng = new scala.util.Random(29)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0L until 48L).map(i => (i, vec().toSeq))
+    val dups = (0L until 12L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.015f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val n = base.size + dups.size
+    val targetCell = 8
+    val k = math.ceil(n.toDouble / targetCell).toInt // what semanticDedup derives
+    val model = graft.sim.IvfIndex.train(df, k = k, iters = 0)
+    val assigned = graft.sim.IvfIndex.assign(df, model)
+      .select("vec_id", "cluster", "embedding")
+      .as[(Long, Int, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (idB, cB, vB) <- assigned
+      hit <- assigned.iterator
+        .filter { case (idA, cA, _) => cA == cB && idA < idB }
+        .map { case (idA, _, vA) => (idA, cos(vA, vB)) }
+        .filter(_._2 >= 0.9)
+        .reduceOption((x, y) => if (x._1 <= y._1) x else y)
+    } yield (idB, hit._1, hit._2)).toSeq.sortBy(_._1)
+    val got = graft.sim.Similarity.semanticDedup(df, tau = 0.9, targetCell = targetCell)
+      .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(expected.size >= 10, s"planted dups must mostly share cells (got ${expected.size})")
+    assert(got == expected)
+  }
+
   test("SrpBandSigs == the bucketId column formulation, incl. degenerate inputs") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(24 * 8, 64)
