@@ -62,6 +62,23 @@ object Run {
           println(f"[semauto] n=$n $label: $rows dropped in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       } finally spark.stop()
+    case "hier" :: dir :: rest =>
+      // Capacity probe: flat vs hierarchical (multi-probe coarse-routed)
+      // IVF assignment at a large-k codebook — the SCALING.md comparison
+      // for the O(n·k) assignment term.
+      val k = rest.headOption.map(_.toInt).getOrElse(1024)
+      val spark = Sessions.local("graft-hier")
+      try {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val model = graft.sim.IvfIndex.train(emb, k = k, iters = 0, sampleN = math.max(2048, k))
+        for ((label, df) <- Seq(
+            "flat" -> graft.sim.IvfIndex.assign(emb, model),
+            "hier(sqrt-k,p=4)" -> graft.sim.IvfIndex.assignHierarchical(emb, model))) {
+          val t0 = System.nanoTime()
+          val cells = df.select("cluster").distinct().count()
+          println(f"[hier] k=$k $label: $cells cells in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query
       // local verification without a full graft.Verify pass.

@@ -152,7 +152,9 @@ FROM unioned GROUP BY lang ORDER BY lang"""
       .filter(col("pb").between(16, 47) && col("ob").between(16, 47))
       .groupBy(col("pb").cast("long").as("pb"))
       .agg(count(lit(1)).as("n_rows"),
-        sum("l_extendedprice").as("revenue"),
+        // exact integer cents: a raw double sum can land a 1-ulp apart
+        // across engines and straddle the gate's 6-sig-digit rounding
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
         min("l_orderkey").as("min_orderkey"),
         max("l_orderkey").as("max_orderkey"))
       .orderBy("pb")
@@ -160,7 +162,7 @@ FROM unioned GROUP BY lang ORDER BY lang"""
 
   val q111Sql: String =
     """SELECT CAST(l_partkey % 256 AS BIGINT) AS pb, count(*) AS n_rows,
-       sum(l_extendedprice) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
 FROM lineitem
 WHERE (l_partkey % 256) BETWEEN 16 AND 47 AND (l_orderkey % 256) BETWEEN 16 AND 47

@@ -103,6 +103,80 @@ object IvfIndex {
   def assign(embeddings: DataFrame, model: Model): DataFrame =
     embeddings.withColumn("cluster", clusterCol(col("embedding"), model))
 
+  /** Hierarchical (coarse-quantizer) assignment for LARGE k — the
+    * faiss-style IVF-on-IVF routing SCALING.md names as the step past
+    * the flat argmin's O(n·k): route each row to its `nProbe` nearest
+    * of ~√k coarse centroids (one small literal score array, the
+    * annTopK probe pattern), then argmin over only those coarse cells'
+    * fine centroids ([[org.apache.spark.sql.graft.NearestCentroidDyn]]
+    * reading each group's matrix from a broadcast mapping row), keeping
+    * the best (score, id) across probes. Per-row work drops from k·dim
+    * to (√k + nProbe·k/√k)·dim multiply-adds.
+    *
+    * APPROXIMATE near coarse boundaries: a vector may probe no coarse
+    * cell containing its global argmin (with coarseK = 1, or nProbe ≥
+    * coarseK, routing is exhaustive and the result is exact — the
+    * equivalence spec pins this). Higher nProbe buys agreement
+    * linearly in work; isotropic data is the worst case, clustered
+    * embeddings route nearly perfectly. For SemDeDup-style clustering
+    * a boundary vector landing one cell over changes the heuristic
+    * partition, not correctness; exact-assignment consumers (the
+    * q34/q41 oracles) keep the flat [[assign]].
+    *
+    * The coarse codebook is deterministic: Lloyd over the fine
+    * centroids themselves, init = first coarseK, fixed 5 iterations.
+    * Requires a unique row key column (`keyCol`) to reduce the probe
+    * fan-out back to one row per input row.
+    */
+  def assignHierarchical(embeddings: DataFrame, model: Model,
+      coarseK0: Int = 0, nProbe: Int = 4, keyCol: String = "vec_id"): DataFrame = {
+    val pts = model.centroids
+    val k = pts.length
+    val dim = pts(0).length
+    val coarseK = math.min(k, if (coarseK0 > 0) coarseK0
+      else math.max(1, math.round(math.sqrt(k.toDouble)).toInt))
+    val probes = math.min(coarseK, nProbe)
+    var coarse = pts.take(coarseK).map(_.clone())
+    (1 to 5).foreach { _ =>
+      val sums = Array.fill(coarseK, dim)(0.0)
+      val counts = new Array[Long](coarseK)
+      pts.foreach { v =>
+        val c = nearest(coarse, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      coarse = Array.tabulate(coarseK) { c =>
+        if (counts(c) == 0) coarse(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    val groups: Seq[(Int, Array[Int])] = pts.indices
+      .groupBy(i => nearest(coarse, pts(i)))
+      .map { case (c, is) => (c, is.toArray) }.toSeq.sortBy(_._1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val mapping = groups.map { case (cid, fineIds) =>
+      (cid, fineIds.toSeq.map(i => pts(i).toSeq.map(_.toFloat)), fineIds.toSeq)
+    }.toDF("__coarse", "__matrix", "__ids")
+    // per-row array of (coarse score, coarse id) structs — the annTopK
+    // probe pattern; coarseK is ~√k so the literal tree stays small
+    val coarseScores: Seq[Column] = coarse.toSeq.zipWithIndex.map { case (ctr, j) =>
+      val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
+      struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dotF32(col("embedding"), cLit)).as("s"),
+        lit(j).as("c"))
+    }
+    val cand = embeddings
+      .withColumn("__probe", explode(slice(array_sort(array(coarseScores: _*)), 1, probes)))
+      .withColumn("__coarse", col("__probe.c"))
+      .join(broadcast(mapping), Seq("__coarse"))
+      .withColumn("__cand", org.apache.spark.sql.graft.NearestCentroidDyn.nearest(
+        col("embedding"), col("__matrix"), col("__ids")))
+      .groupBy(col(keyCol))
+      .agg(min(col("__cand")).as("__best")) // (score, id) lexicographic = flat tie-break
+      .select(col(keyCol), col("__best.id").as("cluster"))
+    embeddings.join(cand, Seq(keyCol), "left")
+  }
+
   /** Top-k neighbors for the query vectors, probing each query's nprobe
     * nearest cells only, exact cosine re-rank within (bounded-heap
     * top-k aggregate). The candidate join is (cluster ⋈ cluster) against

@@ -4,9 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** argmin-over-centroids of the IVF assignment in ONE pass: the index c
   * minimizing |centroid_c|² − 2·emb·centroid_c (|emb|² is argmin-
@@ -85,4 +86,86 @@ object NearestCentroid {
   def nearest(emb: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(emb), centroids.map(_.toSeq).toSeq))
+}
+
+/** [[NearestCentroid]] with the centroid matrix read from a COLUMN
+  * (array<array<float>>, paired with an array<int> of the centroids'
+  * global ids) instead of baked-in literals — the building block for
+  * hierarchical (coarse-then-fine) assignment, where each row scans
+  * only the fine centroids of its routed coarse cell(s) and the matrix
+  * therefore differs per row. Returns struct(score, id) of the local
+  * argmin — the score so a MULTI-probe caller can take the min across
+  * probed coarse cells with an ordinary min(struct), whose (score, id)
+  * lexicographic order reproduces the flat argmin's smallest-id
+  * tie-break. Same score formula, index-order double accumulation, and
+  * first-index ties as the literal form; NULL emb/element/ragged or a
+  * NULL/empty/misaligned matrix yields NULL.
+  *
+  * normSq here is the double sum over the FLOAT-cast components (the
+  * matrix column has already been cast to float); callers that need
+  * bit-parity with the literal expression must feed the same floats.
+  */
+case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(emb, matrix, ids)
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_dyn"
+
+  override def eval(input: InternalRow): Any = {
+    val rawE = emb.eval(input)
+    val rawM = matrix.eval(input)
+    val rawI = ids.eval(input)
+    if (rawE == null || rawM == null || rawI == null) return null
+    val x = rawE.asInstanceOf[ArrayData]
+    val m = rawM.asInstanceOf[ArrayData]
+    val idArr = rawI.asInstanceOf[ArrayData]
+    val k = m.numElements()
+    if (k == 0 || k != idArr.numElements()) return null
+    val n = x.numElements()
+    val e = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      e(i) = x.getFloat(i).toDouble
+      i += 1
+    }
+    var best = -1
+    var bestScore = Double.NaN
+    var c = 0
+    while (c < k) {
+      if (m.isNullAt(c) || idArr.isNullAt(c)) return null
+      val ctr = m.getArray(c)
+      if (ctr.numElements() != n) return null
+      var s = 0.0
+      var nsq = 0.0
+      var j = 0
+      while (j < n) {
+        if (ctr.isNullAt(j)) return null
+        val cf = ctr.getFloat(j).toDouble
+        s += e(j) * cf
+        nsq += cf * cf
+        j += 1
+      }
+      val score = nsq - 2.0 * s
+      if (c == 0 || score < bestScore || (bestScore.isNaN && !score.isNaN)) {
+        best = c; bestScore = score
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestScore, idArr.getInt(best)))
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(emb = newChildren(0), matrix = newChildren(1), ids = newChildren(2))
+}
+
+object NearestCentroidDyn {
+  def nearest(emb: Column, matrix: Column, ids: Column): Column =
+    ExpressionUtils.column(NearestCentroidDyn(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(matrix),
+      ExpressionUtils.expression(ids)))
 }

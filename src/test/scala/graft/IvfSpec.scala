@@ -62,4 +62,24 @@ class IvfSpec extends SparkSpec {
     }
     assert(rows.count(_._2.isEmpty) == 3, "exactly the degenerate rows must be NULL")
   }
+
+  test("hierarchical assignment: exact at coarseK=1, near-flat agreement at sqrt-k") {
+    import org.apache.spark.sql.functions._
+    val model = IvfIndex.train(emb, k = 64, iters = 0, sampleN = 512)
+    val flat = IvfIndex.assign(emb, model)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // coarseK = 1: one group holding every fine centroid — routing is
+    // trivial, so the dyn argmin must reproduce the flat assignment.
+    val exact = IvfIndex.assignHierarchical(emb, model, coarseK0 = 1)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(exact == flat, "coarseK=1 hierarchical must equal flat assignment")
+    // default coarseK = sqrt(k): approximate only near coarse borders
+    val hier = IvfIndex.assignHierarchical(emb, model)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(hier.keySet == flat.keySet, "every vector must be assigned")
+    assert(hier.values.forall(c => c >= 0 && c < 64), "cell ids must be valid")
+    val agree = flat.count { case (id, c) => hier(id) == c }
+    assert(agree.toDouble / flat.size >= 0.8,
+      s"routed assignment should mostly agree with flat ($agree/${flat.size})")
+  }
 }
