@@ -9,14 +9,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SortMergeJoin with zero Exchange).
   */
 object Bucketing {
-  /** Write `df` as a bucketed, sorted managed parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
-    df.write
+  /** Write `df` as a bucketed, sorted parquet table — managed (warehouse
+    * dir) by default, or EXTERNAL at `path` so callers that cannot rely
+    * on the session's warehouse location (the catalog queries, which
+    * run under whatever JVM the driver launches) control the files.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Number of shuffle exchanges in the final physical plan of `df`.
     * Descends into AQE query stages (materialized shuffles become leaf

@@ -551,4 +551,50 @@ SELECT n_name, pr AS rank_fp
 FROM r5 JOIN nation ON node = n_nationkey
 ORDER BY rank_fp DESC, n_name"""
   }
+
+  /** Equi-depth (quantile-bucketed) histogram of order totals — the
+    * feature-binning / data-balancing primitive an ML pipeline uses
+    * where q68's equi-WIDTH bins would put 90 % of rows in two buckets.
+    * Boundaries come from ANSI PERCENTILE_DISC (quartiles), which picks
+    * ACTUAL data values (smallest value with cume_dist ≥ q) — no
+    * interpolation, so the cut points are bit-identical across engines;
+    * rows then bucket by comparison against the one broadcast boundary
+    * row.
+    *
+    * Scale shape: percentile_disc is a distributed aggregate (sort
+    * within partial state, merge — never a global window), the
+    * boundary row broadcasts, and the bucket assignment is a narrow
+    * projection into a 4-group partial aggregate. The oracle replays
+    * the ANSI definition explicitly (cume_dist CTE) rather than trust
+    * DuckDB's quantile_disc indexing convention, which differs from
+    * ANSI at some (n mod 4) counts.
+    */
+  def q115_equidepth(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "orders").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("b1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("b2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("b3"))
+    t(s, dir, "orders").select(col("o_totalprice").as("x"))
+      .crossJoin(broadcast(b)) // one row: the quartile boundaries
+      .withColumn("bucket",
+        when(col("x") <= col("b1"), 0L).when(col("x") <= col("b2"), 1L)
+          .when(col("x") <= col("b3"), 2L).otherwise(3L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("x").as("lo"), max("x").as("hi"),
+        sum(round(col("x") * 100).cast("long")).as("total_cents"))
+      .orderBy("bucket")
+  }
+
+  val q115Sql: String =
+    """WITH cd AS (SELECT o_totalprice AS x, cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders),
+b AS (SELECT min(CASE WHEN cd >= 0.25 THEN x END) AS b1,
+             min(CASE WHEN cd >= 0.5  THEN x END) AS b2,
+             min(CASE WHEN cd >= 0.75 THEN x END) AS b3 FROM cd),
+bk AS (SELECT x, CASE WHEN x <= b1 THEN 0 WHEN x <= b2 THEN 1 WHEN x <= b3 THEN 2 ELSE 3 END AS bucket
+       FROM (SELECT o_totalprice AS x FROM orders) CROSS JOIN b)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_orders,
+       min(x) AS lo, max(x) AS hi,
+       CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM bk GROUP BY bucket ORDER BY bucket"""
 }

@@ -160,6 +160,40 @@ FROM unioned GROUP BY lang ORDER BY lang"""
       .orderBy("pb")
   }
 
+  /** Bucketed co-located join: orders and customer pre-bucketed on the
+    * join key (8 buckets, sorted) as managed tables, then joined WITHOUT
+    * a shuffle on either side — the static layout that makes repeated
+    * fact⋈fact joins affordable at 100 TB (bucket co-location replaces
+    * the per-query Exchange; BucketingSpec + PlanAssertionsSpec assert
+    * the join runs with only the final aggregation's shuffle). The
+    * result is layout-invariant, so the oracle joining the raw tables
+    * proves the bucketed rewrite moved every row intact. Table names
+    * carry the dir digest + PID (same isolation rule as tmp()).
+    */
+  def q116_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val root = tmp("graft_q116_", dir)
+    val suffix = root.split('/').last.stripPrefix("graft_q116_") // dirdigest_pid
+    val (to, tc) = (s"graft_q116_o_$suffix", s"graft_q116_c_$suffix")
+    Bucketing.writeBucketed(
+      Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      to, "o_custkey", 8, Some(s"$root/o"))
+    Bucketing.writeBucketed(
+      Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+      tc, "c_custkey", 8, Some(s"$root/c"))
+    s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("nation")
+  }
+
+  val q116Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY nation"""
+
   val q111Sql: String =
     """SELECT CAST(l_partkey % 256 AS BIGINT) AS pb, count(*) AS n_rows,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -423,6 +423,42 @@ class PlanAssertionsSpec extends SparkSpec {
         s"$c predicate must reach the z-layout scan's PushedFilters")
   }
 
+  test("q115: quartile boundaries come from a distributed aggregate, never a global window") {
+    // ANSI PERCENTILE_DISC as an aggregate partial-merges; the naive
+    // cume_dist formulation (the oracle's replay) would be a
+    // single-partition window over the whole table.
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q115_equidepth(spark, sf("sf0.001")))
+    assert(!plan.contains("Window"), "q115 must not sort the table into one window partition")
+    assert(plan.contains("partial_percentile_disc") || plan.contains("percentile_disc"),
+      "boundaries must come from the percentile_disc aggregate")
+  }
+
+  test("q116: the bucketed join itself runs with zero shuffles (only the agg exchanges)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      // q116's plan carries exactly 2 exchanges: the aggregation hash
+      // and the final sort's range partitioning — the join adds NONE.
+      val bucketed = graft.operators.Bucketing.shuffleExchangeCount(
+        graft.queries.QueriesSources.q116_bucketed_join(spark, sf("sf0.001")))
+      assert(bucketed <= 2,
+        s"bucket co-location must eliminate the join shuffles (got $bucketed exchanges)")
+      // the same query over the raw tables pays both join-side shuffles
+      import org.apache.spark.sql.functions._
+      val raw = graft.operators.Bucketing.shuffleExchangeCount(
+        graft.core.Tables(spark, sf("sf0.001"), "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .join(graft.core.Tables(spark, sf("sf0.001"), "customer")
+            .select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("nation"))
+      assert(raw >= bucketed + 2,
+        s"raw join must pay the two join-side shuffles ($raw vs $bucketed)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q107: every pagerank round is a broadcast join + keyed agg; edges never re-shuffle") {
     // The rank vector broadcasts onto the persisted edge list each round:
     // the plan may contain no shuffle of the edge table per iteration and
