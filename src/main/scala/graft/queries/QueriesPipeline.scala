@@ -56,13 +56,18 @@ FROM b GROUP BY split ORDER BY split"""
     * O(groups × k) longs where exact count(distinct) shuffles every
     * distinct value — the 100 TB way to count uniques. Estimator
     * (k−1)·D/v_k from exact integers, so the DuckDB oracle replays it
-    * bit-for-bit. n_exact is included for demonstration (the estimate
-    * lands within ~6 % of it); a production run would drop that column.
+    * bit-for-bit. n_exact is included for demonstration; a production
+    * run would drop that column. The sketch hashes through the affine
+    * permutation (a bijection onto [0, 2³¹−1)) because the raw
+    * polynomial hash of short ids concentrates near 0, violating the
+    * estimator's uniformity assumption — see q117, whose oracle caught
+    * exactly that bias.
     */
   def q45_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val hashSpace = 1000000007d // PortableHash modulus
-    val h = PortableHash.asciiPolyHash(col("user_id").cast("string"))
+    val hashSpace = PortableHash.MinHashP.toDouble
+    val h = PortableHash.minHashPerm(
+      PortableHash.asciiPolyHash(col("user_id").cast("string")), 0)
     Tables.events(s, dir)
       .select(col("event_type"), col("user_id"), h.as("h"))
       .groupBy("event_type")
@@ -79,7 +84,9 @@ FROM b GROUP BY split ORDER BY split"""
   }
 
   val q45Sql: String =
-    raw"""WITH h AS (SELECT DISTINCT event_type, ${QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+    raw"""WITH h AS (SELECT DISTINCT event_type,
+                     (${QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")} * 1013904225 + 12345) % 2147483647 AS hv
+            FROM events),
 r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
 m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins,
              max(CASE WHEN rn = 256 THEN hv END) AS v_k
@@ -87,8 +94,80 @@ m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins,
 x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
 SELECT m.event_type, m.n_mins, x.n_exact,
        CASE WHEN m.n_mins < 256 THEN CAST(m.n_mins AS DOUBLE)
-            ELSE round(255.0 * 1000000007 / v_k, 3) END AS n_distinct_est
+            ELSE round(255.0 * 2147483647 / v_k, 3) END AS n_distinct_est
 FROM m JOIN x ON x.event_type = m.event_type ORDER BY m.event_type"""
+
+  /** KMV sketch ALGEBRA — the reusable-partials pattern that makes
+    * sketches matter at 100 TB: per-day k-minimum-values sketches of
+    * distinct users, then the month total computed by MERGING the daily
+    * sketches (explode + the SAME KmvAgg over the hash values), never
+    * re-scanning raw events. Correct because the k smallest of the
+    * union of per-day k-min sets IS the global k-min set (any globally
+    * k-smallest hash is k-smallest within its own day) — so the merged
+    * estimate equals the direct global estimate exactly, and the oracle
+    * can replay it as the global k-th smallest distinct hash. k=64 so
+    * the estimator branch (not the exact small-set branch) is what the
+    * gate exercises at sf0.01.
+    *
+    * The sketch hash is the affine permutation of the polynomial hash
+    * (minHashPerm: a·h+b mod 2³¹−1, a bijection): the raw polynomial
+    * hash of SHORT ids concentrates near 0 (a 3-char id stays below
+    * 31³), which violates KMV's uniformity assumption and inflates the
+    * estimate by orders of magnitude — the permuted values are spread
+    * over the full modulus, and the estimator reads k/v_k against THAT
+    * space. (Found by this query's own oracle: the unpermuted estimate
+    * came out 35 M for 135 true distinct.)
+    */
+  def q117_kmv_rollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hashSpace = PortableHash.MinHashP.toDouble
+    val h = PortableHash.minHashPerm(
+      PortableHash.asciiPolyHash(col("user_id").cast("string")), 0)
+    def est(mins: org.apache.spark.sql.Column) =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(hashSpace)
+          / element_at(mins, k).cast("double"), 3))
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"), h.as("h"))
+    val daily = ev.groupBy("day")
+      .agg(org.apache.spark.sql.graft.KmvAgg.kmv(col("h"), k).as("mins"),
+        countDistinct("user_id").as("n_exact"))
+    val dayRows = daily.select(col("day").as("scope"),
+      est(col("mins")).as("n_distinct_est"), col("n_exact"))
+    val merged = daily.select(explode(col("mins")).as("h"))
+      .agg(org.apache.spark.sql.graft.KmvAgg.kmv(col("h"), k).as("mins"))
+    val totalExact = Tables.events(s, dir).agg(countDistinct("user_id").as("n_exact"))
+    val totalRow = merged.crossJoin(totalExact) // two one-row sides
+      .select(lit("TOTAL").as("scope"), est(col("mins")).as("n_distinct_est"), col("n_exact"))
+    dayRows.unionByName(totalRow).orderBy("scope")
+  }
+
+  val q117Sql: String =
+    raw"""WITH h AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                     (${QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")} * 1013904225 + 12345) % 2147483647 AS hv
+            FROM events),
+r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+m AS (SELECT day, CAST(count(*) AS BIGINT) AS n_mins, max(CASE WHEN rn = 64 THEN hv END) AS v_k
+      FROM r WHERE rn <= 64 GROUP BY day),
+x AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1),
+days AS (SELECT m.day AS scope,
+                CASE WHEN m.n_mins < 64 THEN CAST(m.n_mins AS DOUBLE)
+                     ELSE round(63.0 * 2147483647 / v_k, 3) END AS n_distinct_est,
+                x.n_exact
+         FROM m JOIN x ON x.day = m.day),
+gh AS (SELECT DISTINCT hv FROM h),
+gr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM gh),
+gm AS (SELECT CAST(count(*) AS BIGINT) AS n_mins, max(CASE WHEN rn = 64 THEN hv END) AS v_k
+       FROM gr WHERE rn <= 64),
+total AS (SELECT 'TOTAL' AS scope,
+                 CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+                      ELSE round(63.0 * 2147483647 / v_k, 3) END AS n_distinct_est,
+                 (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+          FROM gm)
+SELECT scope, n_distinct_est, n_exact FROM days
+UNION ALL SELECT scope, n_distinct_est, n_exact FROM total
+ORDER BY scope"""
 
   /** Deterministic stratified sample: exactly k documents per language,
     * chosen as the k smallest portable-hash values of doc_id — balanced
