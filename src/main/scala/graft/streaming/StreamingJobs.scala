@@ -369,4 +369,71 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** LIVE-index ANN serving, part 1 — index maintenance. New vectors
+    * arrive as a stream; each microbatch is written WITH its
+    * precomputed LSH bucket to an append-only `part=<batchId>`
+    * directory. Idempotent under at-least-once replay (a redelivered
+    * batch overwrites its own part and nothing else), and the index is
+    * simply the union of parts — no rewrite of existing data, ever,
+    * which is what lets the index absorb updates at ingest rate. At
+    * 100 TB the parts would additionally be bucketed/partitioned BY the
+    * LSH bucket so a probe touches only its bucket's files.
+    */
+  def annIndexSink(indexDir: String, numPlanes: Int = 6, dim: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.graft.VectorExpressions.normF32
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    batch
+      .withColumn("bucket", Similarity.bucketId(col("embedding"), planes))
+      .withColumn("__n", normF32(col("embedding")))
+      .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
+  }
+
+  /** LIVE-index ANN serving, part 2 — the query server. Each query
+    * microbatch probes the index AS OF NOW (every part written so far):
+    * Hamming-≤2 bucket probes, equi-join on the STORED bucket column,
+    * exact-cosine re-rank through the bounded-heap top-k — the q27 plan
+    * against a growing corpus. Results land in `part=<batchId>` of
+    * `outDir` (replay-idempotent like the index side). Queries arriving
+    * before any index part exists produce no output rows for that batch
+    * (the empty-index guard), matching what a retrieval service returns
+    * with nothing indexed.
+    */
+  def annQuerySink(indexDir: String, outDir: String, k: Int,
+      numPlanes: Int = 6, probeHamming: Int = 2, dim: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
+    val spark = batch.sparkSession
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val parts = Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty).toSeq.map(_.getName).filter(_.startsWith("part="))
+    val out = s"$outDir/part=$batchId"
+    if (parts.isEmpty) {
+      batch.sparkSession.emptyDataFrame
+        .withColumn("query_id", lit(0L)).withColumn("vec_id", lit(0L))
+        .withColumn("cosine_sim", lit(0.0)).withColumn("rnk", lit(0L))
+        .limit(0).write.mode("overwrite").parquet(out)
+      return
+    }
+    val index = spark.read.parquet(parts.map(p => s"$indexDir/$p"): _*)
+    val masks = Similarity.probeMasks(numPlanes, probeHamming)
+    val probes = batch
+      .withColumn("qbucket", Similarity.bucketId(col("query_vec"), planes))
+      .withColumn("__qn", normF32(col("query_vec")))
+      .withColumn("bucket", explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    index.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.id").as("vec_id"),
+        col("__kv.score").as("cosine_sim"), (col("__r") + 1).cast("long").as("rnk"))
+      .write.mode("overwrite").parquet(out)
+  }
 }

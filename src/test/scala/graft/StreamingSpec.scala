@@ -210,6 +210,73 @@ class StreamingSpec extends SparkSpec {
       s"served ANN diverges from batch: extra=${(got -- batch).take(3)} missing=${(batch -- got).take(3)}")
   }
 
+  test("live-index ANN serving: queries see exactly the index ingested so far; both sinks replay-idempotent") {
+    val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpusA = emb.filter(col("vec_id") % 2 === 0)
+    val corpusB = emb.filter(col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    val idxIn = java.nio.file.Files.createTempDirectory("graft-liveidx-in").toString
+    val qryIn = java.nio.file.Files.createTempDirectory("graft-liveqry-in").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-liveidx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-liveout").toString
+
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val qrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("query_vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val idxQ = spark.readStream.schema(embSchema).parquet(idxIn).writeStream
+      .foreachBatch(StreamingJobs.annIndexSink(idxDir) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-liveidx-ck").toString).start()
+    val qryQ = spark.readStream.schema(qrySchema).parquet(qryIn).writeStream
+      .foreachBatch(StreamingJobs.annQuerySink(idxDir, outDir, k = 10) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-liveqry-ck").toString).start()
+
+    def served(): Set[(Long, Long, Double, Long)] =
+      spark.read.parquet(outDir)
+        .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    def batchAnn(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      graft.sim.Similarity.annLshTopK(corpus, queries, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("rnk"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+
+    // ingest corpus A, then serve the query panel: must equal batch ANN over A
+    corpusA.coalesce(1).write.mode("append").parquet(idxIn)
+    idxQ.processAllAvailable()
+    queries.coalesce(1).write.mode("append").parquet(qryIn)
+    qryQ.processAllAvailable()
+    val afterA = served()
+    assert(afterA.nonEmpty && afterA == batchAnn(corpusA),
+      "chunk-1 serving must equal batch ANN over the ingested half")
+
+    // ingest corpus B, re-ask the same panel: must now see the FULL index
+    corpusB.coalesce(1).write.mode("append").parquet(idxIn)
+    idxQ.processAllAvailable()
+    queries.coalesce(1).write.mode("append").parquet(qryIn)
+    qryQ.processAllAvailable()
+    idxQ.stop(); qryQ.stop()
+    val allServed = served()
+    val full = batchAnn(emb)
+    assert(full.subsetOf(allServed),
+      "after full ingest the re-asked panel must match batch ANN over the whole corpus")
+    assert(allServed == afterA ++ full, "outputs must be exactly the two panels' results")
+
+    // replay-idempotence: re-running a sink for an already-written batch
+    // overwrites its own part and changes nothing
+    val before = served()
+    StreamingJobs.annQuerySink(idxDir, outDir, k = 10)(queries, 1L)
+    assert(served() == before, "replaying a query batch must leave served results unchanged")
+  }
+
   test("CDC upsert sink: streamed events materialize the batch last-value-per-user snapshot, replay-idempotent") {
     // Events as an upsert stream keyed by user_id: after streaming the
     // whole log in two chronological chunks, the maintained snapshot must
