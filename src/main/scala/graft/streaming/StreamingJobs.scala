@@ -391,6 +391,40 @@ object StreamingJobs {
       .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
   }
 
+  /** Compaction for [[annIndexSink]]'s append-only part chain — the
+    * small-files answer for a long-running ingest (thousands of
+    * microbatch parts make every probe pay per-file open costs).
+    * Merges every part EXCEPT the newest batch's into one consolidated
+    * `part=m<maxBatchId>` directory, then deletes the merged parts.
+    * The newest part must survive untouched for the same reason
+    * cdcCompact keeps two versions: under at-least-once delivery only
+    * the LAST batch can replay, and a replay overwrites `part=<id>` —
+    * compacting it away and then replaying would resurrect the part
+    * beside the consolidated copy and double-count its vectors.
+    * Consolidated parts (m-prefixed) sort outside the numeric batch-id
+    * space, so a later compaction merges them like any other part.
+    */
+  def annIndexCompact(indexDir: String): Unit = {
+    val dir = new java.io.File(indexDir)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("part="))
+    val numeric = parts.map(_.stripPrefix("part=")).filter(_.forall(_.isDigit)).map(_.toLong)
+    if (numeric.isEmpty) return
+    val newest = s"part=${numeric.max}"
+    val toMerge = parts.filterNot(_ == newest)
+    if (toMerge.size < 2) return // nothing worth consolidating
+    val spark = org.apache.spark.sql.SparkSession.active
+    val merged = spark.read.parquet(toMerge.map(p => s"$indexDir/$p"): _*)
+    val outName = s"part=m${numeric.max}"
+    merged.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite").parquet(s"$indexDir/$outName")
+    toMerge.foreach { p =>
+      val path = java.nio.file.Paths.get(indexDir, p)
+      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   /** LIVE-index ANN serving, part 2 — the query server. Each query
     * microbatch probes the index AS OF NOW (every part written so far):
     * Hamming-≤2 bucket probes, equi-join on the STORED bucket column,

@@ -277,6 +277,36 @@ class StreamingSpec extends SparkSpec {
     assert(served() == before, "replaying a query batch must leave served results unchanged")
   }
 
+  test("index compaction folds old parts into one; serving results unchanged; newest part survives replay") {
+    val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cidx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cout").toString
+    (0 until 3).foreach { b =>
+      StreamingJobs.annIndexSink(idxDir)(emb.filter(col("vec_id") % 3 === b), b.toLong)
+    }
+    def parts() = new java.io.File(idxDir).listFiles().map(_.getName).filter(_.startsWith("part=")).sorted.toSeq
+    def serve(tag: Long) = {
+      StreamingJobs.annQuerySink(idxDir, outDir, k = 10)(queries, tag)
+      spark.read.parquet(s"$outDir/part=$tag")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    assert(parts().size == 3)
+    val before = serve(100L)
+    StreamingJobs.annIndexCompact(idxDir)
+    assert(parts() == Seq("part=2", "part=m2"), s"expected consolidated layout, got ${parts()}")
+    assert(serve(101L) == before, "compaction must not change served results")
+    // the replay window: re-delivering the NEWEST batch only overwrites
+    // its own surviving part — still no duplicates, same results
+    StreamingJobs.annIndexSink(idxDir)(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(serve(102L) == before, "replaying the newest batch after compaction must be a no-op")
+    // a second compaction with nothing but {newest, consolidated} is a no-op
+    StreamingJobs.annIndexCompact(idxDir)
+    assert(parts() == Seq("part=2", "part=m2"))
+  }
+
   test("CDC upsert sink: streamed events materialize the batch last-value-per-user snapshot, replay-idempotent") {
     // Events as an upsert stream keyed by user_id: after streaming the
     // whole log in two chronological chunks, the maintained snapshot must
