@@ -552,6 +552,84 @@ FROM r5 JOIN nation ON node = n_nationkey
 ORDER BY rank_fp DESC, n_name"""
   }
 
+  /** Day-over-day audience drift: the MinHash-estimated vs exact Jaccard
+    * of consecutive days' active-user sets — the corpus-drift monitor a
+    * data pipeline runs to notice distribution shift WITHOUT comparing
+    * raw sets. The estimator is the classic signature-agreement
+    * fraction: J ≈ |{k : sig_k(A) = sig_k(B)}| / K.
+    *
+    * Scale shape: signatures are one MinHashAgg pass (K=64 longs per
+    * day, partial-aggregated); the day-over-day comparison is a lag
+    * window over the ~30-row daily table (bounded by the calendar, the
+    * q104 argument) and a zip_with over two 64-long arrays. The exact
+    * Jaccard columns exist as the demo's ground truth and cost a keyed
+    * self-join on (h, adjacent-day) — a production monitor drops them
+    * and ships 64 longs per day per table, which is the point: drift
+    * detection from sketches alone, no raw-set retention.
+    */
+  def q118_user_drift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val K = 64
+    val h = PortableHash.asciiPolyHash(col("user_id").cast("string"))
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), h.as("h"))
+      .distinct()
+    val sigs = ev.groupBy("day")
+      .agg(org.apache.spark.sql.graft.MinHashAgg.minhash(col("h"), K).as("sig"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy("day") // ~30 rows: bounded by the calendar
+    val adj = sigs
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("prev_sig", lag("sig", 1).over(w))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .filter(col("prev_day").isNotNull)
+    val inter = ev.as("a")
+      .join(ev.as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.day").as("day"), col("b.day").as("bday"))
+      .agg(count(lit(1)).as("ni"))
+    adj.join(inter,
+        adj("day") === inter("day") && adj("prev_day") === col("bday"), "left")
+      .select(adj("day"),
+        round(size(filter(zip_with(col("sig"), col("prev_sig"), (a, b) => a === b),
+          x => x)).cast("double") / K, 6).as("est_jaccard"),
+        round(coalesce(col("ni"), lit(0L)).cast("double")
+          / (col("n") + col("prev_n") - coalesce(col("ni"), lit(0L))), 6).as("exact_jaccard"))
+      .orderBy("day")
+  }
+
+  val q118Sql: String = {
+    val ph = QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")
+    raw"""WITH hh AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, $ph AS h FROM events),
+ks AS (SELECT k, ((k * 2654435761 + 1013904223) % 2147483646 + 1) | 1 AS a,
+              (k * 1103515245 + 12345) % 2147483647 AS b
+       FROM (SELECT unnest(range(0, 64)) AS k)),
+sig AS (SELECT day, k, min((a * h + b) % 2147483647) AS m
+        FROM hh CROSS JOIN ks GROUP BY day, k),
+sizes AS (SELECT day, count(*) AS n FROM hh GROUP BY day),
+days AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev_day FROM sizes),
+agree AS (SELECT d.day, count(*) FILTER (s1.m = s2.m) AS eq
+          FROM days d
+          JOIN sig s1 ON s1.day = d.day
+          JOIN sig s2 ON s2.day = d.prev_day AND s2.k = s1.k
+          WHERE d.prev_day IS NOT NULL GROUP BY d.day),
+inter AS (SELECT d.day, count(*) AS ni
+          FROM days d
+          JOIN hh a ON a.day = d.day
+          JOIN hh b ON b.day = d.prev_day AND b.h = a.h
+          GROUP BY d.day)
+SELECT d.day,
+       round(CAST(agree.eq AS DOUBLE) / 64, 6) AS est_jaccard,
+       round(CAST(coalesce(inter.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(inter.ni, 0)), 6) AS exact_jaccard
+FROM days d
+JOIN agree ON agree.day = d.day
+JOIN sizes sa ON sa.day = d.day
+JOIN sizes sb ON sb.day = d.prev_day
+LEFT JOIN inter ON inter.day = d.day
+WHERE d.prev_day IS NOT NULL
+ORDER BY d.day"""
+  }
+
   /** Equi-depth (quantile-bucketed) histogram of order totals — the
     * feature-binning / data-balancing primitive an ML pipeline uses
     * where q68's equi-WIDTH bins would put 90 % of rows in two buckets.
