@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sim.{IvfIndex, Similarity}
+import graft.sim.{IvfIndex, PqIndex, Similarity}
 
 /** Similarity-search queries over the embeddings table (SURVEY.md §2.C-D
   * Q17 and extensions Q20, Q26–Q27).
@@ -483,4 +483,212 @@ d AS (SELECT vec_id, kept_by, cosine_sim,
              row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rn
       FROM p WHERE cosine_sim >= 0.45)
 SELECT vec_id, kept_by, cosine_sim FROM d WHERE rn = 1 ORDER BY vec_id"""
+
+  /** Product-quantized ANN (Jégou et al. 2011) — the ANN *compression*
+    * path next to the pruning paths (q27 SRP buckets, q34/q41 IVF
+    * cells): 8 subspaces × 16-entry codebooks turn the 64-dim float32
+    * embedding (256 B) into 8 code bytes, and the query-time scan reads
+    * ONLY the codes column (asymmetric distance to the quantized
+    * corpus), re-reading raw vectors just for the exact cosine re-rank
+    * of the 10 winners per query. Codebooks follow the q34 init
+    * convention (subvectors of the first 16 vectors, iters = 0) so the
+    * whole query — encoding argmin, ADC fold, re-rank — replays in SQL;
+    * Lloyd-trained codebooks exercise the identical plan under PqSpec.
+    */
+  def q119_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = PqIndex.train(e, numSub = 8, ksub = 16, iters = 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopK(PqIndex.encode(e, model), queries, model, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: codebook m, entry j = subvector m of vec_id j (j < 16);
+    * codes via the |c|² − 2·e·c argmin with first-index ties
+    * (NearestCentroid's contract); ADC distance folds subspaces in m
+    * order and components in index order — the exact double sequence of
+    * PqIndex.adcTopK — then (rounded dist asc, vec_id) ranking and the
+    * q17-style rounded-cosine re-rank of the winners.
+    */
+  val q119Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+cb AS (SELECT ms.m, e.vec_id AS j,
+              list_transform(range(1, 9), i -> v[ms.m * 8 + i]) AS c
+       FROM e, ms WHERE e.vec_id < 16),
+cbn AS (SELECT m, j, c, list_sum(list_transform(c, x -> x * x)) AS cn FROM cb),
+scores AS (SELECT e.vec_id, cbn.m, cbn.j,
+                  cbn.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> e.v[cbn.m * 8 + i] * cbn.c[i])) AS s
+           FROM e, cbn),
+codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM scores)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+d AS (SELECT q.query_id, cd.vec_id, cd.m,
+             list_sum(list_transform(range(1, 9), i -> (q.qv[cd.m * 8 + i] - cb2.c[i]) * (q.qv[cd.m * 8 + i] - cb2.c[i]))) AS dm
+      FROM codes cd JOIN cbn cb2 ON cb2.m = cd.m AND cb2.j = cd.code, q
+      WHERE cd.vec_id <> q.query_id),
+adc AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+        FROM d GROUP BY query_id, vec_id),
+r AS (SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc),
+f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosine_sim,
+             CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
+      WHERE r.rnk <= 10)
+SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
+
+  /** Scalar-quantized (uint8) ANN screen + exact re-rank — the third
+    * compression point on the ANN spectrum (float32 brute q17 → int8
+    * scan here → PQ codes q119): components map to 0..255 against the
+    * corpus-global [min, max], the candidate screen ranks by the
+    * INTEGER quantized dot product (4× less scan bandwidth than
+    * float32; integer arithmetic is bit-exact across engines, so the
+    * candidate set carries zero FP ambiguity), and only the top-20
+    * screen winners pay the exact float cosine for the final top-10.
+    * The global bounds are one broadcast min/max row (the q81 pattern);
+    * at 100 TB they come from the table's column statistics instead of
+    * a scan.
+    */
+  def q121_sq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val bounds = e.agg(
+      min(array_min(col("embedding"))).cast("double").as("lo"),
+      max(array_max(col("embedding"))).cast("double").as("hi"))
+    val quantized = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round((x.cast("double") - col("lo")) / (col("hi") - col("lo")) * 255).cast("int"))
+          .as("qv"))
+    val queries = quantized.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("qv").as("qq"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__qn"))
+    val screen = quantized
+      .select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(queries.select("query_id", "qq")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qv"), col("qq"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val top20 = screen
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(
+        col("qdot").cast("double"), col("vec_id"), 20).as("top"))
+      .select(col("query_id"), explode(col("top")).as("__kv"))
+      .select(col("query_id"), col("__kv.id").as("vec_id"),
+        col("__kv.score").cast("long").as("qdot"))
+    import org.apache.spark.sql.expressions.Window
+    val reranked = quantized.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__n"))
+      .join(broadcast(top20), Seq("vec_id"))
+      .join(broadcast(queries.select("query_id", "query_vec", "__qn")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qdot"),
+        round(org.apache.spark.sql.graft.VectorExpressions.dotF32(col("embedding"), col("query_vec"))
+          / (col("__n") * col("__qn")), 6).as("cosine_sim"))
+    reranked
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: same global bounds, same 0..255 quantization (all values
+    * non-negative after the shift, so HALF_UP and half-away-from-zero
+    * agree), the integer-dot screen's (qdot DESC, vec_id) top-20 —
+    * integer-exact, so the candidate sets match bit-for-bit — then the
+    * rounded-cosine re-rank.
+    */
+  val q121Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo,
+             CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings),
+qz AS (SELECT vec_id, v,
+              list_transform(v, x -> CAST(round((x - b.lo) / (b.hi - b.lo) * 255) AS INTEGER)) AS qv
+       FROM e, b),
+q AS (SELECT vec_id AS query_id, v AS qv0, qv AS qq FROM qz WHERE vec_id < 5),
+s AS (SELECT q.query_id, z.vec_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> CAST(z.qv[i] AS BIGINT) * q.qq[i])) AS BIGINT) AS qdot
+      FROM qz z, q WHERE z.vec_id <> q.query_id),
+t AS (SELECT query_id, vec_id, qdot FROM (
+        SELECT query_id, vec_id, qdot,
+               row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rn FROM s)
+      WHERE rn <= 20),
+r AS (SELECT t.query_id, t.vec_id, t.qdot, ${cosSql("z.v", "q.qv0")} AS cosine_sim
+      FROM t JOIN qz z ON z.vec_id = t.vec_id JOIN q ON q.query_id = t.query_id),
+f AS (SELECT query_id, vec_id, qdot, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
+      FROM r)
+SELECT query_id, vec_id, qdot, cosine_sim, rnk FROM f WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** IVF-PQ — the faiss composite index, end to end: queries probe
+    * their nprobe=4 nearest of 16 IVF cells (q34's inverted file), and
+    * within the probed cells the candidate scan reads the 8-byte PQ
+    * codes (q119's codebooks), never the raw vectors, which reappear
+    * only for the exact re-rank of the 10 winners. Pruning ×
+    * compression in one plan: the ANN query touches nprobe/k of the
+    * rows at 1/32 of the bytes. Both models follow the init convention
+    * (cells = first 16 vectors, codebook m = subvectors of the first 16)
+    * so every stage replays in SQL.
+    */
+  def q122_ivfpq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, k = 16, iters = 0)
+    val pq = PqIndex.train(e, numSub = 8, ksub = 16, iters = 0)
+    val indexed = PqIndex.encode(IvfIndex.assign(e, ivf), pq)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopKIvf(indexed, queries, ivf, pq, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: q34's assignment/probe CTEs composed with q119's
+    * codebook/encoding/ADC CTEs — candidates restricted to the probed
+    * cells, ADC distance folded in subspace order, (dist asc, vec_id)
+    * ranking, rounded-cosine re-rank of the winners.
+    */
+  val q122Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+iscores AS (SELECT e.vec_id, c.cid,
+                   c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+            FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM iscores)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM iscores WHERE vec_id < 5)
+           WHERE rn <= 4),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+cb AS (SELECT ms.m, e.vec_id AS j,
+              list_transform(range(1, 9), i -> v[ms.m * 8 + i]) AS c
+       FROM e, ms WHERE e.vec_id < 16),
+cbn AS (SELECT m, j, c, list_sum(list_transform(c, x -> x * x)) AS cn FROM cb),
+ps AS (SELECT e.vec_id, cbn.m, cbn.j,
+              cbn.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> e.v[cbn.m * 8 + i] * cbn.c[i])) AS s
+       FROM e, cbn),
+codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM ps)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+d AS (SELECT p.query_id, a.vec_id, cd.m,
+             list_sum(list_transform(range(1, 9), i -> (q.qv[cd.m * 8 + i] - cb2.c[i]) * (q.qv[cd.m * 8 + i] - cb2.c[i]))) AS dm
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      JOIN cbn cb2 ON cb2.m = cd.m AND cb2.j = cd.code
+      JOIN q ON q.query_id = p.query_id),
+adc AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+        FROM d GROUP BY query_id, vec_id),
+r AS (SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc),
+f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosine_sim,
+             CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
+      WHERE r.rnk <= 10)
+SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
 }

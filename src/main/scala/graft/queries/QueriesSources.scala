@@ -201,4 +201,46 @@ GROUP BY 1 ORDER BY nation"""
 FROM lineitem
 WHERE (l_partkey % 256) BETWEEN 16 AND 47 AND (l_orderkey % 256) BETWEEN 16 AND 47
 GROUP BY 1 ORDER BY pb"""
+
+  /** Small-file compaction planner — the Delta/Iceberg OPTIMIZE shape:
+    * given a file inventory (here each document stands in for one file,
+    * partitioned by lang, sized by its byte length), pack the
+    * small files (< 8 KiB) of each partition into merge bins of ~4 KiB
+    * with the DISTRIBUTED bin rule — cumulative size BEFORE the file,
+    * integer-divided by the target — instead of sequential first-fit.
+    * Each bin overshoots the target by at most one file, every bin is a
+    * contiguous id range (one read stream per merge task), and the rule
+    * is a pure window expression, so planning 100 TB = a window over
+    * the metadata-scale inventory (one row per file, partitioned by the
+    * table's partition key) that never touches data bytes.
+    */
+  def q120_compaction_plan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), octet_length(col("text")).cast("long").as("size_bytes"))
+      .filter(col("size_bytes") < 8192L)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("size_bytes").over(w), lit(0L)))
+      .withColumn("bin", expr("cast(cum_before div 4096 as bigint)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum("size_bytes").as("total_bytes"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  val q120Sql: String =
+    """WITH f AS (SELECT lang, doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes
+           FROM documents WHERE strlen(text) < 8192),
+c AS (SELECT lang, doc_id, size_bytes,
+             coalesce(sum(size_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM f)
+SELECT lang, CAST(cum_before // 4096 AS BIGINT) AS bin,
+       count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{PqIndex, Similarity}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+  private lazy val model = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 0)
+
+  test("every vector encodes to M in-range codes") {
+    val enc = PqIndex.encode(emb, model)
+    assert(enc.count() == emb.count())
+    val bad = enc.filter(
+      size(col("codes")) =!= model.numSub ||
+        exists(col("codes"), c => c < 0 || c >= model.ksub))
+    assert(bad.count() == 0)
+  }
+
+  test("init-codebook vectors are their own nearest code (ADC self-distance 0)") {
+    // vec_id < ksub ARE the codebook entries (iters=0): each subspace's
+    // argmin must land on the vector's own entry, so its ADC distance
+    // to itself is exactly zero.
+    val enc = PqIndex.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < model.ksub)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // adcTopK excludes self-pairs, so recompute the self ADC directly
+    // from the codes: code for vec j in every subspace must be j.
+    val self = enc.filter(col("vec_id") < model.ksub)
+      .filter(!forall(col("codes"), c => c === col("vec_id").cast("int")))
+    assert(self.count() == 0)
+    assert(queries.count() == model.ksub.toLong)
+  }
+
+  test("ADC top-k recall vs brute force is reasonable") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoin(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = PqIndex.adcTopK(PqIndex.encode(emb, model), q, model, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      (pq.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean ADC recall $mean too low (recalls=$recalls)")
+  }
+
+  test("Lloyd-trained codebooks reduce mean quantization error vs init") {
+    def meanQuantErr(m: PqIndex.Model): Double = {
+      val vecs = emb.orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val sd = m.subDim
+      vecs.map { v =>
+        (0 until m.numSub).map { mm =>
+          val sub = v.slice(mm * sd, (mm + 1) * sd)
+          m.codebooks(mm).map { c =>
+            sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    }
+    val trained = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 5)
+    val e0 = meanQuantErr(model)
+    val e5 = meanQuantErr(trained)
+    assert(e5 < e0, s"Lloyd training did not reduce quantization error: $e0 -> $e5")
+  }
+
+  test("ADC search is deterministic across runs and trained codebooks run the same plan") {
+    val trained = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 3)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def run(m: PqIndex.Model) =
+      PqIndex.adcTopK(PqIndex.encode(emb, m), q, m, k = 10)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    assert(run(model) == run(model))
+    assert(run(trained) == run(trained))
+    assert(run(trained).size == 30)
+  }
+
+  test("IVF-PQ with exhaustive probing equals flat ADC (incl. distances)") {
+    import graft.sim.IvfIndex
+    val ivf = IvfIndex.train(emb, k = 8, iters = 2)
+    val indexed = PqIndex.encode(IvfIndex.assign(emb, ivf), model)
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_dist", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    // nprobe = k probes every cell: the candidate set is the full corpus,
+    // so IVF-PQ must reproduce the flat ADC result exactly
+    val flat = rows(PqIndex.adcTopK(indexed, q, model, k = 10))
+    val ivfpq = rows(PqIndex.adcTopKIvf(indexed, q, ivf, model, k = 10, nprobe = 8))
+    assert(flat == ivfpq)
+  }
+
+  test("ADC candidate scan reads codes, not embeddings (and no cartesian on the corpus side)") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val df = PqIndex.adcTopK(PqIndex.encode(emb, model), q, model, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only joins are the broadcast of the bounded query batch and
+    // the k-winner re-rank joins; the corpus never self-joins
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
