@@ -228,6 +228,128 @@ SELECT lang, doc_id, CAST(hv AS BIGINT) AS h, rnk FROM r WHERE rnk <= 10 ORDER B
       FROM documents)
 SELECT doc_id, lang, n_chars, key FROM s ORDER BY key DESC, doc_id LIMIT 20"""
 
+  /** The END-TO-END curation pipeline as ONE declarative plan — the
+    * composition a 100 TB corpus build actually ships, with every stage
+    * an operator the catalog already proves in isolation: quality/
+    * length/stopword gates (q44's scoring), exact dedup keeping the
+    * smallest doc_id per text (q15's digest rule), a one-hop near-dup
+    * drop via the prefix-filtered exact 5-gram Jaccard join at τ=0.8
+    * (q90's production plan — any doc with a lower-id verified neighbor
+    * is dropped), benchmark decontamination against the held-out eval
+    * source `src0` via df-capped rare 8-grams (q54's rule), then the
+    * deterministic portable-hash 80/10/10 split (q43). Per (split,
+    * lang): doc/token counts and an id checksum.
+    *
+    * Scale shape: text enters no join key anywhere — exact dedup joins
+    * on the digest, near-dup on rare-shingle hashes, decontamination on
+    * df-capped shingles; every stage is a keyed semi/anti join, so the
+    * whole pipeline is one DAG of partial-aggregated shuffles over
+    * narrow keys. Catalyst sees all six stages at once and pipelines
+    * the scans; nothing is materialized between stages.
+    */
+  def q123_full_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val evalSource = "src0"
+    val all = docs(s, dir)
+    val toks = Text.tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val scored = all
+      .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"),
+        alpha.as("alpha"),
+        size(toks).cast("long").as("n_tokens"),
+        Text.markerCount(toks, Text.EnglishMarkers).as("n_stop"))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") === 0, 0.0).otherwise(col("alpha").cast("double") / col("n_chars")))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("avg_tok_len",
+        when(col("n_tokens") === 0, 0.0).otherwise(col("alpha").cast("double") / col("n_tokens")))
+      .withColumn("quality",
+        round(col("alpha_ratio") * 0.4
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("stopword_ratio")) * 0.3, 6))
+    val gated = scored.filter(col("source") =!= evalSource &&
+      col("n_stop") >= 1 && col("quality") >= 0.6 && col("n_tokens").between(10, 120))
+    val deduped = Dedup.exactKeepFirst(gated, "text", "doc_id")
+    val nearDropped = Dedup.ngramJaccardPairsPrefix(
+        deduped.select("doc_id", "text"), shingleN = 5, threshold = 0.8)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    val surv = deduped.join(nearDropped, Seq("doc_id"), "left_anti")
+    // decontamination: df over ALL documents (q54's boilerplate guard),
+    // eval shingles from the full eval source (benchmark text is fixed
+    // regardless of what the training gates keep)
+    val sh = all.select(col("doc_id"), col("source"),
+      explode(Text.shingles(Text.tokens(col("text")), 8)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 25).select("sh")
+    val keptSh = sh.join(rare, Seq("sh"), "left_semi")
+    val evalSh = keptSh.filter(col("source") === evalSource).select("sh").distinct()
+    val contaminated = keptSh.filter(col("source") =!= evalSource)
+      .join(evalSh, Seq("sh"), "left_semi").select("doc_id").distinct()
+    val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+    val slot = pmod(PortableHash.asciiPolyHash(col("doc_id").cast("string")), lit(100))
+    clean
+      .withColumn("split",
+        when(slot < 80, "train").when(slot < 90, "valid").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split", "lang")
+  }
+
+  val q123Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, source, lang, text, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len($ToksSql) AS n_tokens,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, source, lang, text, n_tokens, n_stop,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END AS avg_tok_len
+  FROM t),
+q AS (
+  SELECT doc_id, source, lang, text, n_tokens,
+         round(alpha_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.3 + (1.0 - stopword_ratio) * 0.3, 6) AS quality,
+         n_stop
+  FROM r),
+gated AS (
+  SELECT * FROM q WHERE source <> 'src0' AND n_stop >= 1 AND quality >= 0.6 AND n_tokens BETWEEN 10 AND 120),
+dd AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated)
+  WHERE rn = 1),
+toks5 AS (SELECT d.doc_id, $ToksSql AS t FROM documents JOIN dd d USING (doc_id)),
+sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s5
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks5 WHERE len(t) >= 5)),
+sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY doc_id),
+com AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        FROM sh5 a JOIN sh5 b ON a.s5 = b.s5 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+ndrop AS (SELECT DISTINCT db AS doc_id FROM com
+          JOIN sz5 sa ON sa.doc_id = da JOIN sz5 sb ON sb.doc_id = db
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+surv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+toks8 AS (SELECT doc_id, source, $ToksSql AS t FROM documents),
+sh8 AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s8
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 6)) AS i FROM toks8 WHERE len(t) >= 8)),
+rare AS (SELECT s8 FROM sh8 GROUP BY s8 HAVING count(*) <= 25),
+keptsh AS (SELECT sh8.doc_id, sh8.source, sh8.s8 FROM sh8 JOIN rare USING (s8)),
+contam AS (SELECT DISTINCT k.doc_id
+           FROM keptsh k JOIN (SELECT DISTINCT s8 FROM keptsh WHERE source = 'src0') ev USING (s8)
+           WHERE k.source <> 'src0'),
+clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+sp AS (SELECT lang, n_tokens, doc_id,
+              CASE WHEN ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                   WHEN ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM clean)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM sp GROUP BY 1, 2 ORDER BY split, lang"""
+
   /** The C4-style cleaning chain as ONE plan: language gate (≥ 2 English
     * marker tokens), quality gate (q23's score ≥ 0.74 ≈ corpus median),
     * length gate (15–95 tokens), then exact dedup keeping the smallest
