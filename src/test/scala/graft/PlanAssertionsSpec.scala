@@ -468,4 +468,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "q107 must not nested-loop the graph")
     assert(plan.contains("BroadcastHashJoin"), "q107 iterations must broadcast the rank vector")
   }
+
+  test("q120: the compaction plan reads only (lang, doc_id, text-length); no join at all") {
+    val plan = executedPlanString(graft.queries.QueriesSources.q120_compaction_plan(spark, sf("sf0.001")))
+    assert(!plan.contains("Join"), "the planner is windows + aggregation over the inventory — no join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"inventory scan not pruned:\n${plan.take(2000)}")
+  }
+
+  test("q122: IVF-PQ candidates come from the cell equi-join; no pair scan anywhere") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q122_ivfpq_ann(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q122 must not cross corpus with queries")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "q122 candidates must come from the cluster equi-join")
+  }
+
+  test("q123: the pipeline's dedup/decontamination joins never key on the text payload") {
+    val plan = executedPlanString(graft.queries.QueriesPipeline.q123_full_pipeline(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q123 must not enumerate doc pairs")
+    // every join keys on digests, shingle hashes, or doc ids — a join
+    // whose key expression mentions the raw text column would ship
+    // document bodies through an exchange
+    val joinKeyLines = plan.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString("\n")
+    assert(!joinKeyLines.contains("text#"), s"text used as a join key:\n$joinKeyLines")
+  }
 }
