@@ -348,11 +348,26 @@ object Similarity {
     * DuckDB oracle can replay the centroid argmin): nearest-init-
     * centroid assignment, then the keep-lowest-id rule over exact
     * cosine WITHIN cells only.
+    *
+    * Past `hierSwitchK` centroids the flat argmin's O(n·k·dim) scan
+    * dominates (SCALING.md's measured crossover is ~10¹¹ multiply-adds
+    * — k in the thousands at occupancy-scaled corpus sizes), so
+    * assignment switches to the multi-probe hierarchical router
+    * ([[IvfIndex.assignHierarchical]]): (√k + nProbe·√k)·dim work per
+    * row. The routing is approximate ONLY near coarse-cell boundaries
+    * — a boundary vector landing one cell over changes the heuristic
+    * partition, not correctness (every reported pair still passes the
+    * exact cosine ≥ tau verify) — and SimilaritySpec's planted-cluster
+    * benchmark pins the agreement rate on clustered data, the regime
+    * SemDeDup actually runs in.
     */
   def semanticDedupK(embeddings: DataFrame, tau: Double, k: Int,
-      sampleN: Int = 2048): DataFrame = {
+      sampleN: Int = 2048, hierSwitchK: Int = 4096): DataFrame = {
     val model = IvfIndex.train(embeddings, k = k, iters = 0, sampleN = sampleN)
-    val a = IvfIndex.assign(embeddings, model)
+    val assigned =
+      if (k > hierSwitchK) IvfIndex.assignHierarchical(embeddings, model, nProbe = 4)
+      else IvfIndex.assign(embeddings, model)
+    val a = assigned
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normF32(col("embedding")).as("__n"))
     a.as("x").join(a.as("y"),

@@ -82,4 +82,62 @@ class IvfSpec extends SparkSpec {
     assert(agree.toDouble / flat.size >= 0.8,
       s"routed assignment should mostly agree with flat ($agree/${flat.size})")
   }
+
+  /** Deterministic planted-cluster fixture: `c` well-separated centers
+    * in [-1,1]^dim (LCG from the center index), each point = its center
+    * plus a tiny id-derived offset. ids cycle through centers, so the
+    * first k sample vectors are one per cluster — the init-codebook
+    * convention lands one centroid in each planted cluster.
+    */
+  private def plantedClusters(n: Int, c: Int, dim: Int) = {
+    def u(seed: Long, j: Int): Double = {
+      // splitmix-style scramble -> [-1, 1)
+      var z = seed * 6364136223846793005L + j * 1442695040888963407L + 1234567L
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val rows = (0 until n).map { id =>
+      val ctr = id % c
+      val v = Array.tabulate(dim)(j => (u(ctr.toLong, j) + 0.02 * u(1000L + id, j)).toFloat)
+      (id.toLong, v.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  test("planted clusters: hierarchical routing agrees with flat assignment in the clustered regime") {
+    // The regime SemDeDup actually runs in: organically clustered
+    // embeddings, k sized to the cluster count. Boundary vectors are
+    // rare because clusters are separated, so multi-probe routing
+    // should agree with the flat argmin almost everywhere.
+    val df = plantedClusters(n = 2000, c = 40, dim = 16)
+    val model = IvfIndex.train(df, k = 40, iters = 3, sampleN = 2000)
+    val flat = IvfIndex.assign(df, model)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val hier = IvfIndex.assignHierarchical(df, model, nProbe = 4)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val agree = flat.count { case (id, cl) => hier(id) == cl }
+    assert(agree.toDouble / flat.size >= 0.99,
+      s"clustered-regime agreement too low: $agree/${flat.size}")
+    // and every planted cluster is internally pure under flat assignment
+    val purity = flat.groupBy(_._1 % 40).values
+      .map(g => g.groupBy(_._2).values.map(_.size).max.toDouble / g.size)
+    assert(purity.forall(_ >= 0.95), s"planted clusters not recovered: $purity")
+  }
+
+  test("semanticDedupK auto-switches to hierarchical routing past the k threshold") {
+    import graft.sim.Similarity
+    val df = plantedClusters(n = 1000, c = 20, dim = 16)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "kept_by", "cosine_sim")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    // hierSwitchK below k forces the routed path; the planted clusters
+    // are separated, so the dedup result must match the flat path
+    // exactly (every near-dup pair lives deep inside one cluster).
+    val flat = rows(Similarity.semanticDedupK(df, tau = 0.99, k = 20, sampleN = 1000))
+    val routed = rows(Similarity.semanticDedupK(df, tau = 0.99, k = 20, sampleN = 1000,
+      hierSwitchK = 8))
+    assert(flat == routed, "routed semanticDedup must match flat on separated clusters")
+    assert(flat.nonEmpty, "planted near-dups must be found (offsets are tiny => cosine ~1)")
+  }
 }
