@@ -464,4 +464,76 @@ scored AS (SELECT inst.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v)) AS lp
            FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
 SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
 FROM scored GROUP BY doc_id ORDER BY avg_logprob, doc_id LIMIT 20"""
+
+  /** Sparse TF-IDF cosine similarity join — the SPARSE counterpart to
+    * the dense ANN family (q17/q119/q121/q122): document vectors live
+    * in term space, candidates come from the inverted-index equi-join
+    * on shared terms (df-capped, q54's boilerplate guard — a term in
+    * hundreds of docs is a stopword-shaped hot key, exactly what turns
+    * the term self-join quadratic at 100 TB), and similarity is cosine
+    * over the df-capped vocabulary.
+    *
+    * Determinism across engines is by construction, the q121 trick:
+    * weights are FIXED-POINT — w = round(tf · ln((N+1)/(df+1)) ·
+    * 10000) as an integer — so the dot product and squared norms are
+    * exact integer sums (no float accumulation order anywhere; the
+    * weight magnitudes keep Σw² far below 2⁶³), and only the final
+    * cosine division happens in doubles, as one identical expression
+    * on both sides, rounded to 6 before the threshold and ordering.
+    */
+  def q124_sparse_cosine(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.6
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    // df cap scales with the corpus (the "term in >10% of docs is a
+    // stopword" rule, floored for tiny fixtures): an absolute cap
+    // degenerates at scale — at 10× the gate corpus it had emptied the
+    // usable vocabulary
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(50L), expr("n_docs div 10")))
+      .select("term", "df")
+    val wt = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs)) // one row: corpus size
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double")
+          * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * lit(10000.0))
+          .cast("long").as("w"))
+    val norms = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("ss"))
+    val dot = wt.as("a")
+      .join(wt.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_id_a"), col("ss").as("ssa")), Seq("doc_id_a"))
+      .join(norms.select(col("doc_id").as("doc_id_b"), col("ss").as("ssb")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))), 6)
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= tau)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val q124Sql: String =
+    raw"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
+           GROUP BY doc_id, term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, df FROM (SELECT term, count(*) AS df FROM tf GROUP BY term) x, nd
+          WHERE df <= greatest(50, n_docs // 10)),
+wt AS (SELECT tf.doc_id, tf.term,
+              CAST(round(CAST(tf.tf AS DOUBLE) * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) * 10000.0) AS BIGINT) AS w
+       FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ss FROM wt GROUP BY doc_id),
+dt AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+r AS (SELECT dt.doc_id_a, dt.doc_id_b,
+             round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cosine_sim
+      FROM dt JOIN norms na ON na.doc_id = dt.doc_id_a JOIN norms nb ON nb.doc_id = dt.doc_id_b)
+SELECT doc_id_a, doc_id_b, cosine_sim FROM r WHERE cosine_sim >= 0.6 ORDER BY doc_id_a, doc_id_b"""
 }
