@@ -664,6 +664,70 @@ ORDER BY d.day"""
       .orderBy("bucket")
   }
 
+  /** Mergeable hash-sample quantile sketch — the quantile member of the
+    * sketch family (KMV q45/q117 for distincts, CMS q105 for heavy
+    * hitters): per group, keep the 512 rows with the SMALLEST permuted
+    * portable hash of the row key (a uniform row sample, deterministic
+    * given the hash), estimate p50/p95 from the sample, and report the
+    * exact percentiles beside them as the demo's ground truth.
+    *
+    * Mergeable by the KMV argument: the k hash-smallest rows of a union
+    * are the k smallest of the per-partition k-smallest — so partial
+    * aggregation (TopKAgg's merge) IS the sketch merge, the shuffle
+    * carries O(groups × k) pairs regardless of row count, and daily
+    * sketches roll up to monthly ones without re-scanning raw data
+    * (exactly q117's pattern, for quantiles). The hash goes through the
+    * affine permutation (q45's lesson: raw polynomial hashes of short
+    * ids concentrate near 0 and break uniformity).
+    *
+    * A production rollup drops the exact columns; they are the point of
+    * the demonstration here — at the gate corpus the 512-sample
+    * estimates land within a few percent of the exact cents.
+    */
+  def q125_sketch_quantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val k = 512
+    val h = PortableHash.minHashPerm(
+      PortableHash.asciiPolyHash(col("o_orderkey").cast("string")), 0)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), h.as("h"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val idx = (q: Double) =>
+      greatest(lit(1), ceil(size(col("vals")) * lit(q)).cast("int"))
+    base
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_orders"),
+        org.apache.spark.sql.graft.TopKAgg.topk(-col("h").cast("double"), col("cents"), k).as("samp"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("exact_p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").cast("long").as("exact_p95"))
+      .withColumn("vals", array_sort(transform(col("samp"), x => x.getField("id"))))
+      .select(col("prio"), col("n_orders"),
+        size(col("vals")).cast("long").as("n_sample"),
+        element_at(col("vals"), idx(0.5)).as("est_p50"),
+        element_at(col("vals"), idx(0.95)).as("est_p95"),
+        col("exact_p50"), col("exact_p95"))
+      .orderBy("prio")
+  }
+
+  val q125Sql: String = {
+    val poly = QueriesDedup.polyHashSql("CAST(o_orderkey AS VARCHAR)")
+    raw"""WITH b AS (SELECT o_orderpriority AS prio,
+         ($poly * 1013904225 + 12345) % 2147483647 AS h,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+r AS (SELECT prio, cents, row_number() OVER (PARTITION BY prio ORDER BY h, cents) AS rn FROM b),
+smp AS (SELECT prio, list(cents ORDER BY cents) AS vals FROM r WHERE rn <= 512 GROUP BY prio),
+cd AS (SELECT prio, cents, cume_dist() OVER (PARTITION BY prio ORDER BY cents) AS cd FROM b),
+ex AS (SELECT prio, min(CASE WHEN cd >= 0.5 THEN cents END) AS exact_p50,
+              min(CASE WHEN cd >= 0.95 THEN cents END) AS exact_p95 FROM cd GROUP BY prio),
+cnt AS (SELECT prio, count(*) AS n_orders FROM b GROUP BY prio)
+SELECT smp.prio, cnt.n_orders, CAST(len(vals) AS BIGINT) AS n_sample,
+       vals[greatest(1, CAST(ceil(len(vals) * 0.5) AS INT))] AS est_p50,
+       vals[greatest(1, CAST(ceil(len(vals) * 0.95) AS INT))] AS est_p95,
+       ex.exact_p50, ex.exact_p95
+FROM smp JOIN ex USING (prio) JOIN cnt USING (prio) ORDER BY prio"""
+  }
+
   val q115Sql: String =
     """WITH cd AS (SELECT o_totalprice AS x, cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders),
 b AS (SELECT min(CASE WHEN cd >= 0.25 THEN x END) AS b1,
