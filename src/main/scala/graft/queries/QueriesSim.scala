@@ -540,27 +540,32 @@ f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosin
       WHERE r.rnk <= 10)
 SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
 
-  /** Scalar-quantized (uint8) ANN screen + exact re-rank — the third
+  /** Scalar-quantized (int8) ANN screen + exact re-rank — the third
     * compression point on the ANN spectrum (float32 brute q17 → int8
-    * scan here → PQ codes q119): components map to 0..255 against the
-    * corpus-global [min, max], the candidate screen ranks by the
-    * INTEGER quantized dot product (4× less scan bandwidth than
-    * float32; integer arithmetic is bit-exact across engines, so the
-    * candidate set carries zero FP ambiguity), and only the top-20
-    * screen winners pay the exact float cosine for the final top-10.
-    * The global bounds are one broadcast min/max row (the q81 pattern);
-    * at 100 TB they come from the table's column statistics instead of
-    * a scan.
+    * scan here → PQ codes q119): components map SYMMETRICALLY to
+    * −127..127 against the corpus-global max |x| — q = round(x/m·127),
+    * so the integer dot is a²·Σxy plus bounded quantization error,
+    * monotone-ish in the true dot. (An affine 0..255 shift is NOT:
+    * its b²·d and b·Σx cross terms swamp the similarity signal — the
+    * q126 recall eval measured that variant at recall ≈ 0 on this
+    * fixture, which is why the scheme here is the symmetric one.)
+    * The screen ranks by the integer quantized dot (4× less scan
+    * bandwidth than float32; integer arithmetic is bit-exact across
+    * engines, so the candidate set carries zero FP ambiguity), and
+    * only the top-20 screen winners pay the exact float cosine for the
+    * final top-10. The global bound is one broadcast max-|x| row (the
+    * q81 pattern); at 100 TB it comes from column statistics instead
+    * of a scan.
     */
   def q121_sq_ann(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val bounds = e.agg(
-      min(array_min(col("embedding"))).cast("double").as("lo"),
-      max(array_max(col("embedding"))).cast("double").as("hi"))
+      greatest(max(array_max(col("embedding"))).cast("double"),
+        -min(array_min(col("embedding"))).cast("double")).as("m"))
     val quantized = e.crossJoin(broadcast(bounds))
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
-          x => round((x.cast("double") - col("lo")) / (col("hi") - col("lo")) * 255).cast("int"))
+          x => round(x.cast("double") / col("m") * 127).cast("int"))
           .as("qv"))
     val queries = quantized.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
@@ -595,18 +600,18 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
       .orderBy("query_id", "rnk")
   }
 
-  /** Oracle: same global bounds, same 0..255 quantization (all values
-    * non-negative after the shift, so HALF_UP and half-away-from-zero
-    * agree), the integer-dot screen's (qdot DESC, vec_id) top-20 —
-    * integer-exact, so the candidate sets match bit-for-bit — then the
-    * rounded-cosine re-rank.
+  /** Oracle: same global max-|x| bound, same symmetric −127..127
+    * quantization (Spark HALF_UP and DuckDB round both round halves
+    * AWAY FROM ZERO, so negatives agree too), the integer-dot screen's
+    * (qdot DESC, vec_id) top-20 — integer-exact, so the candidate sets
+    * match bit-for-bit — then the rounded-cosine re-rank.
     */
   val q121Sql: String =
     raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-b AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo,
-             CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings),
+b AS (SELECT greatest(CAST(max(list_max(embedding)) AS DOUBLE),
+                      -CAST(min(list_min(embedding)) AS DOUBLE)) AS m FROM embeddings),
 qz AS (SELECT vec_id, v,
-              list_transform(v, x -> CAST(round((x - b.lo) / (b.hi - b.lo) * 255) AS INTEGER)) AS qv
+              list_transform(v, x -> CAST(round(x / b.m * 127) AS INTEGER)) AS qv
        FROM e, b),
 q AS (SELECT vec_id AS query_id, v AS qv0, qv AS qq FROM qz WHERE vec_id < 5),
 s AS (SELECT q.query_id, z.vec_id,
@@ -691,4 +696,58 @@ f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosin
       FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
       WHERE r.rnk <= 10)
 SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
+
+  /** Recall@10 of the COMPRESSED ANN family against exact brute-force —
+    * q112's honest-accuracy convention extended to the compression
+    * paths: one plan computes exact top-10 (bounded-heap kNN) plus the
+    * q119 flat-ADC, q121 int8-screen, and q122 IVF-PQ top-10s, and
+    * reports the per-(method, query) hit fraction. The numbers quantify
+    * what each compression point trades for its bandwidth win on this
+    * isotropic fixture (the hardest case for quantizers — organic
+    * clustered embeddings quantize better).
+    */
+  def q126_compressed_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoinAgg(e, queries, k = 10).select("query_id", "vec_id")
+    def hits(method: String, df: DataFrame): DataFrame =
+      queries.select("query_id")
+        .join(exact.join(df.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
+    val pq = hits("pq_adc", q119_pq_ann(s, dir))
+    val sq = hits("sq_int8", q121_sq_ann(s, dir))
+    val ivfpq = hits("ivfpq", q122_ivfpq_ann(s, dir))
+    pq.unionByName(sq).unionByName(ivfpq).orderBy("method", "query_id")
+  }
+
+  /** Oracle: the exact side is q26's full-scan top-10; each method side
+    * nests that method's full oracle (q119/q121/q122) as a subquery —
+    * the replays are already proven row-identical by their own catalog
+    * entries, so this oracle only adds the hit-count join.
+    */
+  val q126Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+ex AS (SELECT query_id, vec_id FROM (
+         SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rnk
+         FROM e, q WHERE e.vec_id <> q.query_id)
+       WHERE rnk <= 10),
+m_pq AS (SELECT query_id, vec_id FROM ($q119Sql)),
+m_sq AS (SELECT query_id, vec_id FROM ($q121Sql)),
+m_ivfpq AS (SELECT query_id, vec_id FROM ($q122Sql)),
+h AS (SELECT 'pq_adc' AS method, query_id, count(*) AS n_hit
+      FROM ex JOIN m_pq USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'sq_int8', query_id, count(*) FROM ex JOIN m_sq USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'ivfpq', query_id, count(*) FROM ex JOIN m_ivfpq USING (query_id, vec_id) GROUP BY query_id),
+grid AS (SELECT m.method, q.query_id
+         FROM (SELECT unnest(['pq_adc', 'sq_int8', 'ivfpq']) AS method) m, q)
+SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
+FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
+ORDER BY grid.method, grid.query_id"""
 }
