@@ -718,9 +718,12 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
         .select(lit(method).as("method"), col("query_id"),
           round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
     val pq = hits("pq_adc", q119_pq_ann(s, dir))
+    val pqt = hits("pq_trained", q127_pq_trained(s, dir))
     val sq = hits("sq_int8", q121_sq_ann(s, dir))
     val ivfpq = hits("ivfpq", q122_ivfpq_ann(s, dir))
-    pq.unionByName(sq).unionByName(ivfpq).orderBy("method", "query_id")
+    val ivfpqr = hits("ivfpq_res", q128_ivfpq_residual(s, dir))
+    pq.unionByName(pqt).unionByName(sq).unionByName(ivfpq).unionByName(ivfpqr)
+      .orderBy("method", "query_id")
   }
 
   /** Oracle: the exact side is q26's full-scan top-10; each method side
@@ -728,7 +731,8 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
     * the replays are already proven row-identical by their own catalog
     * entries, so this oracle only adds the hit-count join.
     */
-  val q126Sql: String =
+  // lazy: interpolates q127Sql/q128Sql, declared later in this object
+  lazy val q126Sql: String =
     raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 ex AS (SELECT query_id, vec_id FROM (
@@ -737,17 +741,177 @@ ex AS (SELECT query_id, vec_id FROM (
          FROM e, q WHERE e.vec_id <> q.query_id)
        WHERE rnk <= 10),
 m_pq AS (SELECT query_id, vec_id FROM ($q119Sql)),
+m_pqt AS (SELECT query_id, vec_id FROM ($q127Sql)),
 m_sq AS (SELECT query_id, vec_id FROM ($q121Sql)),
 m_ivfpq AS (SELECT query_id, vec_id FROM ($q122Sql)),
+m_ivfpqr AS (SELECT query_id, vec_id FROM ($q128Sql)),
 h AS (SELECT 'pq_adc' AS method, query_id, count(*) AS n_hit
       FROM ex JOIN m_pq USING (query_id, vec_id) GROUP BY query_id
       UNION ALL
+      SELECT 'pq_trained', query_id, count(*) FROM ex JOIN m_pqt USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
       SELECT 'sq_int8', query_id, count(*) FROM ex JOIN m_sq USING (query_id, vec_id) GROUP BY query_id
       UNION ALL
-      SELECT 'ivfpq', query_id, count(*) FROM ex JOIN m_ivfpq USING (query_id, vec_id) GROUP BY query_id),
+      SELECT 'ivfpq', query_id, count(*) FROM ex JOIN m_ivfpq USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'ivfpq_res', query_id, count(*) FROM ex JOIN m_ivfpqr USING (query_id, vec_id) GROUP BY query_id),
 grid AS (SELECT m.method, q.query_id
-         FROM (SELECT unnest(['pq_adc', 'sq_int8', 'ivfpq']) AS method) m, q)
+         FROM (SELECT unnest(['pq_adc', 'pq_trained', 'sq_int8', 'ivfpq', 'ivfpq_res']) AS method) m, q)
 SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
 FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
 ORDER BY grid.method, grid.query_id"""
+
+  /** One per-subspace Lloyd iteration as SQL CTEs, keyed by the
+    * subspace id m — the q41 lloydIterSql generalized from one 64-dim
+    * codebook to 8 independent 8-dim codebooks trained in parallel:
+    * assign each sample subvector to its nearest `prev` centroid of the
+    * SAME subspace (full squared distance, component order — exactly
+    * PqIndex.trainFromSample's loop), then per-(m, cluster) component
+    * means in vec_id order, empty cells keeping their previous entry.
+    */
+  private def pqLloydIterSql(n: Int, prev: String): String =
+    raw"""pd$n AS (SELECT sub.vec_id, sub.m, c.cid,
+               list_sum(list_transform(range(1, 9), i -> (sub.sv[i] - c.c[i]) * (sub.sv[i] - c.c[i]))) AS d
+        FROM sub JOIN $prev c ON c.m = sub.m),
+pa$n AS (SELECT vec_id, m, cid FROM (
+          SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM pd$n)
+        WHERE rn = 1),
+pm$n AS (SELECT a.m, a.cid, idx.ii, list_sum(list(sub.sv[idx.ii] ORDER BY sub.vec_id)) / count(*) AS mi
+        FROM sub JOIN pa$n a ON a.vec_id = sub.vec_id AND a.m = sub.m, idx
+        GROUP BY a.m, a.cid, idx.ii),
+pn$n AS (SELECT m, cid, list(mi ORDER BY ii) AS c FROM pm$n GROUP BY m, cid),
+pc$n AS (SELECT p.m, p.cid, coalesce(pn$n.c, p.c) AS c
+        FROM $prev p LEFT JOIN pn$n ON pn$n.m = p.m AND pn$n.cid = p.cid)"""
+
+  /** PQ over LLOYD-TRAINED codebooks (iters = 2) — the production
+    * training path of q119, DuckDB-checked end to end: every step of
+    * PqIndex.trainFromSample is a sequential double computation in a
+    * deterministic order (per-subspace, sample in vec_id order,
+    * components in index order), so the oracle replays the training
+    * with the per-subspace Lloyd CTEs, then the q119 encode/ADC shape
+    * against the trained codebooks — with the trained entries going
+    * through the same double→float cast the engine's literals take.
+    */
+  def q127_pq_trained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = PqIndex.train(e, numSub = 8, ksub = 16, iters = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopK(PqIndex.encode(e, model), queries, model, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q127Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+idx AS (SELECT unnest(range(1, 9)) AS ii),
+sub AS (SELECT s.vec_id, ms.m, list_transform(range(1, 9), i -> s.v[ms.m * 8 + i]) AS sv FROM samp s, ms),
+pc0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < 16),
+${pqLloydIterSql(1, "pc0")},
+${pqLloydIterSql(2, "pc1")},
+cbn AS (SELECT m, cid AS j, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+               list_sum(list_transform(c, x -> x * x)) AS cn FROM pc2),
+ps AS (SELECT e.vec_id, cbn.m, cbn.j,
+              cbn.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> e.v[cbn.m * 8 + i] * cbn.f[i])) AS s
+       FROM e, cbn),
+codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM ps)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+d AS (SELECT q.query_id, cd.vec_id, cd.m,
+             list_sum(list_transform(range(1, 9), i -> (q.qv[cd.m * 8 + i] - cb2.f[i]) * (q.qv[cd.m * 8 + i] - cb2.f[i]))) AS dm
+      FROM codes cd JOIN cbn cb2 ON cb2.m = cd.m AND cb2.j = cd.code, q
+      WHERE cd.vec_id <> q.query_id),
+adc AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+        FROM d GROUP BY query_id, vec_id),
+r AS (SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc),
+f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosine_sim,
+             CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
+      WHERE r.rnk <= 10)
+SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
+
+  /** Residual IVF-PQ — the faiss DEFAULT composition, where the PQ
+    * codes quantize each vector's residual against its cell centroid
+    * instead of the raw vector. Its premise: residual magnitudes are a
+    * fraction of vector magnitudes, so the same 8-byte code budget
+    * quantizes finer. The q126 panel measures the premise FAILING on
+    * this fixture — recall 0.06 vs raw IVF-PQ's 0.26 — because
+    * isotropic data with init-point cells makes residuals LARGER than
+    * the vectors (‖x−c‖² ≈ 2‖x‖² for independent isotropic x, c):
+    * residual quantization is only as good as its coarse quantizer,
+    * and the catalog keeps both variants with the measurement beside
+    * them precisely because the eval, not the best-practice label, is
+    * what decides at 100 TB (clustered organic embeddings with trained
+    * cells are the regime where this composition earns its keep).
+    * Everything stays the init convention, so the oracle replays
+    * cells, assignment, DOUBLE residual codebooks (the driver trains
+    * on unrounded residuals), the engine's FLOAT-rounded residual
+    * column (an explicit REAL cast both sides), encoding,
+    * probe-relative query residuals, ADC, and the raw-vector cosine
+    * re-rank.
+    */
+  def q128_ivfpq_residual(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, k = 16, iters = 0)
+    val pqRes = PqIndex.trainResiduals(e, ivf, numSub = 8, ksub = 16, iters = 0)
+    val indexed = IvfIndex.assign(e, ivf)
+      .withColumn("codes", PqIndex.codesCol(
+        PqIndex.residualCol(col("embedding"), col("cluster"), ivf), pqRes))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopKIvfResidual(indexed, queries, ivf, pqRes, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q128Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+iscores AS (SELECT e.vec_id, c.cid,
+                   c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+            FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM iscores)
+           WHERE rn = 1),
+rvd AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rd
+        FROM e JOIN assign a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cluster),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+rcbn AS (SELECT ms.m, r.vec_id AS j,
+                list_transform(range(1, 9), i -> CAST(CAST(r.rd[ms.m * 8 + i] AS REAL) AS DOUBLE)) AS f,
+                list_sum(list_transform(range(1, 9), i -> r.rd[ms.m * 8 + i] * r.rd[ms.m * 8 + i])) AS cn
+         FROM rvd r, ms WHERE r.vec_id < 16),
+rvf AS (SELECT vec_id, list_transform(rd, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS rf FROM rvd),
+ps AS (SELECT v.vec_id, rb.m, rb.j,
+              rb.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> v.rf[rb.m * 8 + i] * rb.f[i])) AS s
+       FROM rvf v, rcbn rb),
+codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM ps)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM iscores WHERE vec_id < 5)
+           WHERE rn <= 4),
+qr AS (SELECT p.query_id, p.cluster,
+              list_transform(range(1, 65), i -> CAST(CAST(q.qv[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrf
+       FROM probes p JOIN q ON q.query_id = p.query_id JOIN c ON c.cid = p.cluster),
+d AS (SELECT qr.query_id, a.vec_id, cd.m,
+             list_sum(list_transform(range(1, 9), i -> (qr.qrf[cd.m * 8 + i] - rb.f[i]) * (qr.qrf[cd.m * 8 + i] - rb.f[i]))) AS dm
+      FROM qr
+      JOIN assign a ON a.cluster = qr.cluster AND a.vec_id <> qr.query_id
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      JOIN rcbn rb ON rb.m = cd.m AND rb.j = cd.code),
+adc AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+        FROM d GROUP BY query_id, vec_id),
+r AS (SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc),
+f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosine_sim,
+             CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
+      WHERE r.rnk <= 10)
+SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
 }

@@ -52,6 +52,9 @@ object IvfIndex {
     Model(centroids)
   }
 
+  private[sim] def nearestCentroidIdx(centroids: Array[Array[Double]], v: Array[Double]): Int =
+    nearest(centroids, v)
+
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue

@@ -48,12 +48,36 @@ object PqIndex {
     * vectors), which the SQL oracle can replay without a Lloyd loop.
     */
   def train(embeddings: DataFrame, numSub: Int, ksub: Int,
-      iters: Int = 0, sampleN: Int = 2048): Model = {
-    val sample: Array[Array[Double]] = embeddings
+      iters: Int = 0, sampleN: Int = 2048): Model =
+    trainFromSample(collectSample(embeddings, sampleN), numSub, ksub, iters)
+
+  /** PQ over IVF-cell RESIDUALS (x − centroid[cell(x)]) — the faiss
+    * IVF-PQ default: residual magnitudes are a fraction of raw vector
+    * magnitudes, so a fixed code budget quantizes them far more finely.
+    * The residual sample is computed driver-side in doubles (codebook
+    * constants need no float rounding; the ENCODING input column is
+    * float — the engine's storage type — and both engines replay that
+    * cast explicitly).
+    */
+  def trainResiduals(embeddings: DataFrame, ivf: IvfIndex.Model, numSub: Int,
+      ksub: Int, iters: Int = 0, sampleN: Int = 2048): Model = {
+    val sample = collectSample(embeddings, sampleN)
+    val res = sample.map { v =>
+      val c = ivf.centroids(IvfIndex.nearestCentroidIdx(ivf.centroids, v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    trainFromSample(res, numSub, ksub, iters)
+  }
+
+  private def collectSample(embeddings: DataFrame, sampleN: Int): Array[Array[Double]] =
+    embeddings
       .orderBy("vec_id").limit(sampleN)
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  private def trainFromSample(sample: Array[Array[Double]], numSub: Int,
+      ksub: Int, iters: Int): Model = {
     require(sample.length >= ksub, s"need at least $ksub sample vectors, got ${sample.length}")
     val dim = sample(0).length
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
@@ -175,6 +199,55 @@ object PqIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), adcDist(model).as("adc_dist"))
     rankAndRerank(candidates, encoded, queries, k)
+  }
+
+  /** The float-rounded residual of `emb` against its `cluster`'s IVF
+    * centroid: zip_with(x, centroid, (a,b) → float(double(a)−double(b))).
+    * Float is the engine's array storage type, and the cast is explicit
+    * so the oracle replays it exactly (CAST(xd − cd AS REAL)).
+    */
+  def residualCol(emb: Column, cluster: Column, ivf: IvfIndex.Model): Column = {
+    val centLit = array(ivf.centroids.map(c =>
+      array(c.map(x => lit(x.toFloat)): _*)): _*)
+    zip_with(emb, element_at(centLit, cluster + 1),
+      (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+  }
+
+  /** Residual IVF-PQ search — the faiss default composition: the PQ
+    * codes quantize each vector's RESIDUAL against its cell centroid
+    * (train with [[trainResiduals]], encode the [[residualCol]]), and
+    * at query time the ADC distance compares the QUERY's residual
+    * against the probed cell to the candidate's residual codes.
+    * Residual PQ beats raw-vector PQ exactly when the coarse cells are
+    * tight (residual magnitude ≪ vector magnitude — clustered data,
+    * trained centroids); on isotropic data with init-point cells the
+    * residuals are LARGER than the vectors and it measurably loses
+    * (q126's panel: 0.06 vs 0.26 recall@10) — quantify before
+    * composing. Same plan shape as [[adcTopKIvf]]: keyed cell
+    * equi-join, 8-byte code scan, exact re-rank of the winners against
+    * the raw vectors.
+    */
+  def adcTopKIvfResidual(indexed: DataFrame, queries: DataFrame,
+      ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val cellScores: Seq[Column] = ivf.centroids.toSeq.zipWithIndex.map { case (ctr, j) =>
+      val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
+      struct((lit(ctr.map(x => x * x).sum) -
+        lit(2.0) * VectorExpressions.dotF32(col("query_vec"), cLit)).as("s"),
+        lit(j).as("c"))
+    }
+    // each probe row carries the query's residual AGAINST THAT CELL as
+    // its ADC query vector
+    val probes = queries
+      .withColumn("__probe", explode(slice(array_sort(array(cellScores: _*)), 1, nprobe)))
+      .withColumn("cluster", col("__probe.c"))
+      .select(col("query_id"), col("cluster"),
+        residualCol(col("query_vec"), col("cluster"), ivf).as("query_vec"))
+    val candidates = indexed
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDist(pq).as("adc_dist"))
+    rankAndRerank(candidates, indexed, queries, k)
   }
 
   /** IVF-PQ (the faiss composite index): candidates come from the
