@@ -83,27 +83,8 @@ class IvfSpec extends SparkSpec {
       s"routed assignment should mostly agree with flat ($agree/${flat.size})")
   }
 
-  /** Deterministic planted-cluster fixture: `c` well-separated centers
-    * in [-1,1]^dim (LCG from the center index), each point = its center
-    * plus a tiny id-derived offset. ids cycle through centers, so the
-    * first k sample vectors are one per cluster — the init-codebook
-    * convention lands one centroid in each planted cluster.
-    */
-  private def plantedClusters(n: Int, c: Int, dim: Int) = {
-    def u(seed: Long, j: Int): Double = {
-      // splitmix-style scramble -> [-1, 1)
-      var z = seed * 6364136223846793005L + j * 1442695040888963407L + 1234567L
-      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    val rows = (0 until n).map { id =>
-      val ctr = id % c
-      val v = Array.tabulate(dim)(j => (u(ctr.toLong, j) + 0.02 * u(1000L + id, j)).toFloat)
-      (id.toLong, v.toSeq)
-    }
-    spark.createDataFrame(rows).toDF("vec_id", "embedding")
-  }
+  private def plantedClusters(n: Int, c: Int, dim: Int) =
+    SparkSpec.plantedClusters(spark, n, c, dim)
 
   test("planted clusters: hierarchical routing agrees with flat assignment in the clustered regime") {
     // The regime SemDeDup actually runs in: organically clustered

@@ -99,6 +99,45 @@ class PqSpec extends SparkSpec {
     assert(flat == ivfpq)
   }
 
+  test("residual IVF-PQ beats raw IVF-PQ in the trained-tight-cells regime (the q126 inversion)") {
+    import graft.sim.{IvfIndex, Similarity}
+    // Clustered corpus + Lloyd-trained cells: residual magnitudes are a
+    // fraction of vector magnitudes, the regime residual PQ is built
+    // for. q126 measures the OPPOSITE ordering on the isotropic catalog
+    // fixture (residuals there are LARGER than the vectors); this
+    // benchmark pins the regime where the faiss-default composition
+    // earns its place. noise is set high enough that raw-vector PQ
+    // (codebooks quantizing whole cluster centers) visibly lags.
+    val df = SparkSpec.plantedClusters(spark, n = 1200, c = 24, dim = 16, noise = 0.25)
+    val ivf = IvfIndex.train(df, k = 24, iters = 5, sampleN = 1200)
+    val pqRaw = PqIndex.train(df, numSub = 4, ksub = 8, iters = 3, sampleN = 1200)
+    val pqRes = PqIndex.trainResiduals(df, ivf, numSub = 4, ksub = 8, iters = 3, sampleN = 1200)
+    val assigned = IvfIndex.assign(df, ivf)
+    val rawIndexed = PqIndex.encode(assigned, pqRaw)
+    val resIndexed = assigned.withColumn("codes",
+      PqIndex.codesCol(PqIndex.residualCol(col("embedding"), col("cluster"), ivf), pqRes))
+    val q = df.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoin(df, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, want) =>
+        (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+      }.sum / exact.size
+    }
+    val rawR = recall(PqIndex.adcTopKIvf(rawIndexed, q, ivf, pqRaw, k = 10, nprobe = 4))
+    val resR = recall(PqIndex.adcTopKIvfResidual(resIndexed, q, ivf, pqRes, k = 10, nprobe = 4))
+    // deterministic fixture: residual measured at ~0.59; part of its
+    // remaining loss is shared nprobe misses, not quantization —
+    // assert the inversion with a real margin rather than pinning
+    // both absolute values
+    assert(resR > rawR + 0.05, s"residual recall $resR should beat raw recall $rawR with tight cells")
+    assert(resR >= 0.5, s"residual recall $resR unexpectedly low in its home regime")
+  }
+
   test("ADC candidate scan reads codes, not embeddings (and no cartesian on the corpus side)") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
