@@ -483,6 +483,27 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), "q122 candidates must come from the cluster equi-join")
   }
 
+  test("q124: sparse cosine candidates come from the term equi-join; no pair scan") {
+    val plan = executedPlanString(graft.queries.QueriesText.q124_sparse_cosine(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q124 must not enumerate doc pairs")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "q124 aggregations must partial-aggregate before the shuffle")
+  }
+
+  test("q125: the quantile sketch partial-aggregates (TopKAgg merge = sketch merge)") {
+    val plan = executedPlanString(graft.queries.QueriesAnalytics.q125_sketch_quantiles(spark, sf("sf0.001")))
+    assert(plan.contains("partial_topk") || plan.contains("partial"),
+      s"q125's bottom-k sample must merge map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "q125 is a pure keyed aggregation")
+  }
+
+  test("q128: residual IVF-PQ candidates come from the cell equi-join; no pair scan") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q128_ivfpq_residual(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q128 must not cross corpus with queries")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "q128 candidates must come from the cluster equi-join")
+  }
+
   test("q123: the pipeline's dedup/decontamination joins never key on the text payload") {
     val plan = executedPlanString(graft.queries.QueriesPipeline.q123_full_pipeline(spark, sf("sf0.001")))
     assert(!plan.contains("CartesianProduct"), "q123 must not enumerate doc pairs")
