@@ -180,6 +180,47 @@ object IvfIndex {
     embeddings.join(cand, Seq(keyCol), "left")
   }
 
+  /** Recall-targeted nprobe selection — the probing analogue of
+    * Similarity.srpParams' occupancy rule: instead of hand-picking
+    * nprobe, measure recall@k against exact kNN on a SAMPLED query
+    * panel (recall evaluation is always a sampled audit — q112/q126's
+    * convention) and take the smallest power-of-two probe count meeting
+    * the target. Terminates with recall 1.0 at nprobe = k, where
+    * probing every cell makes the candidate set the full corpus.
+    * Deterministic: the panel, the index, and every per-step search are
+    * deterministic, so the tuned nprobe is reproducible. The panel
+    * should be small (tens of queries) — each step costs one ANN run
+    * over the panel plus nothing corpus-sized beyond the probe join.
+    *
+    * Returns (nprobe, measured panel recall at that nprobe).
+    */
+  def tuneNprobe(embeddings: DataFrame, model: Model, queries: DataFrame,
+      k: Int, targetRecall: Double): (Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val assigned = assign(embeddings, model).persist()
+    try {
+      val exact = Similarity.knnJoinAgg(embeddings, queries, k)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def recallAt(np: Int): Double = {
+        val got = annTopK(assigned, queries, model, k, np)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        exact.map { case (qid, want) =>
+          (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+        }.sum / exact.size
+      }
+      val candidates = (Iterator.iterate(1)(_ * 2).takeWhile(_ < model.k).toSeq :+ model.k)
+      candidates.iterator
+        .map(np => (np, recallAt(np)))
+        .find { case (np, r) => r >= targetRecall || np == model.k }
+        .get
+    } finally assigned.unpersist()
+  }
+
   /** Top-k neighbors for the query vectors, probing each query's nprobe
     * nearest cells only, exact cosine re-rank within (bounded-heap
     * top-k aggregate). The candidate join is (cluster ⋈ cluster) against

@@ -106,6 +106,31 @@ class IvfSpec extends SparkSpec {
     assert(purity.forall(_ >= 0.95), s"planted clusters not recovered: $purity")
   }
 
+  test("tuneNprobe finds the smallest probe count meeting a recall target") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // target 1.0 must terminate (nprobe = k probes everything)
+    val (npFull, rFull) = IvfIndex.tuneNprobe(emb, model, q, k = 10, targetRecall = 1.0)
+    assert(rFull == 1.0 && npFull <= model.k)
+    // a lax target needs no more probes than a strict one
+    val (npLax, rLax) = IvfIndex.tuneNprobe(emb, model, q, k = 10, targetRecall = 0.3)
+    assert(npLax <= npFull, s"lax target tuned $npLax > strict target's $npFull")
+    assert(rLax >= 0.3)
+    // the tuned setting reproduces its measured recall when re-run
+    val (np2, r2) = IvfIndex.tuneNprobe(emb, model, q, k = 10, targetRecall = 0.3)
+    assert((np2, r2) == ((npLax, rLax)), "tuning must be deterministic")
+  }
+
+  test("tuneNprobe needs few probes on clustered data (neighbors share the query's cell)") {
+    val df = plantedClusters(n = 1000, c = 20, dim = 16)
+    val m = IvfIndex.train(df, k = 20, iters = 5, sampleN = 1000)
+    val q = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val (np, r) = IvfIndex.tuneNprobe(df, m, q, k = 10, targetRecall = 0.95)
+    assert(np <= 2, s"clustered regime should need <= 2 probes, tuned $np (recall $r)")
+    assert(r >= 0.95)
+  }
+
   test("semanticDedupK auto-switches to hierarchical routing past the k threshold") {
     import graft.sim.Similarity
     val df = plantedClusters(n = 1000, c = 20, dim = 16)
