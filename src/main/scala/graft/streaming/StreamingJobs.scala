@@ -303,6 +303,70 @@ object StreamingJobs {
     merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
   }
 
+  /** Streaming maintenance of the small-file compaction plan (q120's
+    * operator as a continuously-maintained table): each microbatch
+    * appends its newly-arrived file records (lang, doc_id, size_bytes)
+    * to a versioned inventory — a doc_id anti-join makes replayed
+    * batches no-ops — and recomputes bin assignments ONLY for the
+    * partitions (langs) the batch touched; untouched partitions' plan
+    * rows carry over verbatim. At 100 TB a microbatch lands files in a
+    * handful of partitions, so maintenance cost tracks the ARRIVAL
+    * rate, not the inventory size (the inventory itself is metadata-
+    * scale: one row per file). Version-chained like [[cdcUpsertSink]]:
+    * v=batchId holds inventory/ and plan/, so the replay-safe retention
+    * rule ([[cdcCompact]]'s keepVersions ≥ 2 floor) applies unchanged.
+    */
+  def compactionPlanSink(outDir: String, targetBytes: Long = 4096L,
+      smallBytes: Long = 8192L)(batch0: DataFrame, batchId: Long): Unit = {
+    val batch = batch0.select("lang", "doc_id", "size_bytes")
+    val spark = batch.sparkSession
+    val prev = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+      .sorted.lastOption
+    val prevInv = prev.map(v => spark.read.parquet(s"$outDir/v=$v/inventory"))
+    val inv = prevInv match {
+      case Some(pi) => pi.unionByName(batch.join(pi, Seq("doc_id"), "left_anti"))
+      case None     => batch
+    }
+    val touched = batch.select("lang").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val replanned = inv
+      .join(touched, Seq("lang"), "left_semi")
+      .filter(col("size_bytes") < smallBytes)
+      .withColumn("cum_before", coalesce(sum("size_bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cast(cum_before div $targetBytes as bigint)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum("size_bytes").as("total_bytes"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+    val plan = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$outDir/v=$v/plan")
+          .join(touched, Seq("lang"), "left_anti")
+          .unionByName(replanned)
+      case None => replanned
+    }
+    // materialize before overwrite: plan/inv read v=prev, write v=batchId
+    inv.write.mode("overwrite").parquet(s"$outDir/v=$batchId/inventory")
+    plan.write.mode("overwrite").parquet(s"$outDir/v=$batchId/plan")
+  }
+
+  /** The maintained compaction plan / inventory: highest version. */
+  def compactionPlan(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/plan")
+
+  def compactionInventory(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/inventory")
+
+  private def latestVersion(outDir: String): Long =
+    new java.io.File(outDir).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+
   /** The current CDC snapshot: the highest version directory. */
   def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val latest = new java.io.File(outDir).listFiles().toSeq

@@ -360,6 +360,59 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == afterStream, "replay after compaction changed the snapshot")
   }
 
+  test("streaming compaction plan: incremental maintenance equals the batch plan; untouched partitions carry; replay-idempotent") {
+    // File inventory streamed in two chunks: chunk 2 lands files in ONE
+    // lang only, so every other lang's plan must carry over from v=0
+    // verbatim while the maintained plan still equals the batch q120
+    // formula over the full inventory.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("lang"), col("doc_id"), octet_length(col("text")).cast("long").as("size_bytes"))
+    val hotLang = docs.select("lang").orderBy("lang").first().getString(0)
+    val cut = docs.filter(col("lang") === hotLang)
+      .selectExpr("CAST(percentile(doc_id, 0.5) AS LONG)").first().getLong(0)
+    val late = col("lang") === hotLang && col("doc_id") > cut
+
+    val d = java.nio.file.Files.createTempDirectory("graft-cmp-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    docs.filter(!late).coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream
+      .schema("lang STRING, doc_id LONG, size_bytes LONG")
+      .parquet(d)
+    val q = stream.writeStream
+      .foreachBatch(StreamingJobs.compactionPlanSink(out) _)
+      .start()
+    q.processAllAvailable()
+    val planV0 = StreamingJobs.compactionPlan(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    docs.filter(late).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable(); q.stop()
+
+    def plan() = StreamingJobs.compactionPlan(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    // batch twin: the q120 formula over the full inventory
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batchPlan = docs.filter(col("size_bytes") < 8192L)
+      .withColumn("cum_before", coalesce(sum("size_bytes").over(w), lit(0L)))
+      .withColumn("bin", expr("cast(cum_before div 4096 as bigint)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum("size_bytes").as("total_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val maintained = plan()
+    assert(maintained == batchPlan,
+      s"maintained plan diverges: extra=${(maintained -- batchPlan).take(3)} missing=${(batchPlan -- maintained).take(3)}")
+    // untouched partitions carried over verbatim from v=0
+    assert(maintained.filter(_._1 != hotLang) == planV0.filter(_._1 != hotLang),
+      "untouched langs' plan rows must carry over unchanged")
+    // replay: re-deliver the last chunk with the same batch id
+    val versions = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    StreamingJobs.compactionPlanSink(out)(docs.filter(late), versions.max)
+    assert(plan() == maintained, "replaying a batch changed the plan — sink is not idempotent")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val q = StreamingJobs.followUpPairs(StreamingJobs.readEvents(spark, eventsDir), 30)
       .writeStream.outputMode("append").format("memory").queryName("pairs").start()
