@@ -228,6 +228,71 @@ SELECT lang, doc_id, CAST(hv AS BIGINT) AS h, rnk FROM r WHERE rnk <= 10 ORDER B
       FROM documents)
 SELECT doc_id, lang, n_chars, key FROM s ORDER BY key DESC, doc_id LIMIT 20"""
 
+  /** Sliding-window KMV rollup — the sketch ALGEBRA completing q117's
+    * day→month merge: trailing 7-day distinct-user counts where every
+    * window is built by MERGING the 7 daily sketches (each daily k-min
+    * set fans out to the 7 windows it belongs to; re-aggregating the
+    * union through the SAME KmvAgg is exact sketch merge, because the
+    * k smallest of a union are the k smallest of the per-day k-min
+    * sets). The shuffle carries O(days × 7 × k) longs however many
+    * events exist — the raw table is scanned ONCE for the daily
+    * sketches and never again; the exact n_exact column (a range join
+    * back to raw events) is the demo's ground truth, dropped in the
+    * production form exactly as in q117.
+    */
+  def q129_sliding_kmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hashSpace = PortableHash.MinHashP.toDouble
+    val h = PortableHash.minHashPerm(
+      PortableHash.asciiPolyHash(col("user_id").cast("string")), 0)
+    def est(mins: org.apache.spark.sql.Column) =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(hashSpace)
+          / element_at(mins, k).cast("double"), 3))
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"), h.as("h"))
+    val daily = ev.groupBy("day")
+      .agg(org.apache.spark.sql.graft.KmvAgg.kmv(col("h"), k).as("mins"))
+    val grid = daily.select(col("day").as("win_end"))
+    val windows = daily
+      .select(col("day"), explode(expr("sequence(0, 6)")).as("off"), col("mins"))
+      .select(date_add(col("day"), col("off")).as("win_end"), explode(col("mins")).as("h"))
+      .join(grid, Seq("win_end"), "left_semi") // only windows ending on an event day
+      .groupBy("win_end")
+      .agg(org.apache.spark.sql.graft.KmvAgg.kmv(col("h"), k).as("mins"))
+    val exact = ev.select(col("day"), col("user_id")).distinct()
+      .join(broadcast(grid),
+        datediff(col("win_end"), col("day")).between(0, 6))
+      .groupBy("win_end")
+      .agg(countDistinct("user_id").as("n_exact"))
+    windows.join(exact, Seq("win_end"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+        est(col("mins")).as("n_distinct_est"), col("n_exact"))
+      .orderBy("win_end")
+  }
+
+  val q129Sql: String =
+    raw"""WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                     (${QueriesDedup.polyHashSql("CAST(user_id AS VARCHAR)")} * 1013904225 + 12345) % 2147483647 AS hv
+            FROM events),
+r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+dm AS (SELECT day, hv FROM r WHERE rn <= 64),
+grid AS (SELECT DISTINCT day AS win_end FROM h),
+ud AS (SELECT DISTINCT g.win_end, dm.hv
+       FROM grid g JOIN dm ON dm.day BETWEEN g.win_end - 6 AND g.win_end),
+wr AS (SELECT win_end, hv, row_number() OVER (PARTITION BY win_end ORDER BY hv) AS rn FROM ud),
+wm AS (SELECT win_end, CAST(count(*) AS BIGINT) AS n_mins,
+              max(CASE WHEN rn = 64 THEN hv END) AS v_k
+       FROM wr WHERE rn <= 64 GROUP BY win_end),
+eu AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+ex AS (SELECT g.win_end, count(DISTINCT e.user_id) AS n_exact
+       FROM grid g JOIN eu e ON e.day BETWEEN g.win_end - 6 AND g.win_end GROUP BY 1)
+SELECT strftime(wm.win_end, '%Y-%m-%d') AS win_end,
+       CASE WHEN wm.n_mins < 64 THEN CAST(wm.n_mins AS DOUBLE)
+            ELSE round(63.0 * 2147483647 / v_k, 3) END AS n_distinct_est,
+       ex.n_exact
+FROM wm JOIN ex ON ex.win_end = wm.win_end ORDER BY win_end"""
+
   /** The END-TO-END curation pipeline as ONE declarative plan — the
     * composition a 100 TB corpus build actually ships, with every stage
     * an operator the catalog already proves in isolation: quality/
