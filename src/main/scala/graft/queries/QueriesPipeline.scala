@@ -293,6 +293,71 @@ SELECT strftime(wm.win_end, '%Y-%m-%d') AS win_end,
        ex.n_exact
 FROM wm JOIN ex ON ex.win_end = wm.win_end ORDER BY win_end"""
 
+  /** Data-mixture sampling — the "mix web/books/code at target ratios"
+    * step of a training-corpus build, with the part the simple
+    * stratified sample (q47) lacks: a TOTAL budget allocated to strata
+    * by integer share, capacity-capped per stratum, and the unfilled
+    * remainder redistributed once to strata with spare capacity
+    * (proportionally to spare capacity, capped by it — pure integer
+    * arithmetic end to end, so both engines agree exactly). The actual
+    * sample is then the q43/q47 deterministic rule: rank by portable
+    * hash within the stratum, keep the allocation. The three fixture
+    * scales exercise all three regimes: leftover-larger-than-capacity
+    * (take everything, undershoot the budget), partial redistribution,
+    * and zero leftover.
+    */
+  def q130_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val shares = Seq(("de", 10L), ("en", 50L), ("es", 15L), ("fr", 15L), ("zh", 10L))
+    import s.implicits._
+    val tgt = shares.toDF("lang", "pct")
+    val h = PortableHash.asciiPolyHash(col("doc_id").cast("string"))
+    val d = docs(s, dir).select(col("lang"), col("doc_id"), h.as("hv"))
+    val quotas = d.groupBy("lang").agg(count(lit(1)).as("n_available"))
+      .join(broadcast(tgt), Seq("lang"))
+      .withColumn("quota", expr(s"cast($budget * pct div 100 as bigint)"))
+      .withColumn("take1", least(col("quota"), col("n_available")))
+      .withColumn("rem_cap", col("n_available") - col("take1"))
+    val totals = quotas.agg(sum("take1").as("t1"), sum("rem_cap").as("rc"))
+    val takes = quotas.crossJoin(broadcast(totals)) // one row: global totals
+      .withColumn("extra",
+        when(col("rc") > 0,
+          least(expr(s"cast(($budget - t1) * rem_cap div rc as bigint)"), col("rem_cap")))
+          .otherwise(0L))
+      .withColumn("n_take", col("take1") + col("extra"))
+      .select("lang", "n_available", "quota", "n_take")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = d.withColumn("rnk",
+      row_number().over(Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
+    ranked.join(broadcast(takes), Seq("lang"))
+      .filter(col("rnk") <= col("n_take"))
+      .groupBy(col("lang"), col("n_available"), col("quota"), col("n_take"))
+      .agg(count(lit(1)).as("n_taken"), sum("doc_id").as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val q130Sql: String =
+    raw"""WITH tgt AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 15), ('fr', 15), ('zh', 10)) t(lang, pct)),
+h AS (SELECT lang, doc_id, ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+avail AS (SELECT lang, count(*) AS n_available FROM h GROUP BY lang),
+q1 AS (SELECT a.lang, a.n_available,
+              CAST(600 * t.pct // 100 AS BIGINT) AS quota,
+              least(CAST(600 * t.pct // 100 AS BIGINT), a.n_available) AS take1
+       FROM avail a JOIN tgt t USING (lang)),
+tot AS (SELECT CAST(sum(take1) AS BIGINT) AS t1, CAST(sum(n_available - take1) AS BIGINT) AS rc FROM q1),
+tk AS (SELECT q1.lang, q1.n_available, q1.quota,
+              q1.take1 + CASE WHEN tot.rc > 0
+                THEN least(CAST((600 - tot.t1) * (q1.n_available - q1.take1) // tot.rc AS BIGINT),
+                           q1.n_available - q1.take1)
+                ELSE 0 END AS n_take
+       FROM q1, tot),
+r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk FROM h),
+smp AS (SELECT r.lang, r.doc_id FROM r JOIN tk ON tk.lang = r.lang AND r.rnk <= tk.n_take)
+SELECT tk.lang, tk.n_available, tk.quota, tk.n_take,
+       CAST(s.n AS BIGINT) AS n_taken, CAST(s.cs AS BIGINT) AS id_checksum
+FROM tk JOIN (SELECT lang, count(*) AS n, sum(doc_id) AS cs FROM smp GROUP BY lang) s USING (lang)
+ORDER BY lang"""
+
   /** The END-TO-END curation pipeline as ONE declarative plan — the
     * composition a 100 TB corpus build actually ships, with every stage
     * an operator the catalog already proves in isolation: quality/
