@@ -914,4 +914,56 @@ f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosin
       FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
       WHERE r.rnk <= 10)
 SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-5 most cosine-similar vectors carrying a DIFFERENT
+    * label — the "confusable but wrong" examples a contrastive or
+    * reranker objective trains against (the in-batch-negatives
+    * replacement used by DPR/SimCSE-style pipelines at corpus scale).
+    *
+    * Same scale shape as q17/q26: the query panel broadcasts, the label
+    * inequality is a per-pair filter evaluated inside the broadcast join
+    * (never a shuffle key), and the bounded-heap TopKAgg keeps the
+    * per-query merge map-side — shuffle traffic is O(queries × k), not
+    * O(candidates). At 100 TB the brute probe swaps for the q27/q34 ANN
+    * candidate generators; the mining filter composes unchanged.
+    */
+  def q134_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
+    val queries = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("query_vec"))
+      .withColumn("__qn", normF32(col("query_vec")))
+    val e = emb(s, dir).withColumn("__n", normF32(col("embedding")))
+    e.crossJoin(broadcast(queries)) // bounded 10-row query panel
+      .filter(col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+      .groupBy("query_id", "query_label")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), col("query_label"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("query_label"),
+        col("__kv.id").as("vec_id"),
+        col("__kv.score").as("cosine_sim"),
+        (col("__r") + 1).cast("long").as("rnk"))
+      .join(emb(s, dir).select(col("vec_id"), col("label").as("neg_label")), Seq("vec_id"))
+      .select(col("query_id"), col("query_label").cast("long").as("query_label"),
+        col("vec_id"), col("neg_label").cast("long").as("neg_label"),
+        col("cosine_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val q134Sql: String =
+    raw"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 10),
+s AS (SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+             ${cosSql("e.v", "qv")} AS cosine_sim
+      FROM e, q WHERE e.label <> q.query_label),
+r AS (SELECT query_id, query_label, vec_id, neg_label, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label, vec_id,
+       CAST(neg_label AS BIGINT) AS neg_label, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
 }

@@ -536,4 +536,95 @@ r AS (SELECT dt.doc_id_a, dt.doc_id_b,
              round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cosine_sim
       FROM dt JOIN norms na ON na.doc_id = dt.doc_id_a JOIN norms nb ON nb.doc_id = dt.doc_id_b)
 SELECT doc_id_a, doc_id_b, cosine_sim FROM r WHERE cosine_sim >= 0.6 ORDER BY doc_id_a, doc_id_b"""
+
+  /** BPE merge mining — the first decision of byte-pair-encoding tokenizer
+    * training, at corpus scale: corpus word frequencies, then every
+    * adjacent character pair inside each word weighted by the word's
+    * frequency, ranked by total count. The top row IS the first BPE merge;
+    * the full ranking is the candidate table a trainer consumes each
+    * round (Sennrich et al. 2016). The iterative trainer itself (merge →
+    * re-tokenize → recount, a driver loop like q41's Lloyd rounds) is
+    * `text/Bpe.scala`, exact-verified in BpeSpec against a hand-computed
+    * fixture; this catalog entry oracle-checks the corpus-scale counting
+    * plan that dominates its cost.
+    *
+    * Scale shape: word frequencies partial-aggregate before the shuffle
+    * (the word-count plan); pairs explode from the DISTINCT word table —
+    * vocabulary-sized, not corpus-sized — so pair counting is
+    * O(vocab × avg_len) regardless of corpus row count.
+    */
+  def q132_bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    val wf = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val cs = filter(split(col("w"), ""), c => c =!= lit(""))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), size(cs) - 1),
+          i => struct(element_at(cs, i).as("left_sym"), element_at(cs, i + 1).as("right_sym"))))
+          .as("p"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+      .limit(25)
+  }
+
+  val q132Sql: String =
+    raw"""WITH wf AS (SELECT w, count(*) AS freq
+           FROM (SELECT unnest($ToksSql) AS w FROM documents) GROUP BY w),
+p AS (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf WHERE length(w) >= 2),
+pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS left_sym,
+              substr(w, CAST(i AS INTEGER) + 1, 1) AS right_sym, freq
+       FROM p)
+SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pr GROUP BY left_sym, right_sym
+ORDER BY cnt DESC, left_sym, right_sym LIMIT 25"""
+
+  /** Context-window chunking — the sequence-prep step between a cleaned
+    * corpus and a trainer: each document's token stream is cut into
+    * windows of 64 tokens with stride 48 (16-token overlap so no span is
+    * ever split without context), the way long documents are sharded
+    * into model context windows for pretraining and RAG indexing. Emits
+    * one row per chunk with its token count and a portable content
+    * checksum, so downstream stages (and the oracle) can verify chunk
+    * boundaries byte-exactly.
+    *
+    * Scale shape: chunking is a per-row projection (sequence/transform/
+    * slice over the in-memory token array) followed by one explode — no
+    * shuffle at all until a downstream consumer groups; the output
+    * carries hashes and counts, never chunk text, so nothing wide moves.
+    * chunk count = 1 + ceil(max(0, n_tokens − 64) / 48): the final
+    * window is short rather than padded, and a sub-stride tail never
+    * spawns a fully-contained extra chunk.
+    */
+  def q133_chunk_docs(s: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val n = size(col("t"))
+    val nChunks = lit(1) +
+      greatest(lit(0L), ceil((n - lit(W)).cast("double") / S).cast("long"))
+    val chunks = transform(sequence(lit(0L), nChunks - 1), i => {
+      val st = i * S
+      val ln = least(lit(W.toLong), n - st)
+      struct(i.as("chunk_idx"), ln.cast("long").as("n_chunk_tokens"),
+        graft.functions.PortableHash.asciiPolyHash(
+          concat_ws(" ", slice(col("t"), st + 1, ln))).as("chunk_hash"))
+    })
+    docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q133Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+c AS (SELECT doc_id, tk,
+             unnest(range(0, 1 + greatest(0, CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT)))) AS ci
+      FROM t),
+s AS (SELECT doc_id, ci, least(64, len(tk) - ci * 48) AS nct,
+             array_to_string(list_slice(tk, ci * 48 + 1, ci * 48 + least(64, len(tk) - ci * 48)), ' ') AS chunk
+      FROM c)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(nct AS BIGINT) AS n_chunk_tokens,
+       ${QueriesDedup.polyHashSql("chunk")} AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx"""
 }

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016): the merge loop that turns corpus word frequencies into a merge
+  * table, run as a driver-coordinated iteration the way q41 runs Lloyd
+  * rounds and q107 runs PageRank rounds.
+  *
+  * Each round is two distributed steps over the VOCABULARY table (distinct
+  * words + frequencies — vocabulary-sized, not corpus-sized, so the loop
+  * cost is independent of corpus row count once word counting is done):
+  *
+  *   1. count adjacent symbol pairs weighted by word frequency (a
+  *      partial-aggregated groupBy on the pair), take the argmax with a
+  *      deterministic (count DESC, left, right) tie-break — a bounded
+  *      1-row collect, the same documented driver-step convention as
+  *      IvfIndex's training sample;
+  *   2. re-tokenize every word against the new merge with a left-to-right
+  *      greedy fold (`aggregate` over the symbol array — stays in
+  *      whole-stage codegen, no shuffle), exactly the overlap semantics
+  *      of the sequential algorithm ("aaaa" + merge (a,a) → ["aa","aa"]).
+  *
+  * Each round's symbol table is persisted and the predecessor unpersisted
+  * (the ConnectedComponents checkpoint-hygiene pattern) so plan lineage
+  * stays flat across rounds.
+  *
+  * The reference engine has no tokenizer training (its tokenizer is the
+  * fixed `[^A-Za-z]` splitter, worker.rs:26-31); this is §2.C extension
+  * ground. The corpus-scale pair-counting plan that dominates each round
+  * is the oracle-checked catalog entry q132.
+  */
+object Bpe {
+  /** One greedy left-to-right merge application: rewrite `syms` replacing
+    * every non-overlapping adjacent (a, b) with the concatenated symbol,
+    * scanning left to right. Pure column fold — no UDF, no shuffle.
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Character-split of a word into its initial symbol array. */
+  def initialSymbols(word: Column): Column =
+    filter(split(word, ""), c => c =!= lit(""))
+
+  /** Train `rounds` BPE merges over a (word, freq) vocabulary DataFrame.
+    * Returns the learned merges in order. Deterministic: ties on pair
+    * count break on (left, right) lexicographically.
+    */
+  def train(vocab: DataFrame, rounds: Int): Seq[(String, String)] = {
+    var syms = vocab
+      .select(col("freq"), initialSymbols(col("word")).as("syms"))
+      .persist()
+    syms.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val pairs = syms
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect() // bounded: exactly one row — the argmax merge
+        if (pairs.isEmpty) exhausted = true
+        else {
+          val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
+          merges += ((a, b))
+          val next = syms
+            .select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
+            .persist()
+          next.count()
+          syms.unpersist()
+          syms = next
+          r += 1
+        }
+      }
+      merges.toSeq
+    } finally syms.unpersist()
+  }
+
+  /** Re-tokenize a symbol array through an ordered merge list (inference
+    * side: apply the learned merge table to new text).
+    */
+  def encode(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+}
