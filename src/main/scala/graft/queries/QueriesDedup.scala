@@ -465,24 +465,32 @@ ORDER BY doc_id_a, doc_id_b"""
     * (q16/q90) both miss.
     *
     * Scale shape: each window is hashed to one i64 BEFORE the explode
-    * (portable poly hash over the joined window, computed inside the
-    * projection), so the shuffle carries (doc_id, window_hash) pairs —
-    * the text never enters a join or shuffle key. Window df is a
-    * hash-keyed groupBy with map-side partial aggregation; the
-    * dup-window count rejoins per-doc by a semi-join on the 8-byte key.
-    * At 100 TB this is the same plan with more partitions; the window
-    * stride trades index size for span resolution exactly as in the
-    * suffix-array original (ref `verify.py:1` scope: the reference has
-    * no span-level operator — this is §2.C extension ground).
+    * (the native single-pass WindowHashes expression: per-token portable
+    * poly hash, then a w-token fold — the nested-HOF spelling of the
+    * same arithmetic was 40× slower), so the shuffle carries
+    * (doc_id, window_hash) pairs — the text never enters a join or
+    * shuffle key. Window df is a hash-keyed groupBy with map-side
+    * partial aggregation; the dup-window count rejoins per-doc by a
+    * semi-join on the 8-byte key. At 100 TB this is the same plan with
+    * more partitions; window keys share the 1e9+7 modulus, so ~n²/2M
+    * windows collide spuriously (deterministic, oracle-replayed) — a
+    * production audit swaps the key for a 128-bit digest, which only
+    * widens the shuffle key. (ref `verify.py:1` scope: the reference
+    * has no span-level operator — §2.C extension ground.)
     */
   def q131_span_dedup(s: SparkSession, dir: String): DataFrame = {
     val W = 10
-    val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) >= W,
-          transform(sequence(lit(0), size(col("t")) - W),
-            i => PortableHash.asciiPolyHash(concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
-          .otherwise(array().cast("array<bigint>")).as("whs"))
+    // Two-level hash: each token hashed once (portable poly hash), then
+    // each window is a 10-element fold over the token hashes — W longs
+    // per window instead of ~6W characters, which is what keeps the
+    // interpreted HOF cost linear in tokens rather than characters.
+    // Window keys share the 1e9+7 modulus, so ~n²/2M windows collide
+    // spuriously (deterministically — the oracle replays the identical
+    // arithmetic); a production audit at 100 TB swaps the key for a
+    // 128-bit digest, which only widens the shuffle key.
+    val base = docs(s, dir).select(col("doc_id"),
+      org.apache.spark.sql.graft.WindowHashes.windowHashes(
+        Text.tokens(col("text")), W).as("whs"))
     val win = base.select(col("doc_id"), explode(col("whs")).as("h"))
     val dupKeys = win.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -501,12 +509,14 @@ ORDER BY doc_id_a, doc_id_b"""
 
   val q131Sql: String =
     raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+th AS (SELECT doc_id, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
 w AS (SELECT doc_id,
-             CASE WHEN len(tk) >= 10
-                  THEN list_transform(range(0, len(tk) - 10 + 1),
-                         i -> ${polyHashSql("array_to_string(list_slice(tk, i + 1, i + 10), ' ')")})
+             CASE WHEN len(hh) >= 10
+                  THEN list_transform(range(0, len(hh) - 10 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 10)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
                   ELSE CAST([] AS BIGINT[]) END AS whs
-      FROM t),
+      FROM th),
 e AS (SELECT doc_id, unnest(whs) AS h FROM w),
 dk AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 du AS (SELECT e.doc_id, count(*) AS n_dup FROM e JOIN dk USING (h) GROUP BY e.doc_id),

@@ -514,4 +514,41 @@ class PlanAssertionsSpec extends SparkSpec {
       l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString("\n")
     assert(!joinKeyLines.contains("text#"), s"text used as a join key:\n$joinKeyLines")
   }
+
+  test("q131: span windows are hashed before the explode; text never in a join/shuffle key") {
+    val plan = executedPlanString(graft.queries.QueriesDedup.q131_span_dedup(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q131 must not enumerate doc pairs")
+    val keyLines = plan.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!keyLines.contains("text#"), s"text in a join/shuffle key:\n$keyLines")
+    assert(plan.contains("partial_count"), "window df must partial-aggregate map-side")
+  }
+
+  test("q132: pair counting explodes the vocabulary table, not the corpus") {
+    val plan = executedPlanString(graft.queries.QueriesText.q132_bpe_pairs(spark, sf("sf0.001")))
+    // two aggregates: word freq (over corpus tokens) then pair counts —
+    // both must partial-aggregate before their exchanges, and the final
+    // top-25 must be a bounded TakeOrdered, not a global sort
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "expected map-side partial aggregation")
+    assert(plan.contains("TakeOrderedAndProject"), "top-25 cut must be TakeOrdered, not Sort+Limit")
+  }
+
+  test("q133: chunking is projection + explode — no join, no pre-sort exchange beyond the output order") {
+    val plan = executedPlanString(graft.queries.QueriesText.q133_chunk_docs(spark, sf("sf0.001")))
+    assert(!plan.contains("Join"), "q133 must not join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n${plan.take(2000)}")
+  }
+
+  test("q134: the query panel broadcasts; negatives come from the per-pair filter, not a shuffle") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q134_hard_negatives(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query panel must broadcast")
+    assert(!plan.contains("CartesianProduct"), "q134 must not build a cartesian product")
+    assert(plan.contains("objHashAggregate") || plan.contains("partial_topk") ||
+      plan.contains("TopKAgg") || plan.contains("topk"),
+      s"bounded-heap top-k aggregate expected in:\n${plan.take(1500)}")
+  }
 }
