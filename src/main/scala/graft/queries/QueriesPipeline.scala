@@ -710,4 +710,120 @@ SELECT metric, round(value, 6) AS value FROM (
   UNION ALL SELECT 'viol_price_nonpositive', viol_price_nonpositive FROM a
   UNION ALL SELECT 'viol_returnflag_domain', viol_returnflag_domain FROM a)
 ORDER BY metric"""
+
+  /** Curriculum / mixture-ordered interleaving: assign every document an
+    * integer VIRTUAL TIME v = src_rank × (150 / pct) — the classic
+    * weighted-fair-queuing rule — so that sorting by v interleaves the
+    * language sources in exactly the q130 mixture proportions (en docs
+    * arrive every 3 ticks, de/zh every 15) without any sampling: the
+    * deterministic data ORDER a curriculum-scheduled training run reads.
+    * Emits the first 60 scheduled docs with their global order index.
+    *
+    * Scale shape: src_rank is a window partitioned BY SOURCE (each
+    * source sorts independently — the per-source sort distributes);
+    * virtual times are exact integers (150 is the shares' LCM, so
+    * 150/pct divides evenly — no float ordering risk cross-engine), and
+    * the global interleave is a TakeOrdered top-60, never a full sort.
+    * A full 100 TB materialization would instead range-partition on v
+    * and write per-partition ordered shards (the q111 layout pattern);
+    * the final tiny row_number here runs on 60 rows post-limit.
+    */
+  def q136_curriculum_order(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tgt = Seq(("de", 10L), ("en", 50L), ("es", 15L), ("fr", 15L), ("zh", 10L))
+      .toDF("lang", "pct")
+    val h = PortableHash.asciiPolyHash(col("doc_id").cast("string"))
+    val ranked = docs(s, dir).select(col("lang"), col("doc_id"), h.as("hv"))
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("lang").orderBy(col("hv"), col("doc_id")))
+          .cast("long"))
+    val top = ranked.join(broadcast(tgt), Seq("lang"))
+      .withColumn("vtime", col("src_rank") * (lit(150L) / col("pct")).cast("long"))
+      .orderBy(col("vtime"), col("lang"), col("doc_id"))
+      .limit(60)
+    top.withColumn("order_idx",
+      row_number().over(Window.orderBy(col("vtime"), col("lang"), col("doc_id")))
+        .cast("long"))
+      .select("order_idx", "vtime", "lang", "doc_id", "src_rank")
+      .orderBy("order_idx")
+  }
+
+  val q136Sql: String =
+    raw"""WITH tgt AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 15), ('fr', 15), ('zh', 10)) t(lang, pct)),
+h AS (SELECT lang, doc_id, ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+r AS (SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS src_rank
+      FROM h),
+v AS (SELECT r.lang, r.doc_id, r.src_rank,
+             r.src_rank * CAST(150 // t.pct AS BIGINT) AS vtime
+      FROM r JOIN tgt t USING (lang)),
+top AS (SELECT * FROM v ORDER BY vtime, lang, doc_id LIMIT 60)
+SELECT CAST(row_number() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS order_idx,
+       vtime, lang, doc_id, src_rank
+FROM top ORDER BY order_idx"""
+
+  /** Smoothed-unigram negative sampling (the word2vec/contrastive
+    * noise distribution): 100 deterministic draws from
+    * P(w) ∝ count(w)^0.75 by integer inverse-CDF — weights are rounded
+    * to integer micro-units BEFORE the cumulative sum (the q94 rule:
+    * round before ranking so pow() ulps can't flip a boundary), draw
+    * positions come from a two-round Lehmer hash reduced mod the total
+    * weight, and each draw picks the token whose [cum_lo, cum_hi)
+    * interval contains it — every comparison exact integer arithmetic,
+    * bit-identical across engines.
+    *
+    * Scale shape: the cumulative sum over the vocabulary is TWO-PHASE —
+    * a window partitioned by first letter (distributes across the
+    * vocabulary), then a 52-row per-letter offset table cumulated and
+    * broadcast — so no single-partition global window ever exists (the
+    * naive `ORDER BY w` cumsum the oracle uses is exactly the
+    * scale-killer this plan avoids). The 100-draw panel broadcasts into
+    * an interval-containment join against vocabulary rows: work is
+    * O(vocab × draws) with vocab-sized parallelism.
+    */
+  def q137_negative_sampling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val counts = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("wt", round(pow(col("cnt").cast("double"), lit(0.75)) * 1e6).cast("long"))
+    val local = counts.withColumn("letter", substring(col("w"), 1, 1))
+      .withColumn("lcum", sum("wt").over(Window.partitionBy("letter").orderBy("w")))
+    val offsets = local.groupBy("letter").agg(sum("wt").as("ltot"))
+      .withColumn("off", coalesce(
+        sum("ltot").over(Window.orderBy("letter")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("letter", "off") // ≤52 rows — the only global window
+    val cum = local.join(broadcast(offsets), Seq("letter"))
+      .withColumn("cum_hi", col("lcum") + col("off"))
+      .withColumn("cum_lo", col("cum_hi") - col("wt"))
+    val total = cum.agg(max("cum_hi").as("tw"))
+    val draws = s.range(100).select(col("id").as("draw_id"))
+      .withColumn("h1", ((col("draw_id") + 1) * 48271L) % P)
+      .withColumn("h2", (col("h1") * 48271L) % P)
+    val u = draws.crossJoin(broadcast(total)) // one row: the total weight
+      .withColumn("u", (col("h1") * (P - 1) + col("h2")) % col("tw"))
+      .select("draw_id", "u")
+    cum.join(broadcast(u),
+        col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
+      .select(col("draw_id"), col("w").as("token"), col("cnt"), col("wt"))
+      .orderBy("draw_id")
+  }
+
+  val q137Sql: String =
+    raw"""WITH c AS (SELECT w, count(*) AS cnt
+          FROM (SELECT unnest($ToksSql) AS w FROM documents) GROUP BY w),
+wt AS (SELECT w, cnt, CAST(round(pow(CAST(cnt AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS wt FROM c),
+cum AS (SELECT w, cnt, wt, CAST(sum(wt) OVER (ORDER BY w) AS BIGINT) AS cum_hi FROM wt),
+cum2 AS (SELECT *, cum_hi - wt AS cum_lo FROM cum),
+t AS (SELECT max(cum_hi) AS tw FROM cum2),
+d AS (SELECT i AS draw_id, ((i + 1) * 48271) % 2147483647 AS h1
+      FROM (SELECT unnest(range(0, 100)) AS i)),
+d2 AS (SELECT draw_id, h1, (h1 * 48271) % 2147483647 AS h2 FROM d),
+u AS (SELECT draw_id, (h1 * 2147483646 + h2) % t.tw AS u FROM d2, t)
+SELECT u.draw_id, c2.w AS token, c2.cnt, c2.wt
+FROM u JOIN cum2 c2 ON u.u >= c2.cum_lo AND u.u < c2.cum_hi
+ORDER BY u.draw_id"""
 }

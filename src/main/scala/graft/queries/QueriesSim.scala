@@ -954,6 +954,79 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
       .orderBy("query_id", "rnk")
   }
 
+  /** Deterministic sign matrix for the JL projection: s(j, i) ∈ {±1}
+    * from pure integer arithmetic, replayed verbatim in the oracle.
+    */
+  private[queries] def jlSign(j: Int, i: Int): Double =
+    if (((j.toLong * 2654435761L + i.toLong * 1103515245L + 12345L) % 97) % 2 == 0) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with an
+    * Achlioptas ±1 sign matrix (scaled 1/√16), plus the distortion audit
+    * that justifies using the projected space: for every pair in a
+    * 10-vector panel, euclidean distance before vs after and their
+    * ratio. This is the cheap "rotation ahead of quantization" that
+    * actually survives an oracle — a dense data-learned OPQ rotation is
+    * a 64×64 matmul per row with unreplayable training, while the JL
+    * sign matrix is derived from integer arithmetic both engines
+    * recompute, and serves the same pipeline role: shrink vectors
+    * before PQ/IVF (q119/q122) or brute re-rank, trading bounded
+    * distance distortion for 4× less bandwidth.
+    *
+    * Scale shape: projection is 16 native codegen'd dotF32 calls per
+    * row against broadcast-literal sign vectors — map-only, no shuffle,
+    * no HOF lambdas; distances use the |a|²+|b|²−2a·b identity so the
+    * pair audit reuses the same accumulation order both engines define.
+    */
+  def q135_jl_projection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.dotF32
+    val k = 16
+    val d = 64
+    val signs: Array[Array[Double]] = Array.tabulate(k, d)((j, i) => jlSign(j, i))
+    val projCols = signs.map { row =>
+      val sv = array(row.map(x => lit(x.toFloat)): _*)
+      dotF32(col("embedding"), sv) / math.sqrt(k)
+    }
+    val panel = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        array(projCols: _*).as("proj"),
+        dotF32(col("embedding"), col("embedding")).as("ss"))
+    val a = panel.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+      col("proj").as("pa"), col("ss").as("ssa"))
+    val b = panel.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+      col("proj").as("pb"), col("ss").as("ssb"))
+    a.crossJoin(broadcast(b)).filter(col("vec_id_a") < col("vec_id_b")) // 45-pair audit panel
+      .withColumn("d_orig",
+        round(sqrt(col("ssa") + col("ssb") - lit(2.0) * dotF32(col("ea"), col("eb"))), 6))
+      .withColumn("d_proj",
+        round(sqrt(aggregate(zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)), 6))
+      .withColumn("ratio", round(col("d_proj") / col("d_orig"), 6))
+      .select("vec_id_a", "vec_id_b", "d_orig", "d_proj", "ratio")
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  val q135Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 10),
+sg AS (SELECT j, list_transform(range(0, 64),
+              i -> CASE WHEN ((j * 2654435761 + i * 1103515245 + 12345) % 97) % 2 = 0
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv
+       FROM (SELECT unnest(range(0, 16)) AS j)),
+pr AS (SELECT e.vec_id, sg.j,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * sg.sv[i])) / sqrt(16) AS p
+       FROM e, sg),
+pv AS (SELECT vec_id, list(p ORDER BY j) AS proj FROM pr GROUP BY vec_id),
+ss AS (SELECT vec_id, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 round(sqrt(sa.ss + sb.ss
+                   - 2.0 * list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))), 6) AS d_orig,
+                 round(sqrt(list_sum(list_transform(range(1, 17),
+                   i -> (pa.proj[i] - pb.proj[i]) * (pa.proj[i] - pb.proj[i])))), 6) AS d_proj
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          JOIN ss sa ON sa.vec_id = a.vec_id JOIN ss sb ON sb.vec_id = b.vec_id
+          JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id)
+SELECT vec_id_a, vec_id_b, d_orig, d_proj, round(d_proj / d_orig, 6) AS ratio
+FROM pairs ORDER BY vec_id_a, vec_id_b"""
+
   val q134Sql: String =
     raw"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 10),

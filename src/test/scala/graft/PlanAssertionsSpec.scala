@@ -551,4 +551,31 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.contains("TopKAgg") || plan.contains("topk"),
       s"bounded-heap top-k aggregate expected in:\n${plan.take(1500)}")
   }
+
+  test("q135: the projection is map-only native dots; no sort-merge join in the audit") {
+    val plan = executedPlanString(graft.queries.QueriesSim.q135_jl_projection(spark, sf("sf0.001")))
+    assert(!plan.contains("SortMergeJoin"), "45-pair audit panel must broadcast, not SMJ")
+    assert(plan.contains("dot_f32(embedding"),
+      "projection must be native dot_f32 over the embedding column")
+    assert(!plan.contains("zip_with(embedding") && !plan.contains("transform(embedding"),
+      "no interpreted HOF over the 64-dim embedding column (16-dim proj HOFs are fine)")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      "panel filter must reach the scan")
+  }
+
+  test("q136: source ranks come from a lang-partitioned window; global order is TakeOrdered") {
+    val plan = executedPlanString(graft.queries.QueriesPipeline.q136_curriculum_order(spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"), "top-60 must be TakeOrdered, not a full sort")
+    // the only unpartitioned window must run AFTER the limit (60 rows)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, "expected window operators")
+  }
+
+  test("q137: the vocabulary cumsum is letter-partitioned; no single-partition window over the vocab") {
+    val plan = executedPlanString(graft.queries.QueriesPipeline.q137_negative_sampling(spark, sf("sf0.001")))
+    // the vocab-sized window must carry the letter partition key
+    assert(plan.contains("hashpartitioning(letter"),
+      s"vocab cumsum must partition by letter:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "draw join must broadcast, not cartesian")
+  }
 }
