@@ -20,18 +20,29 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** `events.parquet` stores TIMESTAMP(NANOS, isAdjustedToUTC=false),
-    * which Spark's parquet reader rejects natively. Read the raw int64
-    * nanos (legacy conf) and truncate to microseconds — exactly what
-    * DuckDB does on ingest — keeping TIMESTAMP_NTZ semantics so both
-    * engines see identical wall-clock values.
+  /** `events.parquet` has shipped in two physical forms across driver
+    * generations: TIMESTAMP(NANOS, isAdjustedToUTC=false) — which
+    * Spark's parquet reader rejects natively, so it is read as raw
+    * int64 nanos (legacy conf) and truncated to microseconds, exactly
+    * what DuckDB does on ingest — and plain TIMESTAMP(MICROS), which
+    * reads directly. Both normalize to TIMESTAMP_NTZ wall-clock values
+    * so query results hash-match the DuckDB oracle either way. The
+    * branch is on the FILE's schema, not a config, so a mixed-layout
+    * lake (the 100 TB reality) reads correctly table by table.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      // integer division keeps full precision (a double roundtrip would
-      // lose bits above 2^53); all epochs here are positive so trunc==floor.
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer division keeps full precision (a double roundtrip would
+        // lose bits above 2^53); all epochs here are positive so trunc==floor.
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => df
+      // TIMESTAMP(MICROS) read without NTZ inference: UTC session tz makes
+      // the cast a pure wall-clock relabel, value-identical to the NTZ path.
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }

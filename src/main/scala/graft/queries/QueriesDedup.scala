@@ -529,4 +529,66 @@ f AS (SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
 SELECT doc_id, n_windows, n_dup_windows, dup_frac,
        CASE WHEN dup_frac >= 0.2 THEN 'flag' ELSE 'keep' END AS verdict
 FROM f ORDER BY doc_id"""
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the PRODUCTION near-dup pair graph (q91's τ=0.8
+    * prefix-filtered edges): three fixed rounds where each node adopts
+    * the most frequent label among its neighbors (ties → smallest
+    * label), then a per-community size report. Beside min-label CC
+    * (q46/q55/q91 — "same content" transitive closure) this is the
+    * OTHER graph grouping a curation pipeline runs: density-sensitive
+    * communities (template families, boilerplate clusters) rather than
+    * exact-duplicate closure, converging in O(rounds), not O(diameter).
+    *
+    * Scale shape: the edge list is pair-graph-sized (sparse — the
+    * prefix filter guarantees only true near-dup pairs), each round is
+    * one keyed equi-join + two partial-aggregated groupBys, and the
+    * deterministic argmax is min(struct(-cnt, lbl)) — no window over
+    * node neighborhoods, no driver loop state beyond the 3-round
+    * counter. Fixed rounds (not run-to-convergence) is the documented
+    * production choice: LP label oscillation means convergence is not
+    * guaranteed under synchronous update, so bounded rounds + the size
+    * report is the honest contract.
+    */
+  def q144_label_prop(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs(s, dir), shingleN = 5, threshold = 0.8)
+      .select(col("doc_id_a").as("s"), col("doc_id_b").as("d"))
+    val e = pairs.unionByName(pairs.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint() // edge list is tiny; pinning avoids 6 re-runs of the prefix pipeline
+    var labels = e.select(col("s").as("node")).distinct().withColumn("lbl", col("node"))
+    (1 to 3).foreach { _ =>
+      labels = e.join(labels.withColumnRenamed("node", "d"), Seq("d"))
+        .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("s"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("s").as("node"), col("m.l").as("lbl"))
+        .localCheckpoint() // flat lineage per round (the CC/PageRank hygiene)
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** One synchronous LP round in SQL: neighbor-label counts, then the
+    * (cnt DESC, lbl) argmax — the row_number twin of the engine's
+    * min(struct(-cnt, lbl)).
+    */
+  private def lpRoundSql(n: Int, prev: String): String =
+    raw"""c$n AS (SELECT e.s, l.lbl, count(*) AS cnt FROM e JOIN $prev l ON l.node = e.d GROUP BY e.s, l.lbl),
+l$n AS (SELECT s AS node, lbl FROM (
+         SELECT s, lbl, row_number() OVER (PARTITION BY s ORDER BY cnt DESC, lbl) AS rn FROM c$n)
+       WHERE rn = 1)"""
+
+  val q144Sql: String =
+    raw"""WITH pairs AS (${jaccardOracle(5, "0.8")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
+${lpRoundSql(1, "l0")},
+${lpRoundSql(2, "l1")},
+${lpRoundSql(3, "l2")},
+sz AS (SELECT lbl, count(*) AS n_members FROM l3 GROUP BY lbl)
+SELECT l3.node AS doc_id, l3.lbl AS community, sz.n_members
+FROM l3 JOIN sz USING (lbl) ORDER BY doc_id"""
 }

@@ -826,4 +826,56 @@ u AS (SELECT draw_id, (h1 * 2147483646 + h2) % t.tw AS u FROM d2, t)
 SELECT u.draw_id, c2.w AS token, c2.cnt, c2.wt
 FROM u JOIN cum2 c2 ON u.u >= c2.cum_lo AND u.u < c2.cum_hi
 ORDER BY u.draw_id"""
+
+  /** Training-sequence packing (the GPT-style pre-tokenization layout):
+    * per source, documents are concatenated in doc_id order and sliced
+    * into 2048-token training sequences; each document is assigned to
+    * the sequence containing its START offset, and the report audits
+    * per-sequence document count, token mass, and fill ratio — the
+    * numbers that decide whether a corpus needs short-doc packing or
+    * long-doc chunking (compose with q133) before training.
+    *
+    * Scale shape: the running token offset is the one irreducibly
+    * sequential quantity, so it is computed the q137 TWO-PHASE way —
+    * a window inside each (source, 512-doc bucket), then a
+    * buckets-per-source offset table (metadata-scale: |docs|/512 rows)
+    * cumulated and broadcast back — no single-partition corpus-wide
+    * window ever exists. The oracle uses the naive per-source global
+    * cumsum, which is exactly the plan this avoids.
+    */
+  def q142_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048L
+    val dl = docs(s, dir).select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / 512L).cast("long"))
+    val local = dl.withColumn("lcum", coalesce(
+      sum("n_tokens").over(Window.partitionBy("source", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = dl.groupBy("source", "bucket").agg(sum("n_tokens").as("btot"))
+      .withColumn("off", coalesce(
+        sum("btot").over(Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bucket", "off") // |docs|/512 rows — metadata scale
+    local.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("seq_id", ((col("lcum") + col("off")) / B).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / B, 6))
+      .orderBy("source", "seq_id")
+  }
+
+  val q142Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM dl),
+a AS (SELECT source, doc_id, n_tokens, start_off // 2048 AS seq_id FROM c)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 6) AS fill
+FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
 }

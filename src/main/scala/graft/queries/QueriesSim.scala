@@ -1039,4 +1039,179 @@ r AS (SELECT query_id, query_label, vec_id, neg_label, cosine_sim,
 SELECT query_id, CAST(query_label AS BIGINT) AS query_label, vec_id,
        CAST(neg_label AS BIGINT) AS neg_label, cosine_sim, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The clustered-fixture twin of q138: embeddings displaced onto
+    * well-separated deterministic cluster centers (one per label, the
+    * center components derived from integer arithmetic both engines
+    * replay) with the original vector shrunk 8× into the cluster's
+    * local noise. CAST to float mirrors the engine's storage type.
+    */
+  private def clusteredFixture(s: SparkSession, dir: String): DataFrame = {
+    val cvCol = transform(col("embedding"), (x, i) =>
+      (((col("label").cast("long") * 2654435761L + i.cast("long") * 40503L) % 1000L)
+        .cast("double") / 1000.0 - 0.5 + lit(0.125) * x.cast("double")).cast("float"))
+    emb(s, dir).select(col("vec_id"), cvCol.as("embedding"), col("label"))
+  }
+
+  /** Per-label mean centroids over the deterministic sample (first 2048
+    * rows by vec_id), accumulated in vec_id order so the oracle's
+    * `list_sum(list(v[i] ORDER BY vec_id)) / count(*)` replays the same
+    * left-to-right double fold. Cells ordered by label ascending.
+    */
+  private def labelCentroidModel(clustered: DataFrame): IvfIndex.Model = {
+    val rows = clustered.orderBy("vec_id").limit(2048)
+      .select(col("label"), col("embedding")).collect()
+    val byLabel = scala.collection.mutable.SortedMap[Int, (Array[Double], Long)]()
+    rows.foreach { r =>
+      val l = r.getInt(0)
+      val v = r.getSeq[Float](1)
+      val (sum, n) = byLabel.getOrElse(l, (new Array[Double](v.length), 0L))
+      var i = 0
+      while (i < v.length) { sum(i) += v(i).toDouble; i += 1 }
+      byLabel(l) = (sum, n + 1)
+    }
+    IvfIndex.Model(byLabel.values.map { case (s, n) => s.map(_ / n) }.toArray)
+  }
+
+  /** Residual vs raw IVF-PQ recall@10 in the regime the composition was
+    * designed for — TIGHT, data-fitted coarse cells over clustered
+    * vectors — closing the loop q126/q128 opened: on the isotropic
+    * fixture with init-point cells, residual IVF-PQ measured 0.06 vs
+    * raw's 0.26 because residuals there are LARGER than the vectors.
+    * Here the cells are the per-label centroids of a deterministic
+    * clustered fixture (residual magnitude = the 8×-shrunk noise), and
+    * the same 8-byte code budget quantizes the noise scale instead of
+    * the cluster geometry: residual recall beats raw at every fixture
+    * scale (0.44 vs 0.22 mean at the 500-row corpus, 0.40 vs 0.34 at
+    * 50 k). Together the two entries are the quantitative statement of
+    * "residual quantization is only as good as its coarse quantizer".
+    *
+    * Same plan shapes as q122/q128 (keyed cell equi-join, 8-byte code
+    * scan, exact re-rank of winners); the recall join is q126's.
+    * Everything deterministic: integer-arithmetic cluster centers,
+    * ordered-fold label centroids, init codebooks, fixed fold orders —
+    * the full pipeline (fixture → cells → both PQ variants → recall)
+    * replayed in SQL.
+    */
+  def q138_residual_clustered(s: SparkSession, dir: String): DataFrame = {
+    val clustered = clusteredFixture(s, dir).persist()
+    val ivf = labelCentroidModel(clustered)
+    val queries = clustered.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pqRaw = PqIndex.train(clustered, numSub = 8, ksub = 16, iters = 0)
+    val idxRaw = IvfIndex.assign(clustered, ivf)
+      .withColumn("codes", PqIndex.codesCol(col("embedding"), pqRaw))
+    val rawTop = PqIndex.adcTopKIvf(idxRaw, queries, ivf, pqRaw, k = 10, nprobe = 2)
+    val pqRes = PqIndex.trainResiduals(clustered, ivf, numSub = 8, ksub = 16, iters = 0)
+    val idxRes = IvfIndex.assign(clustered, ivf)
+      .withColumn("codes", PqIndex.codesCol(
+        PqIndex.residualCol(col("embedding"), col("cluster"), ivf), pqRes))
+    val resTop = PqIndex.adcTopKIvfResidual(idxRes, queries, ivf, pqRes, k = 10, nprobe = 2)
+    val exact = Similarity.knnJoinAgg(clustered, queries, k = 10).select("query_id", "vec_id")
+    def hits(method: String, df: DataFrame): DataFrame =
+      queries.select("query_id")
+        .join(exact.join(df.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
+    hits("ivfpq_raw", rawTop).unionByName(hits("ivfpq_res", resTop))
+      .orderBy("method", "query_id")
+  }
+
+  val q138Sql: String =
+    raw"""WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cv AS (SELECT vec_id, label,
+         list_transform(range(1, 65), i -> CAST(CAST(
+           ((label * 2654435761 + (i - 1) * 40503) % 1000) / 1000.0 - 0.5 + 0.125 * v[i]
+         AS REAL) AS DOUBLE)) AS v
+       FROM e0),
+samp AS (SELECT vec_id, label, v FROM cv WHERE vec_id < 2048),
+lblidx AS (SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+           FROM (SELECT DISTINCT label FROM samp)),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+cent AS (SELECT s.label, idx.ii, list_sum(list(s.v[idx.ii] ORDER BY s.vec_id)) / count(*) AS mi
+         FROM samp s, idx GROUP BY s.label, idx.ii),
+cc AS (SELECT li.cid, list(c.mi ORDER BY c.ii) AS c
+       FROM cent c JOIN lblidx li ON li.label = c.label GROUP BY li.cid),
+cf AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+              list_sum(list_transform(c, x -> x * x)) AS cn FROM cc),
+scores AS (SELECT cvd.vec_id, cf.cid,
+                  cf.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> cvd.v[i] * cf.f[i])) AS s
+           FROM cv cvd, cf),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM cv WHERE vec_id < 5),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 2),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+rcbraw AS (SELECT ms.m, s.vec_id AS j,
+                  list_transform(range(1, 9), i -> CAST(CAST(s.v[ms.m * 8 + i] AS REAL) AS DOUBLE)) AS f,
+                  list_sum(list_transform(range(1, 9), i -> s.v[ms.m * 8 + i] * s.v[ms.m * 8 + i])) AS cn
+           FROM samp s, ms WHERE s.vec_id < 16),
+psraw AS (SELECT c.vec_id, rb.m, rb.j,
+                 rb.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> c.v[rb.m * 8 + i] * rb.f[i])) AS s
+          FROM cv c, rcbraw rb),
+codesraw AS (SELECT vec_id, m, j AS code FROM (
+               SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM psraw)
+             WHERE rn = 1),
+draw AS (SELECT p.query_id, a.vec_id, cd.m,
+                list_sum(list_transform(range(1, 9), i -> (q.qv[cd.m * 8 + i] - rb.f[i]) * (q.qv[cd.m * 8 + i] - rb.f[i]))) AS dm
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         JOIN q ON q.query_id = p.query_id
+         JOIN codesraw cd ON cd.vec_id = a.vec_id
+         JOIN rcbraw rb ON rb.m = cd.m AND rb.j = cd.code),
+adcraw AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+           FROM draw GROUP BY query_id, vec_id),
+rraw AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+           FROM adcraw) WHERE rnk <= 10),
+rvdtr AS (SELECT c.vec_id, list_transform(range(1, 65), i -> c.v[i] - cc2.c[i]) AS rd
+          FROM samp c JOIN assign a ON a.vec_id = c.vec_id JOIN cc cc2 ON cc2.cid = a.cluster
+          WHERE c.vec_id < 16),
+rcbres AS (SELECT ms.m, r.vec_id AS j,
+                  list_transform(range(1, 9), i -> CAST(CAST(r.rd[ms.m * 8 + i] AS REAL) AS DOUBLE)) AS f,
+                  list_sum(list_transform(range(1, 9), i -> r.rd[ms.m * 8 + i] * r.rd[ms.m * 8 + i])) AS cn
+           FROM rvdtr r, ms),
+rvf AS (SELECT c.vec_id, list_transform(range(1, 65), i -> CAST(CAST(c.v[i] - cf.f[i] AS REAL) AS DOUBLE)) AS rf
+        FROM cv c JOIN assign a ON a.vec_id = c.vec_id JOIN cf ON cf.cid = a.cluster),
+psres AS (SELECT v.vec_id, rb.m, rb.j,
+                 rb.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> v.rf[rb.m * 8 + i] * rb.f[i])) AS s
+          FROM rvf v, rcbres rb),
+codesres AS (SELECT vec_id, m, j AS code FROM (
+               SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM psres)
+             WHERE rn = 1),
+qr AS (SELECT p.query_id, p.cluster,
+              list_transform(range(1, 65), i -> CAST(CAST(q.qv[i] - cf.f[i] AS REAL) AS DOUBLE)) AS qrf
+       FROM probes p JOIN q ON q.query_id = p.query_id JOIN cf ON cf.cid = p.cluster),
+dres AS (SELECT qr.query_id, a.vec_id, cd.m,
+                list_sum(list_transform(range(1, 9), i -> (qr.qrf[cd.m * 8 + i] - rb.f[i]) * (qr.qrf[cd.m * 8 + i] - rb.f[i]))) AS dm
+         FROM qr
+         JOIN assign a ON a.cluster = qr.cluster AND a.vec_id <> qr.query_id
+         JOIN codesres cd ON cd.vec_id = a.vec_id
+         JOIN rcbres rb ON rb.m = cd.m AND rb.j = cd.code),
+adcres AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+           FROM dres GROUP BY query_id, vec_id),
+rres AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+           FROM adcres) WHERE rnk <= 10),
+ex AS (SELECT query_id, vec_id FROM (
+         SELECT q.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i]))
+                    / (sqrt(list_sum(list_transform(c.v, x -> x * x))) * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) DESC,
+                  c.vec_id) AS rnk
+         FROM cv c, q WHERE c.vec_id <> q.query_id) WHERE rnk <= 10),
+h AS (SELECT 'ivfpq_raw' AS method, query_id, count(*) AS n_hit
+      FROM ex JOIN rraw USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'ivfpq_res', query_id, count(*) FROM ex JOIN rres USING (query_id, vec_id) GROUP BY query_id),
+grid AS (SELECT m.method, q.query_id
+         FROM (SELECT unnest(['ivfpq_raw', 'ivfpq_res']) AS method) m, q)
+SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
+FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
+ORDER BY grid.method, grid.query_id"""
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.text.Text
+import graft.text.{Bpe, Text}
 
 /** Text / word-count queries: the reference's own surface (SURVEY.md §2.D
   * Q1–Q6) plus the text-analysis extensions (Q18, Q22–Q24).
@@ -627,4 +627,306 @@ s AS (SELECT doc_id, ci, least(64, len(tk) - ci * 48) AS nct,
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(nct AS BIGINT) AS n_chunk_tokens,
        ${QueriesDedup.polyHashSql("chunk")} AS chunk_hash
 FROM s ORDER BY doc_id, chunk_idx"""
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): per query, the lexical BM25 ranking (q110's scorer) and the
+    * dense cosine ranking (q26's bounded-heap kNN over the query's
+    * embedding) are fused by score = Σ 1/(60 + rank) over the lists that
+    * retrieved the doc — the standard way modern retrieval stacks
+    * combine a keyword index with a vector index without score
+    * calibration (ranks, not raw scores, are what's comparable).
+    *
+    * Scale shape: each ranker keeps its own scale-correct plan — the
+    * BM25 side filters postings to the query-panel terms BEFORE any
+    * shuffle (nine terms' postings, not the vocabulary) and the dense
+    * side is the broadcast-panel bounded-heap kNN — and the fusion is a
+    * full-outer join of two O(queries × k) rank lists, metadata-sized
+    * no matter the corpus. Rank lists are capped at 20 per ranker, so a
+    * doc outside both top-20s can never enter the fused top-10 (RRF on
+    * capped lists is how production systems bound the fusion input).
+    */
+  def q139_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKAgg
+    import s.implicits._
+    val termRows: Seq[(Long, String)] = Seq(
+      0L -> "join", 0L -> "hash", 0L -> "vector",
+      1L -> "sort", 1L -> "merge", 1L -> "scan",
+      2L -> "stream", 2L -> "window", 2L -> "batch")
+    val qterms = termRows.toDF("query_id", "word")
+    val allTerms = termRows.map(_._2).distinct
+    val k1 = 1.2; val b = 0.75
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"), size(Text.tokens(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isin(allTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val bm25 = tf.join(broadcast(df_), Seq("word"))
+      .join(broadcast(qterms), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // one row: corpus size + mean doc length
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("term_score"), 6).as("bm25"))
+    val bmRank = bm25.groupBy("query_id")
+      .agg(TopKAgg.topk(col("bm25"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.id").as("doc_id"),
+        (col("__r") + 1).cast("long").as("bm25_rnk"))
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dense = graft.sim.Similarity.knnJoinAgg(e, queries, k = 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val fused = bmRank.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("bm25_rnk"), lit(0L)).as("bm25_rnk"),
+        coalesce(col("dense_rnk"), lit(0L)).as("dense_rnk"),
+        round(
+          when(col("bm25_rnk").isNotNull, lit(1.0) / (lit(60.0) + col("bm25_rnk")))
+            .otherwise(lit(0.0)) +
+          when(col("dense_rnk").isNotNull, lit(1.0) / (lit(60.0) + col("dense_rnk")))
+            .otherwise(lit(0.0)), 6).as("rrf"))
+    fused.groupBy("query_id")
+      .agg(TopKAgg.topk(col("rrf"), col("doc_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.id").as("doc_id"),
+        (col("__r") + 1).cast("long").as("rnk"))
+      .join(fused, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("bm25_rnk"), col("dense_rnk"),
+        col("rrf"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val q139Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, CAST(len($ToksSql) AS DOUBLE) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, word FROM (VALUES
+        (0, 'join'), (0, 'hash'), (0, 'vector'),
+        (1, 'sort'), (1, 'merge'), (1, 'scan'),
+        (2, 'stream'), (2, 'window'), (2, 'batch')) t(query_id, word)),
+tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
+       WHERE word IN ('join', 'hash', 'vector', 'sort', 'merge', 'scan', 'stream', 'window', 'batch')
+       GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+bm AS (SELECT qt.query_id, tf.doc_id, round(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS bm25
+       FROM tf JOIN df USING (word) JOIN qt USING (word)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       GROUP BY qt.query_id, tf.doc_id),
+br AS (SELECT query_id, doc_id, rn AS bm25_rnk FROM (
+         SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         FROM bm) WHERE rn <= 20),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+ds AS (SELECT q.query_id, e.vec_id AS doc_id,
+              round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+                / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine_sim
+       FROM e, q WHERE e.vec_id <> q.query_id),
+dr AS (SELECT query_id, doc_id, rn AS dense_rnk FROM (
+         SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, doc_id) AS rn
+         FROM ds) WHERE rn <= 20),
+fused AS (SELECT coalesce(br.query_id, dr.query_id) AS query_id,
+                 coalesce(br.doc_id, dr.doc_id) AS doc_id,
+                 CAST(coalesce(br.bm25_rnk, 0) AS BIGINT) AS bm25_rnk,
+                 CAST(coalesce(dr.dense_rnk, 0) AS BIGINT) AS dense_rnk,
+                 round(coalesce(1.0 / (60.0 + br.bm25_rnk), 0.0)
+                     + coalesce(1.0 / (60.0 + dr.dense_rnk), 0.0), 6) AS rrf
+          FROM br FULL OUTER JOIN dr ON br.query_id = dr.query_id AND br.doc_id = dr.doc_id),
+r AS (SELECT query_id, doc_id, bm25_rnk, dense_rnk, rrf,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+      FROM fused)
+SELECT query_id, doc_id, bm25_rnk, dense_rnk, rrf, rnk
+FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** Model-based quality scoring with calibration buckets — the
+    * FineWeb-Edu / CCNet "classifier filter" shape: a fixed-weight
+    * logistic model over q23's cheap lexical features scores every
+    * document, and the report aggregates the score distribution into
+    * ten calibration buckets (how a pipeline picks its keep-threshold
+    * and monitors drift between crawls). Weights are literals here; a
+    * trained model would broadcast its coefficient vector identically.
+    *
+    * Scale shape: pure per-row projection (the features come from one
+    * pass over the text) into a 10-group aggregate — no joins, no
+    * wide shuffle, the classic map-side-combine profile. z is rounded
+    * before the sigmoid and p before bucketing (the round-before-order
+    * rule) so cross-engine libm ulps cannot flip a bucket boundary.
+    */
+  def q140_quality_logit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val nTok = size(toks).cast("long")
+    val nStop = Text.markerCount(toks, Text.EnglishMarkers)
+    val f = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), alpha.as("alpha"),
+        nTok.as("n_tokens"), nStop.as("n_stop"))
+      .select(col("doc_id"),
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        least(when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_tokens")) / 10.0, lit(1.0)).as("len_feat"),
+        least(col("n_tokens").cast("double") / 200.0, lit(1.0)).as("size_feat"))
+      .withColumn("z", round(lit(-2.0) + lit(3.0) * col("alpha_ratio")
+        + lit(2.0) * col("stop_ratio") + lit(1.5) * col("len_feat")
+        + lit(0.5) * col("size_feat"), 6))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+    f.withColumn("bucket", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("p"), 6).as("avg_p"),
+        round(min("z"), 6).as("min_z"),
+        round(max("z"), 6).as("max_z"))
+      .orderBy("bucket")
+  }
+
+  val q140Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len($ToksSql) AS n_tokens,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END) / 10.0, 1.0) AS len_feat,
+         least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS size_feat
+  FROM t),
+z AS (SELECT doc_id, round(-2.0 + 3.0 * alpha_ratio + 2.0 * stop_ratio + 1.5 * len_feat + 0.5 * size_feat, 6) AS z FROM feat),
+p AS (SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z),
+b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket, z, p FROM p)
+SELECT bucket, count(*) AS n_docs, round(avg(p), 6) AS avg_p,
+       round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** Zipf's-law fit of the corpus word-frequency distribution: ordinary
+    * least squares of ln(count) on ln(rank) over the ranked vocabulary,
+    * reporting slope (the Zipf exponent, ≈ −1 for natural language),
+    * intercept, and R². The standard one-number corpus-health check a
+    * curation pipeline tracks across crawls — a slope collapsing toward
+    * 0 flags boilerplate/template pollution, R² falloff flags a mixed
+    * or truncated distribution.
+    *
+    * Scale shape: the fit runs on the VOCABULARY table (metadata-scale
+    * after the word-count aggregation — the corpus shuffle is q01's,
+    * with map-side combine), so the rank window and the five-sum OLS
+    * reduce over |vocab| rows, not corpus rows. Double reorder error on
+    * the unordered sums is ~1e-13 against a 6-decimal rounding floor —
+    * 7 orders of headroom (the q53 argument).
+    */
+  def q141_zipf_fit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // vocabulary-sized global window — metadata scale by construction
+    val ranked = wc.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+    val pts = ranked.select(log(col("rnk").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))
+    val mom = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    mom.select(col("n").cast("long").as("n_words"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("r2"))
+  }
+
+  val q141Sql: String =
+    raw"""WITH wc AS (SELECT word, count(*) AS cnt
+          FROM (SELECT unnest($ToksSql) AS word FROM documents) GROUP BY word),
+rk AS (SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM wc),
+pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rk),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_words,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m"""
+
+  /** Tokenizer training AND application at corpus scale: train 5 BPE
+    * merges on the corpus vocabulary (`Bpe.train` — the driver-
+    * coordinated argmax loop q132 exposes one round of), then encode
+    * every document and report its char→BPE-token compression — the
+    * end-to-end "train a tokenizer, tokenize the corpus" step of a
+    * pretraining pipeline, with the whole loop (not just one round)
+    * oracle-checked: the SQL replays all 5 greedy rounds, using the
+    * regex identity that leftmost-non-overlapping replace of
+    * `[a][b]` ≡ the engine's left-to-right merge fold (BpeSpec's
+    * "aaaa" → [aa, aa] semantics).
+    *
+    * Scale shape: training iterates over the VOCABULARY (corpus-
+    * independent cost after q01's word count), and encoding runs the
+    * merge fold ONCE per distinct word, broadcast-joined back to
+    * occurrences — the corpus-sized pass never executes the fold, it
+    * just joins on the word. Per-doc sums are exact integers.
+    */
+  def q143_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(vocab, rounds = 5)
+    val enc = vocab.select(col("word"),
+      size(Bpe.encode(Bpe.initialSymbols(col("word")), merges)).cast("long").as("n_syms"))
+    occ.join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_syms").cast("long").as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** One SQL BPE round: argmax adjacent pair (weighted by word freq,
+    * ties cnt DESC then (a, b) lexicographic — exactly Bpe.train's
+    * orderBy), then the bracket-delimited regex merge. Symbols are
+    * `[A-Za-z]+` so `[`/`]` are safe delimiters, and regexp_replace's
+    * leftmost-non-overlapping 'g' scan is the exact twin of
+    * Bpe.applyMerge's left-to-right fold.
+    */
+  private def bpeRoundSql(n: Int, p: Int): String =
+    raw"""e$n AS (SELECT freq, regexp_extract_all(s, '\[([A-Za-z]+)\]', 1) AS sy, s FROM w$p),
+p$n AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(freq) AS cnt
+        FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM e$n WHERE len(sy) >= 2)
+        GROUP BY a, b),
+m$n AS (SELECT a, b FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+w$n AS (SELECT w.word, w.freq, regexp_replace(w.s, '\[' || m.a || '\]\[' || m.b || '\]', '[' || m.a || m.b || ']', 'g') AS s
+        FROM w$p w, m$n m)"""
+
+  val q143Sql: String =
+    raw"""WITH occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
+w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM vocab),
+${bpeRoundSql(1, 0)},
+${bpeRoundSql(2, 1)},
+${bpeRoundSql(3, 2)},
+${bpeRoundSql(4, 3)},
+${bpeRoundSql(5, 4)},
+enc AS (SELECT word, len(regexp_extract_all(s, '\[([A-Za-z]+)\]', 1)) AS n_syms FROM w5)
+SELECT o.doc_id, CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_syms) AS BIGINT) AS n_bpe,
+       round(CAST(sum(length(o.word)) AS DOUBLE) / sum(e.n_syms), 6) AS compression
+FROM occ o JOIN enc e ON e.word = o.word
+GROUP BY o.doc_id ORDER BY o.doc_id"""
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
   /** Raw parquet schema of events.parquet with ts as int64 nanos (the
-    * file's TIMESTAMP(NANOS) needs nanosAsLong, same as Tables.events).
+    * canonical RAW STAGING form — see [[rawEvents]]).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -26,16 +26,41 @@ object StreamingJobs {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Batch-read `events.parquet` into the canonical RAW staging form
+    * (ts = int64 epoch nanos) whichever physical form the driver's
+    * generation shipped — TIMESTAMP(NANOS) read as raw longs, or plain
+    * TIMESTAMP(MICROS) scaled up. Specs stage chronological chunk
+    * directories from this form, so [[readEvents]]'s µs truncation
+    * applies exactly once regardless of the source file's layout.
+    */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session tz: NTZ → instant is a pure wall-clock relabel
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    }
+  }
+
   /** Streaming source over a DIRECTORY of events parquet files (the file
     * stream source rejects single-file paths); ts truncated to µs exactly
-    * like the batch loader.
+    * like the batch loader. The schema comes from the directory's own
+    * footer (one batch peek), so both the raw-nanos staging form and
+    * native-timestamp files stream correctly.
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(fileSchema).parquet(eventsDir)
+    fileSchema("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a watermark — the streaming

@@ -87,8 +87,7 @@ class StreamingSpec extends SparkSpec {
     // expects: staging through the batch loader (ts already µs) would
     // make readEvents's `ts div 1000` compress 30 days into 44 minutes —
     // inside the 2h delay, where NO watermark can ever evict anything.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
     val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
     val d = java.nio.file.Files.createTempDirectory("graft-ev-dedup-evict").toString
     raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
@@ -313,8 +312,7 @@ class StreamingSpec extends SparkSpec {
     // equal the batch "newest event per user" query; redelivering a batch
     // to the sink must leave the snapshot byte-identical (exactly-once
     // from at-least-once replay).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
     val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
     val d = java.nio.file.Files.createTempDirectory("graft-ev-cdc").toString
     val out = java.nio.file.Files.createTempDirectory("graft-cdc-out").toString

@@ -54,8 +54,7 @@ class StreamingWindowSpec extends SparkSpec {
     // readEvents's `ts div 1000` compress the 30-day stream inside the
     // 2h watermark delay, where nothing can ever close or evict — the
     // assertion would then measure an artifact, not eviction.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
     val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
     val d = java.nio.file.Files.createTempDirectory("graft-ev-evict").toString
     raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
@@ -84,8 +83,7 @@ class StreamingWindowSpec extends SparkSpec {
     // Staged in the raw int64-nanos form readEvents expects — batch-loader
     // staging would double-apply the nanos→µs division and compress the
     // whole stream inside the watermark delay (see the dedup twin test).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
     val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
     val d = java.nio.file.Files.createTempDirectory("graft-ev-sess-evict").toString
     raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
