@@ -578,4 +578,47 @@ class PlanAssertionsSpec extends SparkSpec {
       s"vocab cumsum must partition by letter:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"), "draw join must broadcast, not cartesian")
   }
+
+  test("q138: both PQ variants draw candidates from the cell equi-join; no cartesian anywhere") {
+    // The exact ground-truth side is the bounded 5-row query-panel
+    // broadcast (knnJoinAgg — BNLJ over a broadcast panel is its
+    // documented shape); the ADC candidate sides must stay keyed.
+    val plan = executedPlanString(graft.queries.QueriesSim.q138_residual_clustered(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q138 must not cross corpus with queries")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "q138 candidates must come from the cluster equi-join")
+  }
+
+  test("q139: both rankers read pruned scans; fusion never enumerates pairs") {
+    val plan = executedPlanString(graft.queries.QueriesText.q139_hybrid_rrf(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "q139 must not build a cartesian product")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"BM25 side must read only doc_id+text:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "tf/df aggregation must partial-aggregate before the shuffle")
+  }
+
+  test("q142: packing offsets come from partitioned windows — never a corpus-wide single partition") {
+    val plan = executedPlanString(graft.queries.QueriesPipeline.q142_pack_sequences(spark, sf("sf0.001")))
+    assert(plan.contains("hashpartitioning(source"),
+      s"the running-offset windows must carry the source partition key:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "no stage may funnel the corpus into one partition")
+  }
+
+  test("q143: the BPE merge fold runs on the vocabulary and broadcasts back to occurrences") {
+    val plan = executedPlanString(graft.queries.QueriesText.q143_bpe_encode(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"),
+      "encoded vocabulary must broadcast back to the occurrence stream")
+    assert(!plan.contains("CartesianProduct"), "q143 must not build a cartesian product")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n${plan.take(2000)}")
+  }
+
+  test("q144: label-propagation rounds are keyed joins with partial-aggregated counts") {
+    val plan = executedPlanString(graft.queries.QueriesDedup.q144_label_prop(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), "LP rounds must join on node ids, never pair-scan")
+    assert(plan.contains("partial_count"),
+      "neighbor-label counting must partial-aggregate before the shuffle")
+  }
 }
