@@ -1128,4 +1128,59 @@ SELECT user_id, count(*) AS n_gaps,
        max(gap) AS max_gap_sec
 FROM g WHERE gap IS NOT NULL
 GROUP BY user_id ORDER BY user_id"""
+
+  /** MERGE INTO semantics as a declarative plan — the DML surface Spark
+    * core lacks (Delta/Iceberg provide it as a table op): a target state
+    * (newest value per user before 2024-01-15) merged with a source
+    * batch (newest value per user after), each key classified
+    * insert / update / unchanged / carry with old and new values. The
+    * batch face of the streaming cdcUpsertSink, and the audit a lake
+    * MERGE emits as its operation metrics.
+    *
+    * Scale shape: both "newest per key" sides are user-partitioned
+    * windows (the q84 LOCF shape — the key is the partition, never a
+    * global sort), and the merge itself is ONE full-outer join on the
+    * key, the q96 snapshot-diff plan. At 100 TB the target side is the
+    * materialized state table read, not a recomputation.
+    */
+  def q145_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    def newest(df: DataFrame, as: String): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), round(col("value"), 6).as(as))
+    val ev = Tables.events(s, dir)
+    val target = newest(ev.filter(col("ts") < cut), "old_value")
+    val source = newest(ev.filter(col("ts") >= cut), "new_value")
+    target.join(source, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "carry")
+          .when(col("old_value") =!= col("new_value"), "update")
+          .otherwise("unchanged").as("action"),
+        coalesce(col("old_value"), lit(0.0)).as("old_value"),
+        coalesce(col("new_value"), col("old_value")).as("new_value"))
+      .orderBy("user_id")
+  }
+
+  val q145Sql: String =
+    raw"""WITH t AS (SELECT user_id, round(value, 6) AS old_value FROM (
+         SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+s AS (SELECT user_id, round(value, 6) AS new_value FROM (
+         SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN t.old_value IS NULL THEN 'insert'
+            WHEN s.new_value IS NULL THEN 'carry'
+            WHEN t.old_value <> s.new_value THEN 'update'
+            ELSE 'unchanged' END AS action,
+       coalesce(t.old_value, 0.0) AS old_value,
+       coalesce(s.new_value, t.old_value) AS new_value
+FROM t FULL OUTER JOIN s ON s.user_id = t.user_id
+ORDER BY user_id"""
 }
