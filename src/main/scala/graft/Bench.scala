@@ -45,14 +45,15 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sweep = selected.map { case (name, fn) =>
       val load = osBean.getSystemLoadAverage
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val times = (1 to repeats).map(_ => timeOnce(name, fn))
       val sec = times.min
       System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")}, load1m: $load%.1f)")
       // Each query call builds fresh persisted subplans (shingle/norm
@@ -60,10 +61,31 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, load)
     }
+    // Contention-proofing: a query timed while the host's 1-min load sat
+    // far above this bench's own ~2-3 footprint measured the HOST, not
+    // the plan (the BENCH_r04/r05/r07 failure mode). Re-run those once
+    // more AFTER the sweep — by then the outside spike has usually
+    // passed — and report the minimum, marking the JSON so the reader
+    // knows which numbers were defended. On a quiet host the flagged set
+    // is empty and this pass costs nothing.
+    val LoadThreshold = 4.0
+    val contended = sweep.filter(_._3 > LoadThreshold).map(_._1).toSet
+    val results = sweep.map { case (name, sec, load) =>
+      if (contended(name)) {
+        val fn = SparkEntry.queries(name)
+        val again = timeOnce(name, fn)
+        spark.catalog.clearCache()
+        System.err.println(f"[bench] $name retry $again%.2fs (was $sec%.2fs under load $load%.1f)")
+        (name, math.min(sec, again), load)
+      } else (name, sec, load)
+    }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, l) => "\"" + k + "\":" + f"$l%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val subset = only.map(_ => s""","subset":true""").getOrElse("")
+    val subset = only.map(_ => s""","subset":true""").getOrElse("") +
+      (if (contended.nonEmpty)
+        s""","contended":[${contended.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+      else "")
     // Full JSON first; the capture downstream keeps only the LAST ~2000
     // chars of output, and the full line (96 times + 96 loads) exceeds
     // that — round 6 lost its entire times map this way. The final line is

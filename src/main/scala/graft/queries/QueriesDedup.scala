@@ -591,4 +591,82 @@ ${lpRoundSql(3, "l2")},
 sz AS (SELECT lbl, count(*) AS n_members FROM l3 GROUP BY lbl)
 SELECT l3.node AS doc_id, l3.lbl AS community, sz.n_members
 FROM l3 JOIN sz USING (lbl) ORDER BY doc_id"""
+
+  /** Span REMOVAL — the ExactSubstr-style TRANSFORM q131 only audits
+    * (Lee et al. 2022's deduplicate-the-span, not the document): every
+    * 10-token window whose hash occurs anywhere else in the corpus —
+    * other documents OR earlier in the same document — is a duplicate
+    * span; the globally-first occurrence by (doc_id, pos) is kept,
+    * every other occurrence is dropped, and the surviving token stream
+    * is reconstructed deterministically (a token survives iff no
+    * removed window covers it; survivors single-space-joined — the
+    * operator is defined on the tokenized view, like q131). The output
+    * carries the reconstructed text itself, so the gate hash-compares
+    * the actual transform, not a summary.
+    *
+    * Scale shape: occurrence marking is the q131 shuffle (W longs per
+    * window key, payload never in the key); the keep-first rule is one
+    * partial-aggregated min(struct(doc_id, pos)) per hash; removal
+    * starts flow back as a doc_id-keyed equi-join (AQE broadcasts the
+    * removal table when small); reconstruction is per-row HOFs over
+    * the already-resident token array — no token ever shuffles twice.
+    * Window-key collisions share q131's 1e9+7 caveat: deterministic,
+    * oracle-replayed, and a 128-bit digest at production scale.
+    */
+  def q149_span_removal(s: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("whs", org.apache.spark.sql.graft.WindowHashes.windowHashes(col("toks"), W))
+    val occ = base.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+    val keeper = occ.groupBy("h")
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    val removed = occ.join(keeper, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("starts"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, j) =>
+        !exists(col("starts"), st => st <= j && j < st + W)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the keep-first rule exactly: row_number over (doc_id, pos)
+    * per window hash — rn=1 is the kept occurrence, rn>1 occurrences
+    * (which only exist for repeated hashes) mark their token range
+    * removed; the indexed list_filter mirrors Spark's 0-based filter
+    * HOF (DuckDB j is 1-based, hence j−1).
+    */
+  val q149Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+th AS (SELECT doc_id, tk, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
+w AS (SELECT doc_id, tk,
+             CASE WHEN len(hh) >= 10
+                  THEN list_transform(range(0, len(hh) - 10 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 10)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS whs
+      FROM th),
+occ AS (SELECT doc_id, i AS pos, whs[i + 1] AS h
+        FROM (SELECT doc_id, whs, unnest(range(0, len(whs))) AS i FROM w)),
+rk AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       FROM occ),
+rem AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+        FROM rk WHERE rn > 1 GROUP BY doc_id),
+f AS (SELECT w.doc_id, w.tk, coalesce(rem.starts, CAST([] AS BIGINT[])) AS starts
+      FROM w LEFT JOIN rem USING (doc_id)),
+k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_filter(tk, (tok, j) ->
+               len(list_filter(starts, st -> st <= j - 1 AND j - 1 < st + 10)) = 0) AS kept
+      FROM f)
+SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM k ORDER BY doc_id"""
 }

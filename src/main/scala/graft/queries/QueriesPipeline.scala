@@ -848,7 +848,7 @@ ORDER BY u.draw_id"""
     val B = 2048L
     val dl = docs(s, dir).select(col("doc_id"), col("source"),
       size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("bucket", (col("doc_id") / 512L).cast("long"))
+      .withColumn("bucket", expr("doc_id div 512"))
     val local = dl.withColumn("lcum", coalesce(
       sum("n_tokens").over(Window.partitionBy("source", "bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -858,7 +858,7 @@ ORDER BY u.draw_id"""
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("source", "bucket", "off") // |docs|/512 rows — metadata scale
     local.join(broadcast(offsets), Seq("source", "bucket"))
-      .withColumn("seq_id", ((col("lcum") + col("off")) / B).cast("long"))
+      .withColumn("seq_id", expr(s"(lcum + off) div $B"))
       .groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -878,4 +878,163 @@ SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 6) AS fill
 FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
+
+  /** The pipeline's TERMINAL operator — tokenized-shard writing: BPE-
+    * encode the corpus (q143's trainer + vocab-level encode), lay
+    * documents out in doc_id order, cut 8192-token shards by start
+    * offset (q142's two-phase prefix sum, global instead of
+    * per-source), WRITE the doc→shard assignment as parquet partitioned
+    * by shard_id — the artifact a training job actually reads — and
+    * report per-shard metadata from the READ-BACK files (the q82
+    * roundtrip convention: the gate hashes what was physically
+    * written). Token counts are exact integers end to end.
+    *
+    * Scale shape: encoding joins occurrences to the broadcast vocab
+    * encoding (text never in a join key), the per-doc reduce is the
+    * one corpus shuffle, and everything after it — bucket windows,
+    * offsets, shard cut — moves only (doc_id, n_bpe, bucket) longs;
+    * the global offsets table is |docs|/512 rows (metadata scale).
+    * The write itself shuffles nothing (partitionBy on the computed
+    * column within existing tasks).
+    */
+  /** The doc→shard assignment pipeline of q151, factored so
+    * PlanAssertionsSpec can assert its executed plan (the catalog entry
+    * returns the read-back of the WRITTEN files, whose plan is just the
+    * final aggregate).
+    */
+  private[graft] def q151_assignment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 8192L
+    val occ = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = graft.text.Bpe.train(vocab, rounds = 5)
+    val enc = vocab.select(col("word"),
+      size(graft.text.Bpe.encode(graft.text.Bpe.initialSymbols(col("word")), merges))
+        .cast("long").as("n_syms"))
+    val perDoc = occ.join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id").agg(sum("n_syms").cast("long").as("n_bpe"))
+    val dl = perDoc.withColumn("bucket", expr("doc_id div 512"))
+    val local = dl.withColumn("lcum", coalesce(
+      sum("n_bpe").over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = dl.groupBy("bucket").agg(sum("n_bpe").as("btot"))
+      .withColumn("off", coalesce(
+        sum("btot").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off") // |docs|/512 rows — metadata scale
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shard_id", expr(s"(lcum + off) div $S"))
+      .select("doc_id", "n_bpe", "shard_id")
+  }
+
+  def q151_token_shards(s: SparkSession, dir: String): DataFrame = {
+    val S = 8192L
+    val assigned = q151_assignment(s, dir)
+    val out = QueriesSources.tmp("graft_q151_shards_", dir)
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    s.read.parquet(out)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / S, 6))
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("last_doc"), col("fill"))
+      .orderBy("shard_id")
+  }
+
+  /** Oracle: q143's five SQL BPE rounds give per-word symbol counts;
+    * the naive global cumsum in doc_id order is the two-phase plan's
+    * semantic twin (exact integers, q142's argument); shards group by
+    * start_off // 8192.
+    */
+  val q151Sql: String =
+    raw"""WITH occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
+w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM vocab),
+${QueriesText.bpeRoundSql(1, 0)},
+${QueriesText.bpeRoundSql(2, 1)},
+${QueriesText.bpeRoundSql(3, 2)},
+${QueriesText.bpeRoundSql(4, 3)},
+${QueriesText.bpeRoundSql(5, 4)},
+enc AS (SELECT word, len(regexp_extract_all(s, '\[([A-Za-z]+)\]', 1)) AS n_syms FROM w5),
+pd AS (SELECT o.doc_id, CAST(sum(e.n_syms) AS BIGINT) AS n_bpe
+       FROM occ o JOIN enc e ON e.word = o.word GROUP BY o.doc_id),
+cum AS (SELECT doc_id, n_bpe,
+               CAST(coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        FROM pd),
+a AS (SELECT doc_id, n_bpe, start_off // 8192 AS shard_id FROM cum)
+SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_bpe) AS DOUBLE) / 8192, 6) AS fill
+FROM a GROUP BY shard_id ORDER BY shard_id"""
+
+  /** Deterministic MULTI-EPOCH global shuffle of the packed sequences:
+    * epoch k's order is a pure function of (corpus, seed, k) — the
+    * portable-hash permutation convention (q43/q47/q94) extended with
+    * an epoch mix, so training can re-shuffle every epoch with zero
+    * RNG state: key(seq, epoch) = affine((polyhash(source:seq_id) +
+    * epoch·2654435761) mod p), order by (key, source, seq_id). Every
+    * epoch is provably a permutation of the same multiset (the spec
+    * asserts it), epochs differ, and any worker can compute its own
+    * slice from the formula alone — no shuffle file, no coordinator.
+    *
+    * Scale shape: the global POSITION is materialized the two-phase
+    * way (q142): rank within (epoch, 1024-wide key bucket) by window,
+    * plus a cumulated per-bucket offset table (epochs × 1024 rows) —
+    * no corpus-wide window. The oracle's naive global row_number is
+    * the semantic twin.
+    */
+  def q152_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    val seqs = q142_pack_sequences(s, dir).select("source", "seq_id")
+    val withKey = seqs
+      .crossJoin(broadcast(epochDf(s)))
+      .withColumn("base", PortableHash.asciiPolyHash(
+        concat_ws(":", col("source"), col("seq_id").cast("string"))))
+      .withColumn("h",
+        ((pmod(col("base") + col("epoch") * lit(2654435761L), lit(p))) * lit(a) + lit(b)) % lit(p))
+      .withColumn("kb", expr(s"h div ${p / 1024}"))
+    val local = withKey.withColumn("lrn",
+      row_number().over(Window.partitionBy("epoch", "kb")
+        .orderBy(col("h"), col("source"), col("seq_id"))).cast("long"))
+    val offsets = withKey.groupBy("epoch", "kb").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum("bn").over(Window.partitionBy("epoch").orderBy("kb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "kb", "off") // epochs × ≤1024 rows — metadata scale
+    local.join(broadcast(offsets), Seq("epoch", "kb"))
+      .select(col("epoch"), (col("lrn") + col("off")).as("pos"),
+        col("source"), col("seq_id"))
+      .orderBy("epoch", "pos")
+  }
+
+  private def epochDf(s: SparkSession) = { import s.implicits._; Seq(0, 1).toDF("epoch") }
+
+  // q152's affine key constants, mirrored into the oracle SQL
+  private val (idHashSqlA, idHashSqlB) = PortableHash.minHashCoeffs(0)
+  private val IdHashSqlA = idHashSqlA
+  private val IdHashSqlB = idHashSqlB
+
+  val q152Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM dl),
+sq AS (SELECT DISTINCT source, CAST(start_off // 2048 AS BIGINT) AS seq_id FROM c),
+ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (SELECT s.source, s.seq_id, CAST(ep.epoch AS INTEGER) AS epoch,
+             ((((${QueriesDedup.polyHashSql("s.source || ':' || CAST(s.seq_id AS VARCHAR)")}
+                + ep.epoch * 2654435761) % 2147483647 + 2147483647) % 2147483647)
+              * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h
+      FROM sq s, ep),
+r AS (SELECT epoch, source, seq_id,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, source, seq_id) AS BIGINT) AS pos
+      FROM k)
+SELECT epoch, pos, source, seq_id FROM r ORDER BY epoch, pos"""
 }

@@ -1214,4 +1214,172 @@ grid AS (SELECT m.method, q.query_id
 SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
 FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
 ORDER BY grid.method, grid.query_id"""
+
+  /** FULL-CORPUS distributed k-means — the last driver-side model
+    * builder closed: IvfIndex.train Lloyd-iterates over a bounded
+    * 2048-row sample (fine for small k, blind past it: at the occupancy
+    * rule's faiss-scale k a 2048-point sample can't populate the
+    * codebook), while trainDistributed runs every Lloyd round as Spark
+    * aggregations over ALL vectors — assignment via the native
+    * NearestCentroid, per-cell sums via the two-phase ordered fold, one
+    * k×dim collect per round. The report is the per-cell audit a
+    * clustering job emits: membership count, centroid norm, and drift
+    * from init. The oracle replays BOTH training rounds — float-cast
+    * score assignment, bucketed vec_id-ordered phase-1 sums, bucket-
+    * ordered phase-2 sums, mean division — bit-for-bit.
+    */
+  def q146_kmeans_dist(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val init = IvfIndex.initFirst(e, 8)
+    val model = IvfIndex.trainDistributed(e, init, iters = 2)
+    import s.implicits._
+    val cents = model.centroids.zip(init.centroids).zipWithIndex
+      .map { case ((c, c0), i) => (i, c.toSeq, c0.toSeq) }.toSeq
+      .toDF("cell", "c", "c0")
+    val geom = cents.select(col("cell"),
+      round(sqrt(aggregate(transform(col("c"), x => x * x), lit(0.0), (a, b) => a + b)), 6)
+        .as("centroid_norm"),
+      round(sqrt(aggregate(zip_with(col("c"), col("c0"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (a, b) => a + b)), 6).as("drift"))
+    val counts = IvfIndex.assign(e, model)
+      .groupBy(col("cluster").as("cell")).agg(count(lit(1)).as("n_members"))
+    geom.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("centroid_norm"), col("drift"))
+      .orderBy("cell")
+  }
+
+  /** One DISTRIBUTED Lloyd round as SQL CTEs — the bucketed twin of
+    * q41's lloydIterSql: assignment uses clusterCol's float-cast score
+    * form (cn − 2·e·c_float, first-index ties), phase 1 folds each
+    * (cell, vec_id//512 bucket, component) in vec_id order, phase 2
+    * folds bucket partials in bucket order, and the mean divides the
+    * total by the cell count — exactly trainDistributed's
+    * s.map(_ / n). Empty cells keep the previous centroid.
+    */
+  private def lloydDistIterSql(n: Int, prev: String): String =
+    raw"""cf$n AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+               list_sum(list_transform(c, x -> x * x)) AS cn FROM $prev),
+sc$n AS (SELECT e.vec_id, cf$n.cid,
+                cf$n.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * cf$n.f[i])) AS s
+         FROM e, cf$n),
+ag$n AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM sc$n)
+         WHERE rn = 1),
+ct$n AS (SELECT cid, count(*) AS nn FROM ag$n GROUP BY cid),
+p$n AS (SELECT a.cid, e.vec_id // 512 AS bucket, idx.ii,
+               list_sum(list(e.v[idx.ii] ORDER BY e.vec_id)) AS ps
+        FROM e JOIN ag$n a ON a.vec_id = e.vec_id, idx
+        GROUP BY a.cid, e.vec_id // 512, idx.ii),
+t$n AS (SELECT cid, ii, list_sum(list(ps ORDER BY bucket)) AS st
+        FROM p$n GROUP BY cid, ii),
+nc$n AS (SELECT t$n.cid, list(t$n.st / ct$n.nn ORDER BY t$n.ii) AS c
+         FROM t$n JOIN ct$n ON ct$n.cid = t$n.cid GROUP BY t$n.cid),
+c$n AS (SELECT p.cid, coalesce(nc$n.c, p.c) AS c FROM $prev p LEFT JOIN nc$n ON nc$n.cid = p.cid)"""
+
+  val q146Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+${lloydDistIterSql(1, "c0")},
+${lloydDistIterSql(2, "c1")},
+cff AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+               list_sum(list_transform(c, x -> x * x)) AS cn FROM c2),
+scf AS (SELECT e.vec_id, cff.cid,
+               cff.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * cff.f[i])) AS s
+        FROM e, cff),
+agf AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scf)
+        WHERE rn = 1),
+cnf AS (SELECT cid, count(*) AS n FROM agf GROUP BY cid),
+geom AS (SELECT c2.cid,
+                round(sqrt(list_sum(list_transform(c2.c, x -> x * x))), 6) AS centroid_norm,
+                round(sqrt(list_sum(list_transform(range(1, 65),
+                  i -> (c2.c[i] - c0.c[i]) * (c2.c[i] - c0.c[i])))), 6) AS drift
+         FROM c2 JOIN c0 ON c0.cid = c2.cid)
+SELECT CAST(g.cid AS INTEGER) AS cell, CAST(coalesce(cnf.n, 0) AS BIGINT) AS n_members,
+       g.centroid_norm, g.drift
+FROM geom g LEFT JOIN cnf ON cnf.cid = g.cid
+ORDER BY cell"""
+
+  // initHash's affine id-hash constants, mirrored into the oracle SQL
+  private val IdHashP = graft.functions.PortableHash.MinHashP
+  private val (idHashA, idHashB) = graft.functions.PortableHash.minHashCoeffs(0)
+  private val IdHashA = idHashA
+  private val IdHashB = idHashB
+
+  /** IVF ANN with the HASH-ORDERED seed set (initHash, iters=0): q34's
+    * search shape, but the index cells are the 16 vectors with the
+    * smallest (affineHash(vec_id), vec_id) keys rather than the first
+    * 16 — the unbiased init a 100-TB corpus needs when vec_id order
+    * encodes crawl time or source. iters=0 keeps the whole entry —
+    * seed selection, assignment, probe, re-rank — replayable in SQL
+    * (the q34/q41 convention); trained hash-init models are covered by
+    * IvfSpec.
+    */
+  def q147_ann_ivf_hash(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.initHash(e, 16)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(IvfIndex.assign(e, model), queries, model, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q147Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM e),
+c AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds WHERE rk <= 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** ANN search over a PERSISTED index: build q34's IVF index, SAVE it
+    * as parquet artifacts (centroids table + codes table partitioned by
+    * cluster), LOAD it back, and search the loaded artifacts — the
+    * serve-from-disk path every production vector store runs (build
+    * once, search many), closing the lifecycle loop with the streaming
+    * maintenance (q112) and compaction (q120) entries which manage the
+    * same part-chain shape. The probe join over the partitioned codes
+    * table is where the layout pays: with a broadcast probe side,
+    * dynamic partition pruning reads only the probed cells' files.
+    * Results are bit-identical to the fresh in-plan index (doubles and
+    * floats round-trip parquet exactly), so the oracle is exactly
+    * q34's.
+    */
+  def q148_ann_ivf_saved(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, k = 16, iters = 0)
+    val path = QueriesSources.tmp("graft_q148_ivf_", dir)
+    IvfIndex.save(IvfIndex.assign(e, model), model, path)
+    val (loaded, codes) = IvfIndex.load(s, path)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(codes, queries, loaded, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Same semantics as q34 by construction — the artifact round-trip is
+    * lossless, so the saved-index search replays q34's oracle.
+    */
+  val q148Sql: String = q34Sql
 }

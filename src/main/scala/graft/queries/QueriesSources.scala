@@ -24,7 +24,7 @@ object QueriesSources {
     * the PID is appended so two concurrent runs over the same sf dir
     * (bench + verify) cannot race overwrite-vs-read on one path.
     */
-  private def tmp(prefix: String, dir: String) = {
+  private[queries] def tmp(prefix: String, dir: String) = {
     val dirKey = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val pid = java.lang.ProcessHandle.current().pid()

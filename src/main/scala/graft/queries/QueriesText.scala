@@ -903,16 +903,21 @@ FROM m"""
     * orderBy), then the bracket-delimited regex merge. Symbols are
     * `[A-Za-z]+` so `[`/`]` are safe delimiters, and regexp_replace's
     * leftmost-non-overlapping 'g' scan is the exact twin of
-    * Bpe.applyMerge's left-to-right fold.
+    * Bpe.applyMerge's left-to-right fold. The LEFT JOIN ON TRUE mirrors
+    * Bpe.train's early-stop: when merge pairs exhaust before the pinned
+    * rounds (m$n empty), words pass through unchanged instead of the
+    * cross join blanking the vocabulary.
     */
-  private def bpeRoundSql(n: Int, p: Int): String =
+  private[queries] def bpeRoundSql(n: Int, p: Int): String =
     raw"""e$n AS (SELECT freq, regexp_extract_all(s, '\[([A-Za-z]+)\]', 1) AS sy, s FROM w$p),
 p$n AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(freq) AS cnt
         FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM e$n WHERE len(sy) >= 2)
         GROUP BY a, b),
 m$n AS (SELECT a, b FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
-w$n AS (SELECT w.word, w.freq, regexp_replace(w.s, '\[' || m.a || '\]\[' || m.b || '\]', '[' || m.a || m.b || ']', 'g') AS s
-        FROM w$p w, m$n m)"""
+w$n AS (SELECT w.word, w.freq,
+               CASE WHEN m.a IS NULL THEN w.s
+                    ELSE regexp_replace(w.s, '\[' || m.a || '\]\[' || m.b || '\]', '[' || m.a || m.b || ']', 'g') END AS s
+        FROM w$p w LEFT JOIN m$n m ON TRUE)"""
 
   val q143Sql: String =
     raw"""WITH occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
@@ -929,4 +934,40 @@ SELECT o.doc_id, CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
        round(CAST(sum(length(o.word)) AS DOUBLE) / sum(e.n_syms), 6) AS compression
 FROM occ o JOIN enc e ON e.word = o.word
 GROUP BY o.doc_id ORDER BY o.doc_id"""
+
+  /** Per-language token statistics over the UNICODE tokenizer (NFC +
+    * `\p{L}+` runs — Text.unicodeTokens): total tokens, vocabulary
+    * size, and the modal token. The ASCII `[A-Za-z]` class is
+    * reference-faithful (q01 keeps it) but wrong for a multilingual
+    * 100-TB corpus — it drops every non-Latin script and splits
+    * decomposed accents; this entry runs the corpus through the
+    * multilingual path. On this (ASCII) corpus both engines' letter
+    * classes agree by construction; the non-ASCII semantics — NFC
+    * composition, non-Latin scripts, combining marks — are pinned by
+    * TextSpec against hand-computed expectations.
+    *
+    * Scale shape: one explode + two partial-aggregated groupBys; the
+    * modal token is min(struct(-cnt, tok)) — no window over the
+    * vocabulary, no driver-side state.
+    */
+  def q150_unicode_stats(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("lang"), explode(Text.unicodeTokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("tok").as("t"))).as("m"))
+      .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct"), col("m.t").as("top_token"))
+      .orderBy("lang")
+  }
+
+  val q150Sql: String =
+    raw"""WITH toks AS (SELECT lang, unnest(regexp_extract_all(nfc_normalize(text), '\p{L}+')) AS tok
+          FROM documents),
+c AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+r AS (SELECT lang, tok, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn FROM c),
+a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct FROM c GROUP BY lang)
+SELECT a.lang, a.n_tokens, a.n_distinct, r.tok AS top_token
+FROM a JOIN r ON r.lang = a.lang AND r.rn = 1 ORDER BY a.lang"""
 }

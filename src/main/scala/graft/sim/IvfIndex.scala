@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.VectorExpressions.dotF32
@@ -50,6 +50,107 @@ object IvfIndex {
       }
     }
     Model(centroids)
+  }
+
+  /** First-k-by-vec_id init — exactly [[train]]'s seed set, factored out
+    * so the distributed trainer can share it (the equality spec pins
+    * trainDistributed(initFirst, …) == train(…) on a single-bucket
+    * corpus). TakeOrderedAndProject + a k×dim collect — bounded.
+    */
+  def initFirst(embeddings: DataFrame, k: Int): Model = {
+    val rows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    require(rows.length >= k, s"need at least $k vectors, got ${rows.length}")
+    Model(rows.map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+  }
+
+  /** Deterministic HASH-ORDERED init: the k vectors with the smallest
+    * (affineHash(vec_id), vec_id) keys. First-k init is biased when
+    * vec_id correlates with ingestion time or source (the first k rows
+    * of a 100 TB corpus are one crawl shard, not a spread); the hash
+    * gives an unbiased pseudo-random seed set that is still a pure
+    * function of the id space — reproducible across runs, engines and
+    * repartitionings, and replayable in the DuckDB oracle. The hash is
+    * the MinHash-family affine permutation (a·x + b) mod 2³¹−1, NOT
+    * asciiPolyHash of the decimal string: the polynomial hash never
+    * wraps the modulus for short strings, so over ids 0…1e9 it is
+    * ORDER-PRESERVING — "hash order" would collapse back to first-k,
+    * the very bias this init removes (IvfSpec pins the difference).
+    * x reduces mod p before the multiply so products stay < 2⁶² for
+    * any Long id. Centroid index = rank in hash order.
+    */
+  def initHash(embeddings: DataFrame, k: Int): Model = {
+    val p = graft.functions.PortableHash.MinHashP
+    val (a, b) = graft.functions.PortableHash.minHashCoeffs(0)
+    val h = (pmod(col("vec_id"), lit(p)) * lit(a) + lit(b)) % lit(p)
+    val rows = embeddings
+      .select(col("vec_id"), h.as("__h"), col("embedding"))
+      .orderBy(col("__h"), col("vec_id")).limit(k) // TakeOrderedAndProject
+      .select("embedding").collect()
+    require(rows.length >= k, s"need at least $k vectors, got ${rows.length}")
+    Model(rows.map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+  }
+
+  /** FULL-CORPUS Lloyd training as Spark aggregations — the scale path
+    * past [[train]]'s bounded 2048-row driver sample: at faiss-scale k
+    * (occupancy rule ⌈n/targetCell⌉ — thousands of cells) a 2048-point
+    * sample cannot populate the codebook, so each iteration must see the
+    * corpus. Per round: assign via the native
+    * [[org.apache.spark.sql.graft.NearestCentroid]] (one codegen-adjacent
+    * node, k×dim multiply-adds/row), then per-cell component sums, then
+    * a k×dim-bounded collect of the new centroids — round cost is one
+    * corpus pass + one k-row collect, INDEPENDENT of corpus size beyond
+    * the linear scan (no growing state, no driver-side data).
+    *
+    * Bit-deterministic under any partitioning, hence oracle-replayable:
+    * double sums are order-sensitive, so the per-cell sum is the repo's
+    * TWO-PHASE ordered fold (q137/q142's prefix-sum convention) — phase
+    * 1 folds each (cell, 512-id bucket)'s vectors in vec_id order
+    * (collect_list → array_sort → aggregate/zip_with, ≤512 rows in
+    * memory per group), phase 2 folds the bucket partials in bucket
+    * order (|corpus|/512 partials spread over k cells — metadata scale).
+    * DuckDB replays both folds with list_sum(list(x ORDER BY …)).
+    * A production variant that doesn't need cross-engine bit equality
+    * can drop the ordered fold for a plain posexplode + groupBy(cell,
+    * component).sum — map-side partial aggregation, shuffle k×dim rows
+    * per partition instead of the corpus — at the cost of
+    * partitioning-dependent last-ulp drift.
+    *
+    * Empty cells keep their previous centroid ([[train]]'s rule). Note
+    * the assignment uses clusterCol's float-cast score form (the
+    * production index path), where [[train]]'s sample loop uses full
+    * double distances — identical argmins on any data without
+    * sub-float-ulp centroid/point coincidences (the equality spec pins
+    * the two trainers bit-equal on the test corpus).
+    */
+  def trainDistributed(embeddings: DataFrame, init: Model, iters: Int,
+      bucketSize: Long = 512L): Model = {
+    var model = init
+    val dim = init.centroids(0).length
+    (1 to iters).foreach { _ =>
+      val zero = array_repeat(lit(0.0), lit(dim))
+      val assigned = embeddings.select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        clusterCol(col("embedding"), model).as("cell"),
+        expr(s"vec_id div $bucketSize").as("bucket"))
+      val phase1 = assigned.groupBy("cell", "bucket")
+        .agg(count(lit(1)).as("cnt"),
+          aggregate(array_sort(collect_list(struct(col("vec_id"), col("v")))), zero,
+            (acc, s) => zip_with(acc, s.getField("v"), (a, b) => a + b)).as("psum"))
+      val phase2 = phase1.groupBy("cell")
+        .agg(sum("cnt").as("cnt"),
+          aggregate(array_sort(collect_list(struct(col("bucket"), col("psum")))), zero,
+            (acc, s) => zip_with(acc, s.getField("psum"), (a, b) => a + b)).as("ssum"))
+      val rows = phase2.collect() // ≤ k rows of k×dim — bounded
+      val next = model.centroids.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        next(c) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      model = Model(next)
+    }
+    model
   }
 
   private[sim] def nearestCentroidIdx(centroids: Array[Array[Double]], v: Array[Double]): Int =
@@ -178,6 +279,36 @@ object IvfIndex {
       .agg(min(col("__cand")).as("__best")) // (score, id) lexicographic = flat tie-break
       .select(col(keyCol), col("__best.id").as("cluster"))
     embeddings.join(cand, Seq(keyCol), "left")
+  }
+
+  /** Persist the index as parquet ARTIFACTS — the missing half of the
+    * index lifecycle (build → SAVE → serve → maintain): `$path/centroids`
+    * holds (cell, centroid array<double>) — k rows, and `$path/codes`
+    * holds the assigned vector table written PARTITIONED BY cluster, so
+    * a probe of nprobe cells becomes a partition-pruned scan — the
+    * on-disk analogue of the in-plan cluster equi-join (with a broadcast
+    * probe side, dynamic partition pruning skips every unprobed cell's
+    * files). Round-trips bit-exactly: centroids stay parquet DOUBLE,
+    * embeddings stay FLOAT, so a loaded index searches identically to
+    * the fresh one (IvfSpec pins saved == fresh).
+    */
+  def save(assigned: DataFrame, model: Model, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** Load a saved index: (model, codes). The codes DataFrame is the
+    * partitioned on-disk table — feed it straight to [[annTopK]].
+    */
+  def load(spark: SparkSession, path: String): (Model, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/centroids").collect()
+    val byCell = rows.map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Double]]("centroid").toArray).toMap
+    val model = Model(Array.tabulate(byCell.size)(byCell))
+    (model, spark.read.parquet(s"$path/codes"))
   }
 
   /** Recall-targeted nprobe selection — the probing analogue of

@@ -53,7 +53,14 @@ object StreamingJobs {
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(eventsDir).schema
+    // An initially-empty staging dir has no footers to peek; fall back to
+    // the canonical raw staging schema so the stream can start before the
+    // first file lands (files written later in another form would need a
+    // restart — acceptable for the documented staging contract).
+    val fileSchema =
+      try spark.read.parquet(eventsDir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("Unable to infer schema") => rawSchema }
     val stream = spark.readStream.schema(fileSchema).parquet(eventsDir)
     fileSchema("ts").dataType match {
       case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

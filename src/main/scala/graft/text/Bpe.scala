@@ -52,6 +52,19 @@ object Bpe {
   /** Train `rounds` BPE merges over a (word, freq) vocabulary DataFrame.
     * Returns the learned merges in order. Deterministic: ties on pair
     * count break on (left, right) lexicographically.
+    *
+    * Cost shape: one Spark job per merge round (argmax collect + merge
+    * apply), fine at the pinned handful of rounds the catalog trains
+    * (vocabulary-bound, ~1× at 8× corpus) but NOT how a production 32k-
+    * merge vocabulary is built — that would be 32k sequential jobs. The
+    * production spellings, in preference order: (a) train driver-side
+    * on the word-count table collected once (it is vocabulary-sized —
+    * the corpus-independent PQ-trainer pattern; classic BPE trainers
+    * are exactly this), or (b) batch several non-overlapping merges per
+    * distributed pass (merges whose pairs share no symbol commute, so
+    * one job can apply dozens). The corpus-scale ENCODE side (q143/
+    * q151) is unaffected: it folds once per distinct word and
+    * broadcast-joins back to occurrences whatever the merge count.
     */
   def train(vocab: DataFrame, rounds: Int): Seq[(String, String)] = {
     var syms = vocab

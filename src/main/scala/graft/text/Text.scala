@@ -22,6 +22,13 @@ object Text {
   def tokens(text: Column): Column =
     org.apache.spark.sql.graft.TokenizeWords.tokenize(text)
 
+  /** Unicode-aware tokenizer (NFC + `\p{L}`+ runs) — the multilingual
+    * path next to the reference-faithful ASCII [[tokens]]; see
+    * [[org.apache.spark.sql.graft.TokenizeUnicode]].
+    */
+  def unicodeTokens(text: Column): Column =
+    org.apache.spark.sql.graft.TokenizeUnicode.tokenizeUnicode(text)
+
   /** Declarative tokenizer: Spark's `split` keeps empty strings where
     * Rust's `split_whitespace` drops them (SURVEY.md §7.4 trap 1), hence
     * the filter. Equality-tested against [[tokens]].

@@ -43,6 +43,72 @@ class IvfSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("trainDistributed == driver train, bit-equal, on a single-bucket corpus") {
+    // 500 vectors < one 512-id bucket: the distributed two-phase fold
+    // degenerates to one vec_id-ordered fold per cell — the exact
+    // association of train's sequential sums — so centroids must match
+    // to the last bit (assignment float-cast vs full-double argmins
+    // agree on this data; a mismatch here means the trainers diverged).
+    val driver = IvfIndex.train(emb, k = 8, iters = 3, sampleN = 500)
+    val dist = IvfIndex.trainDistributed(emb, IvfIndex.initFirst(emb, 8), iters = 3)
+    assert(driver.centroids.length == dist.centroids.length)
+    driver.centroids.zip(dist.centroids).zipWithIndex.foreach { case ((a, b), c) =>
+      assert(java.util.Arrays.equals(a, b), s"centroid $c differs")
+    }
+  }
+
+  test("trainDistributed is bit-deterministic under repartitioning (multi-bucket)") {
+    // bucketSize=64 forces 8 buckets over the 500 ids, exercising the
+    // phase-2 bucket-ordered fold; results must not depend on physical
+    // partitioning (the whole point of the ordered two-phase sum).
+    val init = IvfIndex.initFirst(emb, 8)
+    val a = IvfIndex.trainDistributed(emb.repartition(7), init, iters = 2, bucketSize = 64)
+    val b = IvfIndex.trainDistributed(emb.repartition(13), init, iters = 2, bucketSize = 64)
+    a.centroids.zip(b.centroids).zipWithIndex.foreach { case ((x, y), c) =>
+      assert(java.util.Arrays.equals(x, y), s"centroid $c differs across partitionings")
+    }
+    // and multi-bucket training still converges sanely: assignment is
+    // total and cells stay populated enough to beat the degenerate case
+    val assigned = IvfIndex.assign(emb, a)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cluster").distinct().count() >= 4)
+  }
+
+  test("saved index searches bit-identically to the fresh one") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_save").toString
+    val assigned = IvfIndex.assign(emb, model)
+    IvfIndex.save(assigned, model, path)
+    val (loaded, codes) = IvfIndex.load(spark, path)
+    model.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "centroids did not round-trip bit-exactly")
+    }
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def res(df: org.apache.spark.sql.DataFrame, m: IvfIndex.Model) =
+      IvfIndex.annTopK(df, q, m, 10, 4)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(res(codes, loaded) == res(assigned, model))
+    // and the codes table is physically laid out one directory per cell —
+    // the layout dynamic partition pruning needs to skip unprobed cells
+    val parts = new java.io.File(s"$path/codes").listFiles.filter(_.isDirectory).map(_.getName)
+    assert(parts.count(_.startsWith("cluster=")) == model.k)
+  }
+
+  test("initHash is partitioning-invariant and selects actual corpus vectors") {
+    val a = IvfIndex.initHash(emb, 16)
+    val b = IvfIndex.initHash(emb.repartition(5), 16)
+    a.centroids.zip(b.centroids).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y))
+    }
+    // every seed is a real embedding row (hash init selects, never averages)
+    val all = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSet
+    a.centroids.foreach(c => assert(all.contains(c.toSeq)))
+    // and it differs from first-k init on this corpus (the bias it removes)
+    val first = IvfIndex.initFirst(emb, 16)
+    assert(a.centroids.map(_.toSeq).toSet != first.centroids.map(_.toSeq).toSet)
+  }
+
   test("native NearestCentroid == the column-arithmetic twin, incl. degenerate inputs") {
     import org.apache.spark.sql.functions._
     val model = IvfIndex.train(emb, k = 16, iters = 2)

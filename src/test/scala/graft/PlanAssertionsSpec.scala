@@ -621,4 +621,54 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       "neighbor-label counting must partial-aggregate before the shuffle")
   }
+
+  /** Output attribute names of every shuffle exchange in the executed
+    * plan — for asserting WHAT each shuffle physically carries, not just
+    * that node kinds exist.
+    */
+  private def shuffleOutputs(df: DataFrame): Seq[Seq[String]] = {
+    df.write.format("noop").mode("overwrite").save()
+    // Dedupe by node identity: AQE re-references shared stages, so the
+    // same physical exchange can be reached through several paths.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          buf += e.output.map(_.name)
+        case _ => ()
+      }
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      kids.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  test("q151: text never shuffles, and only the vocabulary reduce shuffles words") {
+    // The shard writer's contract: after encoding, everything that moves
+    // between stages is doc-level longs. The document text is consumed
+    // map-side (tokenize+explode over the scan); the one string-keyed
+    // shuffle is the vocabulary word-count reduce; the per-doc reduce
+    // and the two-phase offset machinery carry (doc_id, n_bpe, bucket).
+    val exchanges = shuffleOutputs(
+      graft.queries.QueriesPipeline.q151_assignment(spark, sf("sf0.001")))
+    assert(exchanges.nonEmpty, "expected at least the vocabulary and per-doc shuffles")
+    assert(!exchanges.exists(_.exists(_.startsWith("text"))),
+      s"document text must never shuffle: $exchanges")
+    // word-carrying exchanges must be VOCABULARY-shaped (the word-count
+    // reduce — one distinct word per row), never OCCURRENCE-shaped: a
+    // shuffle carrying (doc_id, word) would move the exploded corpus.
+    val wordShuffles = exchanges.filter(_.exists(_.startsWith("word")))
+    assert(wordShuffles.nonEmpty, "expected the vocabulary reduce")
+    assert(wordShuffles.forall(e => !e.exists(_.startsWith("doc_id"))),
+      s"occurrence rows (doc_id, word) must never shuffle: $exchanges")
+    assert(wordShuffles.toSet.size == 1,
+      s"all word shuffles must be the one vocabulary-reduce shape: $exchanges")
+  }
 }

@@ -48,6 +48,26 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q152: each epoch is a distinct permutation of the same sequence multiset") {
+    import org.apache.spark.sql.functions._
+    val df = Queries.all("q152_epoch_shuffle")(spark, sf("sf0.001"))
+      .select("epoch", "pos", "source", "seq_id").cache()
+    try {
+      def order(e: Int) = df.filter(col("epoch") === e).orderBy("pos")
+        .select("source", "seq_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (e0, e1) = (order(0), order(1))
+      assert(e0.sorted == e1.sorted, "epochs must hold the same sequence multiset")
+      assert(e0 != e1, "epoch orders must differ (distinct permutations)")
+      // positions are dense 1..n within each epoch
+      Seq(0, 1).foreach { e =>
+        val r = df.filter(col("epoch") === e)
+          .agg(min("pos"), max("pos"), count(lit(1))).head()
+        assert(r.getLong(0) == 1L && r.getLong(1) == r.getLong(2), s"epoch $e positions not dense")
+      }
+    } finally df.unpersist()
+  }
+
   test("portable modulo: (x % n + n) % n == pmod(x, n) on NEGATIVE keys") {
     // The q48/q59 oracles rewrite Spark's pmod as (x % n + n) % n because
     // DuckDB's % keeps the dividend's sign. Spark's % has the SAME
