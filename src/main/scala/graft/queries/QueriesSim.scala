@@ -1382,4 +1382,26 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
     * lossless, so the saved-index search replays q34's oracle.
     */
   val q148Sql: String = q34Sql
+
+  /** q148's PQ counterpart: build q119's PQ index, persist the
+    * COMPRESSED artifacts (codebooks + the M-bytes-per-vector codes
+    * table — the table an ADC scan reads INSTEAD of the embeddings),
+    * load them back, and search with the split shape: the loaded codes
+    * drive the candidate scan, the raw embeddings are touched only to
+    * re-rank each query's 10 winners. Ints and doubles round-trip
+    * parquet bit-exactly, so the oracle is exactly q119's.
+    */
+  def q153_pq_saved(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = PqIndex.train(e, numSub = 8, ksub = 16, iters = 0)
+    val path = QueriesSources.tmp("graft_q153_pq_", dir)
+    PqIndex.save(PqIndex.encode(e, model), model, path)
+    val (loaded, codes) = PqIndex.load(s, path)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopKSplit(codes, e, queries, loaded, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q153Sql: String = q119Sql
 }

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.{NearestCentroid, TopKAgg, VectorExpressions}
@@ -192,13 +192,54 @@ object PqIndex {
   /** Flat (exhaustive-codes) ADC top-k: every corpus row's codes are
     * scanned for every query — the compressed-scan baseline.
     */
-  def adcTopK(encoded: DataFrame, queries: DataFrame, model: Model, k: Int): DataFrame = {
-    val candidates = encoded
+  def adcTopK(encoded: DataFrame, queries: DataFrame, model: Model, k: Int): DataFrame =
+    adcTopKSplit(encoded, encoded, queries, model, k)
+
+  /** [[adcTopK]] with the codes table and the raw-embedding corpus as
+    * SEPARATE inputs — the persisted-artifact shape: the compressed
+    * codes table (M bytes/vector) is the scan side, and the full
+    * embeddings are touched only to re-rank the k winners per query.
+    */
+  def adcTopKSplit(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: Model, k: Int): DataFrame = {
+    val candidates = codes
       .select(col("vec_id"), col("codes"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), adcDist(model).as("adc_dist"))
-    rankAndRerank(candidates, encoded, queries, k)
+    rankAndRerank(candidates, corpus, queries, k)
+  }
+
+  /** Persist the PQ index artifacts: `$path/codebooks` holds
+    * (m, j, centroid array<double>) — numSub×ksub rows, and
+    * `$path/codes` holds the pure compressed index (vec_id,
+    * codes array<int>) — the M-bytes-per-vector table an ADC scan
+    * reads INSTEAD of the embeddings; raw vectors are only needed to
+    * re-rank winners ([[adcTopKSplit]]). Doubles/ints round-trip
+    * parquet bit-exactly, so a loaded index searches identically
+    * (PqSpec pins saved == fresh).
+    */
+  def save(encoded: DataFrame, model: Model, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (entry, j) => (m, j, entry.toSeq) }
+    }.toSeq.toDF("m", "j", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.select("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a saved PQ index: (model, codes table). */
+  def load(spark: SparkSession, path: String): (Model, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("j"), r.getAs[Seq[Double]]("centroid").toArray))
+    val byM = rows.groupBy(_._1)
+    val codebooks = Array.tabulate(byM.size) { m =>
+      val entries = byM(m).map(t => t._2 -> t._3).toMap
+      Array.tabulate(entries.size)(entries)
+    }
+    (Model(codebooks), spark.read.parquet(s"$path/codes"))
   }
 
   /** The float-rounded residual of `emb` against its `cluster`'s IVF

@@ -34,6 +34,23 @@ class PqSpec extends SparkSpec {
     assert(queries.count() == model.ksub.toLong)
   }
 
+  test("saved PQ index searches bit-identically to the fresh one") {
+    val path = java.nio.file.Files.createTempDirectory("pq_save").toString
+    val enc = PqIndex.encode(emb, model)
+    PqIndex.save(enc, model, path)
+    val (loaded, codes) = PqIndex.load(spark, path)
+    assert(loaded.numSub == model.numSub && loaded.ksub == model.ksub)
+    model.codebooks.zip(loaded.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
+    }
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def res(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(res(PqIndex.adcTopKSplit(codes, emb, q, loaded, 10)) ==
+      res(PqIndex.adcTopK(enc, q, model, 10)))
+  }
+
   test("ADC top-k recall vs brute force is reasonable") {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
