@@ -476,6 +476,44 @@ object StreamingJobs {
     * 100 TB the parts would additionally be bucketed/partitioned BY the
     * LSH bucket so a probe touches only its bucket's files.
     */
+  /** Streaming source over a directory of embeddings parquet files. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema).parquet(dir)
+
+  /** Streaming maintenance of the PERSISTED IVF artifact
+    * ([[graft.sim.IvfIndex.save]]'s serve-from-disk layout): each
+    * embedding micro-batch is assigned with the FROZEN centroids and
+    * written to its own replay-idempotent part —
+    * `codes/part=<batchId>/cluster=<c>/` — keeping the cluster
+    * partitioning that probes prune on; a replayed batch (the
+    * at-least-once window of foreachBatch) overwrites its own part
+    * instead of duplicating vectors. The part chain compacts with
+    * [[annIndexCompact]] over `$path/codes` (same part= contract).
+    *
+    * Centroid REFRESH is deliberately not in-place: codes encode cell
+    * ids against their epoch's centroids, so a live centroid swap
+    * would corrupt the inverted file. Retrain (trainDistributed) and
+    * save to a NEW versioned path, then re-point readers — the same
+    * reasoning as cdcCompact's version floor.
+    */
+  def ivfArtifactSink(path: String, model: graft.sim.IvfIndex.Model)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.sim.IvfIndex.assign(batch, model)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes/part=$batchId")
+
+  /** Reader for the streamed artifact layout: every part's codes, with
+    * `part` and `cluster` recovered as partition columns — feed
+    * straight to [[graft.sim.IvfIndex.annTopK]].
+    */
+  def ivfArtifactCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+
   def annIndexSink(indexDir: String, numPlanes: Int = 6, dim: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.sim.Similarity

@@ -431,4 +431,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(batch), s"rows not in batch result: ${(got -- batch).take(3)}")
     assert((batch -- got).size <= batch.size / 10, "too many pairs withheld")
   }
+
+  test("streamed IVF artifact parts search equal to a batch-built index; replay is idempotent") {
+    val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+    val model = graft.sim.IvfIndex.train(emb, k = 16, iters = 0)
+    val d = java.nio.file.Files.createTempDirectory("graft-embs").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    emb.filter(col("vec_id") < 250).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.readEmbeddings(spark, d)
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingJobs.ivfArtifactSink(idx, model) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivfidx-ck").toString)
+      .start()
+    q.processAllAvailable()
+    emb.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable(); q.stop()
+
+    val codes = StreamingJobs.ivfArtifactCodes(spark, idx)
+    assert(codes.count() == emb.count(), "artifact must hold every ingested vector")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def res(c: org.apache.spark.sql.DataFrame) =
+      graft.sim.IvfIndex.annTopK(c, queries, model, 10, 4)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(res(codes) == res(graft.sim.IvfIndex.assign(emb, model)),
+      "search over the streamed artifact must equal the batch-built index")
+
+    // at-least-once replay of the last batch overwrites its own part
+    StreamingJobs.ivfArtifactSink(idx, model)(emb.filter(col("vec_id") >= 250), 1L)
+    assert(StreamingJobs.ivfArtifactCodes(spark, idx).count() == emb.count(),
+      "a replayed batch must not duplicate vectors")
+  }
 }
