@@ -1404,4 +1404,104 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
   }
 
   val q153Sql: String = q119Sql
+
+  /** OPQ-style ROTATION ahead of PQ, measured where it matters: on an
+    * ENERGY-CONCENTRATED fixture (dims 1–8 keep their variance, dims
+    * 9–64 shrink 128× — the "all the signal lives in a few directions"
+    * shape real embedding spaces have after PCA), plain PQ gives the 8
+    * high-variance dims to ONE subspace's 16 codes while seven
+    * codebooks quantize noise; the TRANSPOSE permutation (an exact
+    * orthogonal rotation: position 8m+j takes dim 8j+m, so each
+    * subspace receives exactly one high-variance dim) spends every
+    * codebook on signal. The entry reports recall@10 of both variants
+    * against exact kNN — the q126/q138 honest-panel convention — and
+    * the rotated recall dominating the raw recall on this fixture is
+    * the measured content of "OPQ helps when energy is unbalanced".
+    * Everything is exact arithmetic (the 128× shrink is a power of two
+    * — float-lossless; the rotation is a permutation), so the oracle
+    * replays fixture, rotation, codebooks, ADC and the panel
+    * bit-for-bit.
+    */
+  def q154_pq_rotated(s: SparkSession, dir: String): DataFrame = {
+    val fix = emb(s, dir).select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        when(i <= 8, element_at(col("embedding"), i))
+          .otherwise((element_at(col("embedding"), i) / lit(128.0)).cast("float")))
+        .as("embedding"))
+      .persist()
+    // transpose permutation: 0-based position i takes dim (i%8)*8 + i/8
+    val perm: Seq[Int] = (0 until 64).map(i => (i % 8) * 8 + i / 8 + 1)
+    def rotate(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      transform(array(perm.map(lit): _*), j => element_at(col("embedding"), j))
+        .as("embedding"))
+    val fixRot = rotate(fix)
+    def queriesOf(df: DataFrame) = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoinAgg(fix, queriesOf(fix), k = 10)
+      .select("query_id", "vec_id")
+    def recallPanel(method: String, corpus: DataFrame): DataFrame = {
+      val model = PqIndex.train(corpus, numSub = 8, ksub = 16, iters = 0)
+      val top = PqIndex.adcTopK(PqIndex.encode(corpus, model), queriesOf(corpus), model, k = 10)
+      queriesOf(fix).select("query_id")
+        .join(exact.join(top.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
+    }
+    recallPanel("pq_raw", fix).unionByName(recallPanel("pq_rot", fixRot))
+      .orderBy("method", "query_id")
+  }
+
+  /** One q119-style PQ pipeline (codebooks from the first 16 vectors,
+    * argmin codes, ADC, top-10) over source CTE `$src`, suffixed so the
+    * q154 oracle can run it twice — raw and rotated.
+    */
+  private def pqPanelSql(sfx: String, src: String): String =
+    raw"""cb$sfx AS (SELECT ms.m, e.vec_id AS j, list_transform(range(1, 9), i -> v[ms.m * 8 + i]) AS c
+       FROM $src e, ms WHERE e.vec_id < 16),
+cbn$sfx AS (SELECT m, j, c, list_sum(list_transform(c, x -> x * x)) AS cn FROM cb$sfx),
+sc$sfx AS (SELECT e.vec_id, cbn$sfx.m, cbn$sfx.j,
+                  cbn$sfx.cn - 2.0 * list_sum(list_transform(range(1, 9), i -> e.v[cbn$sfx.m * 8 + i] * cbn$sfx.c[i])) AS s
+           FROM $src e, cbn$sfx),
+cd$sfx AS (SELECT vec_id, m, j AS code FROM (
+             SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, j) AS rn FROM sc$sfx)
+           WHERE rn = 1),
+qq$sfx AS (SELECT vec_id AS query_id, v AS qv FROM $src WHERE vec_id < 5),
+dd$sfx AS (SELECT q.query_id, cd.vec_id, cd.m,
+                  list_sum(list_transform(range(1, 9), i -> (q.qv[cd.m * 8 + i] - cb2.c[i]) * (q.qv[cd.m * 8 + i] - cb2.c[i]))) AS dm
+           FROM cd$sfx cd JOIN cbn$sfx cb2 ON cb2.m = cd.m AND cb2.j = cd.code, qq$sfx q
+           WHERE cd.vec_id <> q.query_id),
+adc$sfx AS (SELECT query_id, vec_id, round(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+            FROM dd$sfx GROUP BY query_id, vec_id),
+top$sfx AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+              FROM adc$sfx) WHERE rnk <= 10)"""
+
+  /** Oracle: the 128× shrink is a power of two (float-lossless, so the
+    * double replay is exact), the rotation is the transpose index map,
+    * and both PQ pipelines replay q119's CTEs; exact kNN runs on the
+    * unrotated fixture (a permutation preserves the id set).
+    */
+  val q154Sql: String =
+    raw"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+fx AS (SELECT vec_id, list_transform(range(1, 65), i -> CASE WHEN i <= 8 THEN v[i] ELSE v[i] / 128.0 END) AS v FROM e0),
+rt AS (SELECT vec_id, list_transform(range(1, 65), i -> v[((i - 1) % 8) * 8 + ((i - 1) // 8) + 1]) AS v FROM fx),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+${pqPanelSql("r", "fx")},
+${pqPanelSql("o", "rt")},
+ex AS (SELECT query_id, vec_id FROM (
+         SELECT q.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("c.v", "q.qv")} DESC, c.vec_id) AS rnk
+         FROM fx c, (SELECT vec_id AS query_id, v AS qv FROM fx WHERE vec_id < 5) q
+         WHERE c.vec_id <> q.query_id) WHERE rnk <= 10),
+h AS (SELECT 'pq_raw' AS method, query_id, count(*) AS n_hit
+      FROM ex JOIN topr USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'pq_rot', query_id, count(*) FROM ex JOIN topo USING (query_id, vec_id) GROUP BY query_id),
+grid AS (SELECT m.method, q.query_id
+         FROM (SELECT unnest(['pq_raw', 'pq_rot']) AS method) m,
+              (SELECT vec_id AS query_id FROM fx WHERE vec_id < 5) q)
+SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
+FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
+ORDER BY grid.method, grid.query_id"""
 }
