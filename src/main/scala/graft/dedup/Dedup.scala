@@ -308,6 +308,49 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** ExactSubstr-style span REMOVAL (Lee et al. 2022 — deduplicate the
+    * SPAN, not the document): every `w`-token window whose hash occurs
+    * anywhere else in the corpus — another document OR earlier in the
+    * same one — is a duplicate span; the globally-first occurrence by
+    * (doc_id, pos) is kept, every other occurrence is dropped, and the
+    * surviving token stream is reconstructed deterministically (a token
+    * survives iff no removed window covers it; survivors single-space
+    * joined — the operator is defined on the tokenized view). Returns
+    * (doc_id, n_tokens, n_removed, clean_text). The reference width for
+    * production is w≈50; the q149 catalog entry runs w=10 so the gate
+    * corpus exercises it, and DedupSpec pins w=50 removal against a
+    * planted-duplicate truth set.
+    *
+    * Scale shape: occurrence marking shuffles (doc_id, pos, h) longs
+    * per window (the payload is never in a key); keep-first is one
+    * partial-aggregated min(struct) per hash; removal starts flow back
+    * through a doc_id-keyed equi-join (AQE broadcasts when small);
+    * reconstruction is per-row HOFs over the resident token array.
+    * Window keys share q131's 1e9+7 collision caveat — deterministic,
+    * oracle-replayable; production swaps in a 128-bit digest.
+    */
+  def removeSpans(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("whs", org.apache.spark.sql.graft.WindowHashes.windowHashes(col("toks"), w))
+    val occ = base.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+    val keeper = occ.groupBy("h")
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    val removed = occ.join(keeper, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("starts"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, j) =>
+        !exists(col("starts"), st => st <= j && j < st + w)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

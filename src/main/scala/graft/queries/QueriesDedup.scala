@@ -613,29 +613,10 @@ FROM l3 JOIN sz USING (lbl) ORDER BY doc_id"""
     * Window-key collisions share q131's 1e9+7 caveat: deterministic,
     * oracle-replayed, and a 128-bit digest at production scale.
     */
-  def q149_span_removal(s: SparkSession, dir: String): DataFrame = {
-    val W = 10
-    val base = docs(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("whs", org.apache.spark.sql.graft.WindowHashes.windowHashes(col("toks"), W))
-    val occ = base.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
-    val keeper = occ.groupBy("h")
-      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("k"))
-      .filter(col("n") >= 2)
-      .select(col("h"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
-    val removed = occ.join(keeper, Seq("h"))
-      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
-      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("starts"))
-    base.join(removed, Seq("doc_id"), "left")
-      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("kept", filter(col("toks"), (t, j) =>
-        !exists(col("starts"), st => st <= j && j < st + W)))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+  def q149_span_removal(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSpans(
+      docs(s, dir).select(col("doc_id"), col("text")), w = 10)
       .orderBy("doc_id")
-  }
 
   /** Replays the keep-first rule exactly: row_number over (doc_id, pos)
     * per window hash — rn=1 is the kept occurrence, rn>1 occurrences

@@ -117,6 +117,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("removeSpans at production width w=50: removal matches the planted truth exactly") {
+    // 12 documents of doc-unique filler tokens; docs 0, 4, 8 share a
+    // 60-token planted span appended at position 80. At w=50 the only
+    // duplicated windows are the 11 fully inside the planted span
+    // (boundary-crossing windows mix in doc-unique filler), so the
+    // first occurrence (doc 0) keeps everything and docs 4, 8 lose
+    // exactly the 60 planted tokens — nothing more, nothing less.
+    def letters(n: Int): String = {
+      val a = ('a' + n / 26).toChar; val b = ('a' + n % 26).toChar; s"$a$b"
+    }
+    val planted = (0 until 60).map(i => s"plantedspan${letters(i)}").mkString(" ")
+    def filler(d: Int) = (0 until 80).map(i => s"u${letters(d)}v${letters(i)}").mkString(" ")
+    val rows = (0 until 12).map { d =>
+      (d.toLong, if (d % 4 == 0) filler(d) + " " + planted else filler(d))
+    }
+    val out = Dedup.removeSpans(rows.toDF("doc_id", "text"), w = 50).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (0 until 12).foreach { d =>
+      val (n, rem, clean) = out(d.toLong)
+      if (d == 0) {
+        assert(n == 140L && rem == 0L, s"first occurrence must keep the span: doc $d lost $rem")
+        assert(clean == filler(d) + " " + planted)
+      } else if (d % 4 == 0) {
+        assert(rem == 60L, s"doc $d should lose exactly the 60 planted tokens, lost $rem")
+        assert(clean == filler(d), s"doc $d must keep its filler intact")
+      } else {
+        assert(rem == 0L && clean == filler(d), s"unplanted doc $d was modified")
+      }
+    }
+  }
+
   test("simhash: near-identical docs get close fingerprints, disjoint docs do not collide") {
     val df = Seq(
       (1L, "spark query plan join filter scan data table row column"),
