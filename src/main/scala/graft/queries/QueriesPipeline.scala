@@ -1037,4 +1037,51 @@ r AS (SELECT epoch, source, seq_id,
              CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, source, seq_id) AS BIGINT) AS pos
       FROM k)
 SELECT epoch, pos, source, seq_id FROM r ORDER BY epoch, pos"""
+
+  /** The data-loader's contract, closed: compose the epoch shuffle
+    * (q152) with a W-way WORKER SHARDING — worker w reads the
+    * sequences at positions ≡ w (mod W) of its epoch's permutation
+    * (round-robin over the shuffled order: balanced to ±1 sequence by
+    * construction, epoch-deterministic, and computable by any worker
+    * from the formula alone — no coordinator, no shuffle file, the
+    * q43/q152 zero-RNG convention). The report audits what each
+    * worker actually gets per epoch: sequence count and token mass —
+    * the numbers that tell you whether worker batches are balanced
+    * BEFORE a 1000-GPU job starts. Token mass joins back from q142's
+    * per-sequence report by (source, seq_id) — metadata-scale tables
+    * end to end.
+    */
+  def q155_worker_slices(s: SparkSession, dir: String): DataFrame = {
+    val W = 4
+    val order = q152_epoch_shuffle(s, dir)
+    val seqTokens = q142_pack_sequences(s, dir).select("source", "seq_id", "n_tokens")
+    order.withColumn("worker", pmod(col("pos"), lit(W)).cast("int"))
+      .join(seqTokens, Seq("source", "seq_id"))
+      .groupBy("epoch", "worker")
+      .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .orderBy("epoch", "worker")
+  }
+
+  val q155Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM dl),
+sq AS (SELECT source, CAST(start_off // 2048 AS BIGINT) AS seq_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       FROM c GROUP BY source, start_off // 2048),
+ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (SELECT s.source, s.seq_id, s.n_tokens, CAST(ep.epoch AS INTEGER) AS epoch,
+             ((((${QueriesDedup.polyHashSql("s.source || ':' || CAST(s.seq_id AS VARCHAR)")}
+                + ep.epoch * 2654435761) % 2147483647 + 2147483647) % 2147483647)
+              * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h
+      FROM sq s, ep),
+r AS (SELECT epoch, source, seq_id, n_tokens,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, source, seq_id) AS BIGINT) AS pos
+      FROM k),
+w AS (SELECT epoch, CAST(pos % 4 AS INTEGER) AS worker, pos, n_tokens FROM r)
+SELECT epoch, worker, count(*) AS n_seqs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
 }
