@@ -311,6 +311,42 @@ object IvfIndex {
     (model, spark.read.parquet(s"$path/codes"))
   }
 
+  /** Versioned CENTROID REFRESH for a persisted index — the last step
+    * of the artifact lifecycle (build → save → serve/maintain →
+    * REFRESH): retrain on the current corpus with [[trainDistributed]],
+    * [[save]] model + re-assigned codes under `$base/v<next>`, then
+    * atomically re-point `$base/CURRENT` (write-temp + atomic move).
+    * Never in place: codes encode cell ids against their epoch's
+    * centroids, so readers of v<n> stay correct mid-refresh and a
+    * crashed refresh leaves CURRENT untouched (the cdcCompact
+    * version-floor reasoning). Old versions are retired by deleting
+    * their directories once readers drain — deliberately not automated
+    * here.
+    */
+  def refreshArtifact(base: String, embeddings: DataFrame, k: Int, iters: Int,
+      init: (DataFrame, Int) => Model = initHash): Model = {
+    val dir = new java.io.File(base)
+    dir.mkdirs()
+    val next = 1 + Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+    val model = trainDistributed(embeddings, init(embeddings, k), iters)
+    save(assign(embeddings, model), model, s"$base/v$next")
+    val tmp = java.nio.file.Paths.get(base, s".CURRENT.tmp$next")
+    java.nio.file.Files.writeString(tmp, s"v$next")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    model
+  }
+
+  /** Load whatever version `CURRENT` points at. */
+  def loadCurrent(spark: SparkSession, base: String): (Model, DataFrame) = {
+    val v = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "CURRENT")).trim
+    load(spark, s"$base/$v")
+  }
+
   /** Recall-targeted nprobe selection — the probing analogue of
     * Similarity.srpParams' occupancy rule: instead of hand-picking
     * nprobe, measure recall@k against exact kNN on a SAMPLED query

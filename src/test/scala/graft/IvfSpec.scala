@@ -94,6 +94,32 @@ class IvfSpec extends SparkSpec {
     assert(parts.count(_.startsWith("cluster=")) == model.k)
   }
 
+  test("versioned refresh: CURRENT re-points atomically, old versions stay readable") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_versions").toString
+    val half = emb.filter(col("vec_id") < 250)
+    val m1 = IvfIndex.refreshArtifact(base, half, k = 8, iters = 1)
+    val (c1, codes1) = IvfIndex.loadCurrent(spark, base)
+    assert(codes1.count() == 250)
+    m1.centroids.zip(c1.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // corpus grows; refresh retrains and re-points
+    val m2 = IvfIndex.refreshArtifact(base, emb, k = 8, iters = 1)
+    val (c2, codes2) = IvfIndex.loadCurrent(spark, base)
+    assert(codes2.count() == emb.count())
+    m2.centroids.zip(c2.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    assert(!m1.centroids.zip(m2.centroids).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) }, "retraining on more data must move centroids")
+    // the superseded version is untouched — mid-refresh readers stay correct
+    val (old, oldCodes) = IvfIndex.load(spark, s"$base/v1")
+    assert(oldCodes.count() == 250)
+    m1.centroids.zip(old.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
   test("initHash is partitioning-invariant and selects actual corpus vectors") {
     val a = IvfIndex.initHash(emb, 16)
     val b = IvfIndex.initHash(emb.repartition(5), 16)
