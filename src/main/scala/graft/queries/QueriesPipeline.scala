@@ -948,8 +948,11 @@ FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
     * semantic twin (exact integers, q142's argument); shards group by
     * start_off // 8192.
     */
-  val q151Sql: String =
-    raw"""WITH occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+  /** Shared oracle prefix: BPE per-doc token counts, the naive global
+    * cumsum, and the shard assignment `a` — reused by q151 and q156.
+    */
+  private val shardAssignSql: String =
+    raw"""occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
 vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
 w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM vocab),
 ${QueriesText.bpeRoundSql(1, 0)},
@@ -964,12 +967,51 @@ cum AS (SELECT doc_id, n_bpe,
                CAST(coalesce(sum(n_bpe) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         FROM pd),
-a AS (SELECT doc_id, n_bpe, start_off // 8192 AS shard_id FROM cum)
+a AS (SELECT doc_id, n_bpe, start_off // 8192 AS shard_id FROM cum)"""
+
+  val q151Sql: String =
+    raw"""WITH $shardAssignSql
 SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
        CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        round(CAST(sum(n_bpe) AS DOUBLE) / 8192, 6) AS fill
 FROM a GROUP BY shard_id ORDER BY shard_id"""
+
+  /** The shard MANIFEST — the artifact a training data-loader actually
+    * opens first: per shard, document count, token mass, and the
+    * [start_off, end_off) global token range, so a loader can seek any
+    * token offset to a shard without touching the data. Boundaries are
+    * a cumsum over the SHARD table (|tokens|/8192 rows — metadata
+    * scale; the only corpus-sized work is q151's assignment itself).
+    */
+  def q156_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = q151_assignment(s, dir)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    sh.withColumn("start_off", coalesce(
+        sum("n_tokens").over(Window.orderBy("shard_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .select("shard_id", "n_docs", "n_tokens", "start_off", "end_off",
+        "first_doc", "last_doc")
+      .orderBy("shard_id")
+  }
+
+  val q156Sql: String =
+    raw"""WITH $shardAssignSql,
+g AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+             CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM a GROUP BY shard_id)
+SELECT shard_id, n_docs, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens AS BIGINT) AS end_off,
+       first_doc, last_doc
+FROM g ORDER BY shard_id"""
 
   /** Deterministic MULTI-EPOCH global shuffle of the packed sequences:
     * epoch k's order is a pure function of (corpus, seed, k) — the

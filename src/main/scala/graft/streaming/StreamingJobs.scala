@@ -399,6 +399,72 @@ object StreamingJobs {
     new java.io.File(outDir).listFiles().toSeq
       .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
 
+  /** Incremental VIEW MAINTENANCE of a grouped aggregate under a keyed
+    * upsert stream — the warehouse-side IVM shape: the maintained view
+    * is `per event_type: (sum of each user's LATEST value, user
+    * count)`, and each micro-batch updates it by DELTA, not recompute:
+    * the batch's newest row per user contributes +value into its new
+    * group, and −old value out of the group the user previously sat in
+    * (looked up in the predecessor snapshot). Per batch the work is
+    * O(|batch| + |touched groups|); the key snapshot is carried
+    * forward the cdcUpsertSink way. Versioned `v=<batchId>/{keys,agg}`
+    * with the same replay contract as compactionPlanSink: a replayed
+    * batch reads its PREDECESSOR (versions < batchId) and overwrites
+    * its own directory — idempotent under at-least-once delivery.
+    * Deletes are out of scope (upsert-only stream); a delete op would
+    * add a −contribution with no +side.
+    *
+    * FP note: total_value is maintained by ± deltas, so it can differ
+    * from a from-scratch recompute in the last ulps (different
+    * association order) — the documented cost of O(delta) maintenance;
+    * the spec compares with a 1e-6 tolerance. Counts are exact.
+    */
+  def aggMaintSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val b = batch0.select("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val prevV = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .filter(_ < batchId).sorted.lastOption
+    val prevKeys = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/keys"))
+    val prevAgg = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/agg"))
+    val plus = b.groupBy("event_type")
+      .agg(sum("value").as("d_value"), count(lit(1)).as("d_users"))
+    val deltas = prevKeys match {
+      case Some(pk) =>
+        val minus = b.select("user_id").join(pk, Seq("user_id"))
+          .groupBy("event_type")
+          .agg((-sum("value")).as("d_value"), (-count(lit(1))).as("d_users"))
+        plus.unionByName(minus).groupBy("event_type")
+          .agg(sum("d_value").as("d_value"), sum("d_users").as("d_users"))
+      case None => plus
+    }
+    val agg = prevAgg match {
+      case Some(pa) => pa.join(deltas, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("total_value"), lit(0.0)) + coalesce(col("d_value"), lit(0.0)))
+            .as("total_value"),
+          (coalesce(col("n_users"), lit(0L)) + coalesce(col("d_users"), lit(0L)))
+            .as("n_users"))
+      case None => deltas.select(col("event_type"),
+        col("d_value").as("total_value"), col("d_users").as("n_users"))
+    }
+    val keys = prevKeys match {
+      case Some(pk) => b.unionByName(pk.join(b, Seq("user_id"), "left_anti"))
+      case None => b
+    }
+    // materialize into the NEW version before anything overwrites prev
+    keys.write.mode("overwrite").parquet(s"$outDir/v=$batchId/keys")
+    agg.filter(col("n_users") > 0)
+      .write.mode("overwrite").parquet(s"$outDir/v=$batchId/agg")
+  }
+
+  /** The maintained aggregate view: highest version's agg table. */
+  def aggMaintView(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/agg")
+
   /** The current CDC snapshot: the highest version directory. */
   def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val latest = new java.io.File(outDir).listFiles().toSeq

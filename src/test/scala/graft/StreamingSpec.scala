@@ -432,6 +432,46 @@ class StreamingSpec extends SparkSpec {
     assert((batch -- got).size <= batch.size / 10, "too many pairs withheld")
   }
 
+  test("incremental aggregate maintenance equals batch recompute over latest-per-key") {
+    // Events streamed in two chronological chunks; users recur across
+    // chunks, so chunk 2's upserts must move value OUT of the group the
+    // user previously counted in and INTO the new one — the delta path,
+    // not a recompute. The final maintained view must match a
+    // from-scratch batch aggregate over each user's latest row.
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-ivm").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ivm-out").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.readEvents(spark, d)
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingJobs.aggMaintSink(out) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivm-ck").toString)
+      .start()
+    q.processAllAvailable()
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable(); q.stop()
+
+    val got = StreamingJobs.aggMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = graft.core.Tables.events(spark, sf("sf0.001"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy("event_type").agg(sum("value").as("tv"), count(lit(1)).as("nu"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet, s"groups differ: ${got.keySet} vs ${want.keySet}")
+    got.foreach { case (g, (tv, nu)) =>
+      assert(nu == want(g)._2, s"group $g user count: $nu vs ${want(g)._2}")
+      assert(math.abs(tv - want(g)._1) < 1e-6,
+        s"group $g value: $tv vs ${want(g)._1} (delta-maintenance drift exceeds tolerance)")
+    }
+    // user counts across groups must cover every distinct user exactly once
+    assert(got.values.map(_._2).sum ==
+      graft.core.Tables.events(spark, sf("sf0.001")).select("user_id").distinct().count())
+  }
+
   test("streamed IVF artifact parts search equal to a batch-built index; replay is idempotent") {
     val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
     val model = graft.sim.IvfIndex.train(emb, k = 16, iters = 0)
