@@ -1422,24 +1422,36 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
     * replays fixture, rotation, codebooks, ADC and the panel
     * bit-for-bit.
     */
-  def q154_pq_rotated(s: SparkSession, dir: String): DataFrame = {
-    val fix = emb(s, dir).select(col("vec_id"),
+  /** The q154/q157 energy-concentrated fixture: dims 1–8 keep their
+    * variance, dims 9–64 shrink 128× (a power of two — float-lossless,
+    * so the oracle's double replay is exact).
+    */
+  private def energyFixture(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
       transform(sequence(lit(1), lit(64)), i =>
         when(i <= 8, element_at(col("embedding"), i))
           .otherwise((element_at(col("embedding"), i) / lit(128.0)).cast("float")))
         .as("embedding"))
-      .persist()
-    // transpose permutation: 0-based position i takes dim (i%8)*8 + i/8
-    val perm: Seq[Int] = (0 until 64).map(i => (i % 8) * 8 + i / 8 + 1)
-    def rotate(df: DataFrame): DataFrame = df.select(col("vec_id"),
+
+  /** Apply a 1-based dimension permutation (an exact orthogonal
+    * rotation) to the embedding column.
+    */
+  private def permute(df: DataFrame, perm: Seq[Int]): DataFrame =
+    df.select(col("vec_id"),
       transform(array(perm.map(lit): _*), j => element_at(col("embedding"), j))
         .as("embedding"))
-    val fixRot = rotate(fix)
+
+  /** recall@10 panels of q119-shape PQ over each (method, corpus)
+    * variant, judged against exact kNN on the UNROTATED fixture (a
+    * permutation preserves the neighbor id set).
+    */
+  private def pqRecallPanels(fix: DataFrame,
+      variants: Seq[(String, DataFrame)]): DataFrame = {
     def queriesOf(df: DataFrame) = df.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val exact = Similarity.knnJoinAgg(fix, queriesOf(fix), k = 10)
       .select("query_id", "vec_id")
-    def recallPanel(method: String, corpus: DataFrame): DataFrame = {
+    variants.map { case (method, corpus) =>
       val model = PqIndex.train(corpus, numSub = 8, ksub = 16, iters = 0)
       val top = PqIndex.adcTopK(PqIndex.encode(corpus, model), queriesOf(corpus), model, k = 10)
       queriesOf(fix).select("query_id")
@@ -1447,9 +1459,14 @@ SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_i
           .groupBy("query_id").agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
         .select(lit(method).as("method"), col("query_id"),
           round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
-    }
-    recallPanel("pq_raw", fix).unionByName(recallPanel("pq_rot", fixRot))
-      .orderBy("method", "query_id")
+    }.reduce(_ unionByName _).orderBy("method", "query_id")
+  }
+
+  def q154_pq_rotated(s: SparkSession, dir: String): DataFrame = {
+    val fix = energyFixture(s, dir).persist()
+    // transpose permutation: 0-based position i takes dim (i%8)*8 + i/8
+    val perm: Seq[Int] = (0 until 64).map(i => (i % 8) * 8 + i / 8 + 1)
+    pqRecallPanels(fix, Seq("pq_raw" -> fix, "pq_rot" -> permute(fix, perm)))
   }
 
   /** One q119-style PQ pipeline (codebooks from the first 16 vectors,
@@ -1500,6 +1517,78 @@ h AS (SELECT 'pq_raw' AS method, query_id, count(*) AS n_hit
       SELECT 'pq_rot', query_id, count(*) FROM ex JOIN topo USING (query_id, vec_id) GROUP BY query_id),
 grid AS (SELECT m.method, q.query_id
          FROM (SELECT unnest(['pq_raw', 'pq_rot']) AS method) m,
+              (SELECT vec_id AS query_id FROM fx WHERE vec_id < 5) q)
+SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
+FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
+ORDER BY grid.method, grid.query_id"""
+
+  /** q154's DATA-DRIVEN companion — variance-balanced dimension
+    * allocation, the deterministic core of what learned OPQ buys: rank
+    * dims by measured per-dim variance (population formula, rounded to
+    * 8 decimals BEFORE ranking so the two engines' different summation
+    * orders cannot flip a rank — the high/low variance groups are
+    * separated by 4+ orders of magnitude, and sub-grid ties fall back
+    * to the dim index identically on both sides), then SNAKE-assign
+    * ranks to the 8 subspaces (rank r → subspace r%8, reversed on
+    * alternate rows of 8 — each subspace gets one top-8 dim and a
+    * balanced share of the tail). q154 hard-codes the transpose
+    * because it knows where the fixture's energy lives; this entry
+    * MEASURES where it lives and derives the same balancing from the
+    * data — the rule that still works when the energy profile isn't
+    * known in advance. Recall panel vs unpermuted PQ on the same
+    * energy fixture, exact kNN as judge.
+    */
+  def q157_pq_balanced(s: SparkSession, dir: String): DataFrame = {
+    val fix = energyFixture(s, dir).persist()
+    val stats = fix.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("dim"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 8).as("vr"))
+      .collect() // 64 rows — bounded stats table
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val order = stats.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    val bySub = Array.fill(8)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.zipWithIndex.foreach { case (d, r) =>
+      val m = if ((r / 8) % 2 == 0) r % 8 else 7 - r % 8
+      bySub(m) += d
+    }
+    val perm: Seq[Int] = bySub.toSeq.flatMap(_.toSeq) // position 8m+j → original dim
+    pqRecallPanels(fix, Seq("pq_raw" -> fix, "pq_bal" -> permute(fix, perm)))
+  }
+
+  /** Oracle: per-dim variance with the same (S2 − S1²/n)/n association
+    * and round-8 pinning, the same snake rule in integer arithmetic,
+    * the permuted corpus built by ordered list() over the 64-row
+    * permutation table, then the q154 double-panel tail.
+    */
+  val q157Sql: String =
+    raw"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+fx AS (SELECT vec_id, list_transform(range(1, 65), i -> CASE WHEN i <= 8 THEN v[i] ELSE v[i] / 128.0 END) AS v FROM e0),
+exd AS (SELECT vec_id, i AS dim, v[i] AS x FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM fx)),
+st AS (SELECT dim, round((sum(x * x) - sum(x) * sum(x) / count(*)) / count(*), 8) AS vr
+       FROM exd GROUP BY dim),
+rk AS (SELECT dim, row_number() OVER (ORDER BY vr DESC, dim) - 1 AS r FROM st),
+asn AS (SELECT dim, r, CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS m FROM rk),
+slot AS (SELECT dim, m, row_number() OVER (PARTITION BY m ORDER BY r) - 1 AS j FROM asn),
+pmt AS (SELECT m * 8 + j + 1 AS p, dim FROM slot),
+bl AS (SELECT f.vec_id, list(f.v[pmt.dim] ORDER BY pmt.p) AS v FROM fx f, pmt GROUP BY f.vec_id),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+${pqPanelSql("r", "fx")},
+${pqPanelSql("b", "bl")},
+ex AS (SELECT query_id, vec_id FROM (
+         SELECT q.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("c.v", "q.qv")} DESC, c.vec_id) AS rnk
+         FROM fx c, (SELECT vec_id AS query_id, v AS qv FROM fx WHERE vec_id < 5) q
+         WHERE c.vec_id <> q.query_id) WHERE rnk <= 10),
+h AS (SELECT 'pq_raw' AS method, query_id, count(*) AS n_hit
+      FROM ex JOIN topr USING (query_id, vec_id) GROUP BY query_id
+      UNION ALL
+      SELECT 'pq_bal', query_id, count(*) FROM ex JOIN topb USING (query_id, vec_id) GROUP BY query_id),
+grid AS (SELECT m.method, q.query_id
+         FROM (SELECT unnest(['pq_raw', 'pq_bal']) AS method) m,
               (SELECT vec_id AS query_id FROM fx WHERE vec_id < 5) q)
 SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
 FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
