@@ -351,6 +351,43 @@ object Dedup {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** INGEST-side span removal — [[removeSpans]] for the incremental
+    * crawl case (the q100/q101 family's span-level member): the new
+    * batch is cleaned against the EXISTING corpus and itself. Existing
+    * documents always take precedence (keep-first over (priority,
+    * doc_id, pos) with existing = priority 0), so a batch window that
+    * already exists anywhere in the corpus is dropped from the batch,
+    * and batch-internal duplicates keep their first occurrence — the
+    * result is what APPENDING the cleaned batch preserves: no w-token
+    * span appears twice in (existing ++ cleaned batch) that wasn't
+    * already duplicated inside existing. Only batch documents are
+    * rewritten or returned; the existing side contributes window
+    * HASHES only — its text never reaches a shuffle or join key.
+    */
+  def removeSpansIngest(existing: DataFrame, batch: DataFrame, w: Int): DataFrame = {
+    val tagged = existing.select(col("doc_id"), col("text")).withColumn("__pri", lit(0))
+      .unionByName(batch.select(col("doc_id"), col("text")).withColumn("__pri", lit(1)))
+    val base = tagged
+      .select(col("__pri"), col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("whs", org.apache.spark.sql.graft.WindowHashes.windowHashes(col("toks"), w))
+    val occ = base.select(col("__pri"), col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+    val keeper = occ.groupBy("h")
+      .agg(count(lit(1)).as("n"), min(struct(col("__pri"), col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("k.__pri").as("kr"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    val removed = occ.filter(col("__pri") === 1).join(keeper, Seq("h"))
+      .filter(!(col("kr") === 1 && col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("starts"))
+    base.filter(col("__pri") === 1).join(removed, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, j) =>
+        !exists(col("starts"), st => st <= j && j < st + w)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

@@ -650,4 +650,52 @@ k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
 SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
        coalesce(array_to_string(kept, ' '), '') AS clean_text
 FROM k ORDER BY doc_id"""
+
+  /** Span-level INGEST dedup — the q100 (exact) / q101 (near-dup)
+    * family's third member: the new crawl batch (doc_id ≡ 3 mod 4, the
+    * family's split convention) is span-cleaned against the existing
+    * corpus AND itself via Dedup.removeSpansIngest — existing windows
+    * always win, so appending the cleaned batch introduces no span the
+    * corpus already holds; batch-internal duplicates keep first.
+    * Output is the REWRITTEN batch text, gate-hashed like q149.
+    */
+  def q158_span_ingest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("m", pmod(col("doc_id"), lit(4)))
+    Dedup.removeSpansIngest(
+      d.filter(col("m") =!= 3).select("doc_id", "text"),
+      d.filter(col("m") === 3).select("doc_id", "text"), w = 10)
+      .orderBy("doc_id")
+  }
+
+  /** q149's replay with a priority column: ranking per window hash is
+    * (pri, doc_id, pos) with existing = pri 0, and only pri-1 (batch)
+    * non-first occurrences mark removals; only batch docs reconstruct.
+    */
+  val q158Sql: String =
+    raw"""WITH t AS (SELECT doc_id, CASE WHEN (doc_id % 4 + 4) % 4 = 3 THEN 1 ELSE 0 END AS pri,
+                 $ToksSql AS tk FROM documents),
+th AS (SELECT doc_id, pri, tk, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
+w AS (SELECT doc_id, pri, tk,
+             CASE WHEN len(hh) >= 10
+                  THEN list_transform(range(0, len(hh) - 10 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 10)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS whs
+      FROM th),
+occ AS (SELECT doc_id, pri, i AS pos, whs[i + 1] AS h
+        FROM (SELECT doc_id, pri, whs, unnest(range(0, len(whs))) AS i FROM w)),
+rk AS (SELECT doc_id, pri, pos,
+              row_number() OVER (PARTITION BY h ORDER BY pri, doc_id, pos) AS rn
+       FROM occ),
+rem AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+        FROM rk WHERE pri = 1 AND rn > 1 GROUP BY doc_id),
+f AS (SELECT w.doc_id, w.tk, coalesce(rem.starts, CAST([] AS BIGINT[])) AS starts
+      FROM w LEFT JOIN rem USING (doc_id) WHERE w.pri = 1),
+k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_filter(tk, (tok, j) ->
+               len(list_filter(starts, st -> st <= j - 1 AND j - 1 < st + 10)) = 0) AS kept
+      FROM f)
+SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM k ORDER BY doc_id"""
 }
