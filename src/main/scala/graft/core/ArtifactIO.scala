@@ -1,0 +1,106 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Artifact-directory IO routed through the Hadoop [[FileSystem]] API —
+  * the object-store-safe replacement for `java.io.File` listing and
+  * `java.nio` moves in the index/sink lifecycle code (the data-plane
+  * writes always went through Spark writers; this closes the CONTROL
+  * plane: version discovery, CURRENT pointers, commit markers,
+  * retention deletes). `Path.getFileSystem` resolves the scheme, so the
+  * same code serves `file:`, `hdfs:`, `s3a:`, `abfs:`…
+  *
+  * Atomicity contract, per store (documented, not assumed):
+  *  - `rename` is atomic on HDFS and ABFS, and on local file systems;
+  *    on S3A it is copy+delete — NOT atomic. The artifact protocol
+  *    therefore never relies on rename for data: versions are written
+  *    to their OWN directory and made visible by a commit MARKER file
+  *    ([[commit]]/[[isCommitted]]), and a single-object marker/pointer
+  *    write IS atomic on every listed store (S3 PUT is all-or-nothing).
+  *  - Readers select the newest COMMITTED version, so a crash between
+  *    a version's table writes leaves an uncommitted directory that is
+  *    simply never selected (and is overwritten by the replay).
+  *  - The one rename kept ([[writeAtomicString]], for CURRENT pointers)
+  *    is write-temp + rename, atomic everywhere but S3A; on S3 a small
+  *    whole-object overwrite PUT is itself atomic, so the fallback
+  *    there would be a direct overwrite — acceptable for a pointer
+  *    whose content is a single version name.
+  */
+object ArtifactIO {
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Child names of `dir` (not paths) — empty if the dir is missing. */
+  def list(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  def mkdirs(spark: SparkSession, dir: String): Unit =
+    fs(spark, dir).mkdirs(new Path(dir))
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Recursive delete (no-op if missing). */
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new Path(path), true)
+
+  /** The multi-table version COMMIT marker: written after every table
+    * of `v=<id>` has landed; version discovery filters on it, so a
+    * crash between a version's table writes (the ADVICE-flagged
+    * aggMaintSink window) leaves a directory no reader ever selects.
+    * A single-object create is atomic on HDFS/ABFS/local and on S3
+    * (PUT is all-or-nothing) — the same contract as Spark's own
+    * _SUCCESS marker.
+    */
+  val CommitMarker = "_COMMITTED"
+
+  def commit(spark: SparkSession, versionDir: String): Unit =
+    fs(spark, versionDir).create(new Path(versionDir, CommitMarker), true).close()
+
+  def isCommitted(spark: SparkSession, versionDir: String): Boolean =
+    exists(spark, s"$versionDir/$CommitMarker")
+
+  /** Numeric ids of COMMITTED `<prefix><id>` children of `dir`, sorted
+    * ascending — the shared version-discovery primitive (aggMaintSink,
+    * compactionPlanSink, IvfIndex.refreshArtifact). `markerGated=false`
+    * lists single-table version chains (cdcUpsertSink), whose one
+    * parquet write needs no extra marker.
+    */
+  def committedVersions(spark: SparkSession, dir: String, prefix: String,
+      markerGated: Boolean = true): Seq[Long] =
+    list(spark, dir)
+      .filter(_.startsWith(prefix))
+      .filter(n => n.stripPrefix(prefix).nonEmpty && n.stripPrefix(prefix).forall(_.isDigit))
+      .filter(n => !markerGated || isCommitted(spark, s"$dir/$n"))
+      .map(_.stripPrefix(prefix).toLong).sorted
+
+  def readString(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Write-temp + rename pointer update (CURRENT): the rename goes
+    * through [[org.apache.hadoop.fs.FileContext]] with
+    * `Options.Rename.OVERWRITE` — an ATOMIC in-place replace on
+    * HDFS/ABFS/local (no delete-then-rename window where the pointer
+    * is missing); see the object doc for the S3A caveat.
+    */
+  def writeAtomicString(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val target = new Path(path)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+}

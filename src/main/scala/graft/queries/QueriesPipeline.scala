@@ -1040,7 +1040,11 @@ FROM g ORDER BY shard_id"""
         concat_ws(":", col("source"), col("seq_id").cast("string"))))
       .withColumn("h",
         ((pmod(col("base") + col("epoch") * lit(2654435761L), lit(p))) * lit(a) + lit(b)) % lit(p))
-      .withColumn("kb", expr(s"h div ${p / 1024}"))
+      // divisor = ceil(p/1024) so kb ∈ [0, 1023] for every h < p — with
+      // floor(p/1024) the top sliver of the hash range spills into a
+      // 1025th bucket. Bucketing is internal (pos comes from the actual
+      // buckets), but the metadata-scale claim below should be exact.
+      .withColumn("kb", expr(s"h div ${(p + 1023) / 1024}"))
     val local = withKey.withColumn("lrn",
       row_number().over(Window.partitionBy("epoch", "kb")
         .orderBy(col("h"), col("source"), col("seq_id"))).cast("long"))

@@ -1593,4 +1593,64 @@ grid AS (SELECT m.method, q.query_id
 SELECT grid.method, grid.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall10
 FROM grid LEFT JOIN h ON h.method = grid.method AND h.query_id = grid.query_id
 ORDER BY grid.method, grid.query_id"""
+
+  /** Distributed k-means at OCCUPANCY-SCALED k (64 cells over this
+    * corpus) with HIERARCHICAL per-round assignment — q146's trainer
+    * past the flat argmin's O(n·k) wall: every Lloyd round routes each
+    * vector through ~√k coarse cells (coarse scores + the per-group
+    * dynamic argmin) instead of scanning all k centroids. Here the
+    * routing is EXHAUSTIVE (nProbe = coarseK — assignHierarchicalExact),
+    * which keeps the argmin bit-equal to the flat expression (double
+    * norms are fed to the dyn argmin; IvfSpec pins trainer equality),
+    * so the oracle replays the FLAT formulation: one q146 Lloyd round
+    * at k=64 plus the per-cell audit. The production configuration —
+    * nProbe < coarseK, per-row cost sublinear in k — is the same code
+    * path with a different probe count (spec'd by agreement, not
+    * oracle-replayed, since boundary vectors may route differently).
+    */
+  def q159_kmeans_hier(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val init = IvfIndex.initFirst(e, 64)
+    val model = IvfIndex.trainDistributed(e, init, iters = 1,
+      assigner = IvfIndex.assignHierarchicalExact)
+    import s.implicits._
+    val cents = model.centroids.zip(init.centroids).zipWithIndex
+      .map { case ((c, c0), i) => (i, c.toSeq, c0.toSeq) }.toSeq
+      .toDF("cell", "c", "c0")
+    val geom = cents.select(col("cell"),
+      round(sqrt(aggregate(transform(col("c"), x => x * x), lit(0.0), (a, b) => a + b)), 6)
+        .as("centroid_norm"),
+      round(sqrt(aggregate(zip_with(col("c"), col("c0"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (a, b) => a + b)), 6).as("drift"))
+    val counts = IvfIndex.assignHierarchicalExact(e, model)
+      .groupBy(col("cluster").as("cell")).agg(count(lit(1)).as("n_members"))
+    geom.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("centroid_norm"), col("drift"))
+      .orderBy("cell")
+  }
+
+  val q159Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 64),
+${lloydDistIterSql(1, "c0")},
+cff AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+               list_sum(list_transform(c, x -> x * x)) AS cn FROM c1),
+scf AS (SELECT e.vec_id, cff.cid,
+               cff.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * cff.f[i])) AS s
+        FROM e, cff),
+agf AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scf)
+        WHERE rn = 1),
+cnf AS (SELECT cid, count(*) AS n FROM agf GROUP BY cid),
+geom AS (SELECT c1.cid,
+                round(sqrt(list_sum(list_transform(c1.c, x -> x * x))), 6) AS centroid_norm,
+                round(sqrt(list_sum(list_transform(range(1, 65),
+                  i -> (c1.c[i] - c0.c[i]) * (c1.c[i] - c0.c[i])))), 6) AS drift
+         FROM c1 JOIN c0 ON c0.cid = c1.cid)
+SELECT CAST(g.cid AS INTEGER) AS cell, CAST(coalesce(cnf.n, 0) AS BIGINT) AS n_members,
+       g.centroid_norm, g.drift
+FROM geom g LEFT JOIN cnf ON cnf.cid = g.cid
+ORDER BY cell"""
 }

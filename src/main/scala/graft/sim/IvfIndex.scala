@@ -122,16 +122,31 @@ object IvfIndex {
     * sub-float-ulp centroid/point coincidences (the equality spec pins
     * the two trainers bit-equal on the test corpus).
     */
+  /** `assigner` picks the per-round assignment operator: the default
+    * flat [[assign]] pays n·k·dim multiply-adds per round — fine at
+    * small k, THE wall at occupancy-scaled k (⌈n/targetCell⌉ —
+    * thousands of cells at real scale, the SCALING.md crossover the
+    * repo already measured for SemDeDup). Pass
+    * [[assignHierarchicalExact]] to route through ~√k coarse cells
+    * first: per-row work drops to (√k + nProbe·√k)·dim. With
+    * exhaustive routing (nProbe = coarseK) the argmin — hence the
+    * trained model — is BIT-EQUAL to the flat trainer (IvfSpec pins
+    * it); production approximate routing (nProbe < coarseK) trades
+    * boundary-vector assignments for the sublinear-in-k round cost,
+    * which moves centroids the way faiss's coarse-quantized training
+    * does — acceptable because Lloyd is itself a heuristic descent.
+    */
   def trainDistributed(embeddings: DataFrame, init: Model, iters: Int,
-      bucketSize: Long = 512L): Model = {
+      bucketSize: Long = 512L,
+      assigner: (DataFrame, Model) => DataFrame = assign): Model = {
     var model = init
     val dim = init.centroids(0).length
     (1 to iters).foreach { _ =>
       val zero = array_repeat(lit(0.0), lit(dim))
-      val assigned = embeddings.select(
+      val assigned = assigner(embeddings, model).select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
-        clusterCol(col("embedding"), model).as("cell"),
+        col("cluster").as("cell"),
         expr(s"vec_id div $bucketSize").as("bucket"))
       val phase1 = assigned.groupBy("cell", "bucket")
         .agg(count(lit(1)).as("cnt"),
@@ -259,9 +274,13 @@ object IvfIndex {
       .map { case (c, is) => (c, is.toArray) }.toSeq.sortBy(_._1)
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // __norms = |c|² over the ORIGINAL doubles (NearestCentroid's normSq
+    // convention) so the routed argmin scores are bit-equal to the flat
+    // expression's, not last-ulp off through a float-cast norm.
     val mapping = groups.map { case (cid, fineIds) =>
-      (cid, fineIds.toSeq.map(i => pts(i).toSeq.map(_.toFloat)), fineIds.toSeq)
-    }.toDF("__coarse", "__matrix", "__ids")
+      (cid, fineIds.toSeq.map(i => pts(i).toSeq.map(_.toFloat)), fineIds.toSeq,
+        fineIds.toSeq.map(i => pts(i).map(x => x * x).sum))
+    }.toDF("__coarse", "__matrix", "__ids", "__norms")
     // per-row array of (coarse score, coarse id) structs — the annTopK
     // probe pattern; coarseK is ~√k so the literal tree stays small
     val coarseScores: Seq[Column] = coarse.toSeq.zipWithIndex.map { case (ctr, j) =>
@@ -274,11 +293,24 @@ object IvfIndex {
       .withColumn("__coarse", col("__probe.c"))
       .join(broadcast(mapping), Seq("__coarse"))
       .withColumn("__cand", org.apache.spark.sql.graft.NearestCentroidDyn.nearest(
-        col("embedding"), col("__matrix"), col("__ids")))
+        col("embedding"), col("__matrix"), col("__ids"), col("__norms")))
       .groupBy(col(keyCol))
       .agg(min(col("__cand")).as("__best")) // (score, id) lexicographic = flat tie-break
       .select(col(keyCol), col("__best.id").as("cluster"))
     embeddings.join(cand, Seq(keyCol), "left")
+  }
+
+  /** [[assignHierarchical]] pinned to EXHAUSTIVE routing (probe every
+    * coarse cell): the argmin is exact — bit-equal to [[assign]] — but
+    * the plan keeps the hierarchical shape (coarse scores + per-group
+    * dynamic argmin), so it drops into [[trainDistributed]]'s
+    * `assigner` slot as the oracle-replayable configuration; the
+    * production variant is `assignHierarchical(_, _, …)` partially
+    * applied at nProbe < coarseK.
+    */
+  def assignHierarchicalExact(embeddings: DataFrame, model: Model): DataFrame = {
+    val coarseK = math.max(1, math.round(math.sqrt(model.k.toDouble)).toInt)
+    assignHierarchical(embeddings, model, coarseK0 = coarseK, nProbe = coarseK)
   }
 
   /** Persist the index as parquet ARTIFACTS — the missing half of the
@@ -323,27 +355,31 @@ object IvfIndex {
     * their directories once readers drain — deliberately not automated
     * here.
     */
+  /** All artifact control-plane IO (listing, the CURRENT pointer) goes
+    * through the Hadoop FileSystem API ([[graft.core.ArtifactIO]]) —
+    * at 100 TB these artifacts live on an object store, where
+    * `java.io.File` sees nothing. Atomicity: version directories become
+    * visible ONLY via the CURRENT pointer (a crashed refresh leaves an
+    * orphan v<n> no reader selects), and the pointer update is
+    * write-temp + FileContext OVERWRITE rename — atomic on
+    * HDFS/ABFS/local; see ArtifactIO's doc for the S3A caveat.
+    */
   def refreshArtifact(base: String, embeddings: DataFrame, k: Int, iters: Int,
       init: (DataFrame, Int) => Model = initHash): Model = {
-    val dir = new java.io.File(base)
-    dir.mkdirs()
-    val next = 1 + Option(dir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    val spark = embeddings.sparkSession
+    graft.core.ArtifactIO.mkdirs(spark, base)
+    val next = 1 + graft.core.ArtifactIO.list(spark, base)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .foldLeft(0L)(math.max)
     val model = trainDistributed(embeddings, init(embeddings, k), iters)
     save(assign(embeddings, model), model, s"$base/v$next")
-    val tmp = java.nio.file.Paths.get(base, s".CURRENT.tmp$next")
-    java.nio.file.Files.writeString(tmp, s"v$next")
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.core.ArtifactIO.writeAtomicString(spark, s"$base/CURRENT", s"v$next")
     model
   }
 
   /** Load whatever version `CURRENT` points at. */
   def loadCurrent(spark: SparkSession, base: String): (Model, DataFrame) = {
-    val v = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(base, "CURRENT")).trim
+    val v = graft.core.ArtifactIO.readString(spark, s"$base/CURRENT").trim
     load(spark, s"$base/$v")
   }
 

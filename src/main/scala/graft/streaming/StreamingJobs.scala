@@ -57,12 +57,27 @@ object StreamingJobs {
     // the canonical raw staging schema so the stream can start before the
     // first file lands (files written later in another form would need a
     // restart — acceptable for the documented staging contract).
-    val fileSchema =
-      try spark.read.parquet(eventsDir).schema
+    val (fileSchema, usedFallback) =
+      try (spark.read.parquet(eventsDir).schema, false)
       catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("Unable to infer schema") => rawSchema }
+        if e.getMessage.contains("Unable to infer schema") => (rawSchema, true) }
     val stream = spark.readStream.schema(fileSchema).parquet(eventsDir)
     fileSchema("ts").dataType match {
+      case LongType if usedFallback =>
+        // The fallback PINNED ts as int64 nanos before any file existed.
+        // If files then land as TIMESTAMP(MICROS) (also physical int64,
+        // so the reader surfaces µs-scale longs), `div 1000` would
+        // silently mis-scale by 1000× — fail LOUDLY instead: nano-scale
+        // epochs are ≥ ~1e18 for any modern event time, µs are ~1e15,
+        // so a 1e17 floor separates them by orders of magnitude. The
+        // assert is folded into the ts projection (assert_true is NULL
+        // on success, so `+ ifnull(…, 0)` is the identity) — column
+        // pruning can't drop it.
+        stream.withColumn("ts", expr(
+          "timestamp_micros((ts + ifnull(assert_true(ts is null or ts >= 100000000000000000, " +
+            "'readEvents: staging dir was empty at start (schema pinned to raw int64 nanos) " +
+            "but arriving ts values are not nano-scale - files landed in a different " +
+            "physical form; restart the stream so the schema comes from real footers'), 0)) div 1000)"))
       case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         stream.withColumn("ts", col("ts").cast("timestamp"))
@@ -320,11 +335,12 @@ object StreamingJobs {
       .partitionBy(keyCol).orderBy(col(tsCol).desc)
     val newest = batch
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    val prev = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
-      .sorted.lastOption
+    // Hadoop FileSystem listing (object-store-safe); single-table
+    // versions need no commit marker — the one parquet write is the
+    // version (Spark's own _SUCCESS covers partial-write detection).
+    val prev = graft.core.ArtifactIO
+      .committedVersions(spark, outDir, "v=", markerGated = false)
+      .filter(_ < batchId).lastOption
     val merged = prev match {
       case Some(v) =>
         spark.read.parquet(s"$outDir/v=$v")
@@ -352,11 +368,11 @@ object StreamingJobs {
       smallBytes: Long = 8192L)(batch0: DataFrame, batchId: Long): Unit = {
     val batch = batch0.select("lang", "doc_id", "size_bytes")
     val spark = batch.sparkSession
-    val prev = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
-      .sorted.lastOption
+    // committed versions only: inventory/ and plan/ are two writes, so
+    // an uncommitted (crashed-between) version must never be selected
+    val prev = graft.core.ArtifactIO
+      .committedVersions(spark, outDir, "v=")
+      .filter(_ < batchId).lastOption
     val prevInv = prev.map(v => spark.read.parquet(s"$outDir/v=$v/inventory"))
     val inv = prevInv match {
       case Some(pi) => pi.unionByName(batch.join(pi, Seq("doc_id"), "left_anti"))
@@ -383,21 +399,24 @@ object StreamingJobs {
           .unionByName(replanned)
       case None => replanned
     }
-    // materialize before overwrite: plan/inv read v=prev, write v=batchId
+    // materialize before overwrite: plan/inv read v=prev, write v=batchId;
+    // the version becomes VISIBLE only at the commit marker after both
+    // tables land — a crash between the writes leaves a directory that
+    // version discovery never selects (and the replay overwrites).
     inv.write.mode("overwrite").parquet(s"$outDir/v=$batchId/inventory")
     plan.write.mode("overwrite").parquet(s"$outDir/v=$batchId/plan")
+    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
   }
 
-  /** The maintained compaction plan / inventory: highest version. */
+  /** The maintained compaction plan / inventory: highest COMMITTED version. */
   def compactionPlan(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/plan")
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/plan")
 
   def compactionInventory(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/inventory")
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/inventory")
 
-  private def latestVersion(outDir: String): Long =
-    new java.io.File(outDir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+  private def latestVersion(spark: SparkSession, outDir: String): Long =
+    graft.core.ArtifactIO.committedVersions(spark, outDir, "v=").max
 
   /** Incremental VIEW MAINTENANCE of a grouped aggregate under a keyed
     * upsert stream — the warehouse-side IVM shape: the maintained view
@@ -423,13 +442,26 @@ object StreamingJobs {
     val spark = batch0.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    val b = batch0.select("user_id", "event_id", "ts", "event_type", "value")
+    val bCand = batch0.select("user_id", "event_id", "ts", "event_type", "value")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    val prevV = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-      .filter(_ < batchId).sorted.lastOption
+    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
+      .filter(_ < batchId).lastOption
     val prevKeys = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/keys"))
     val prevAgg = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/agg"))
+    // LATE-ARRIVAL guard: a batch row older than the key's snapshot row
+    // (by (ts, event_id)) must not regress the key — drop it before the
+    // delta, so the view converges to latest-per-key even when upserts
+    // straddle batches out of event-time order (the in-order-delivery
+    // assumption cdcUpsertSink documents is NOT required here).
+    val b = prevKeys match {
+      case Some(pk) => bCand
+        .join(pk.select(col("user_id"), col("ts").as("__pts"),
+          col("event_id").as("__pid")), Seq("user_id"), "left")
+        .filter(col("__pts").isNull || col("ts") > col("__pts") ||
+          (col("ts") === col("__pts") && col("event_id") > col("__pid")))
+        .drop("__pts", "__pid")
+      case None => bCand
+    }
     val plus = b.groupBy("event_type")
       .agg(sum("value").as("d_value"), count(lit(1)).as("d_users"))
     val deltas = prevKeys match {
@@ -455,20 +487,188 @@ object StreamingJobs {
       case Some(pk) => b.unionByName(pk.join(b, Seq("user_id"), "left_anti"))
       case None => b
     }
-    // materialize into the NEW version before anything overwrites prev
+    // materialize into the NEW version before anything overwrites prev;
+    // keys/ and agg/ are two writes, so the version is published by the
+    // commit marker only after BOTH land — readers (aggMaintView) and
+    // the next batch's predecessor lookup gate on it, closing the
+    // crash-between-writes window.
     keys.write.mode("overwrite").parquet(s"$outDir/v=$batchId/keys")
     agg.filter(col("n_users") > 0)
       .write.mode("overwrite").parquet(s"$outDir/v=$batchId/agg")
+    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
   }
 
-  /** The maintained aggregate view: highest version's agg table. */
+  /** The maintained aggregate view: highest COMMITTED version's agg table. */
   def aggMaintView(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(outDir)}/agg")
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
+
+  /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
+    * of [[aggMaintSink]] (which maintains a single-table aggregate):
+    * the maintained view is
+    *
+    *   SELECT grp, sum(v) AS total_v, count(*) AS n_items
+    *   FROM left JOIN right USING (k) GROUP BY grp
+    *
+    * under keyed UPSERT streams to EITHER side — the warehouse shape
+    * (orders ⋈ lineitem revenue-per-priority with both tables live).
+    * Logical column contract: left upserts carry (k, ts, grp) — one
+    * current row per join key, owning the group attribute; right
+    * upserts carry (rk, k, ts, v) — many detail rows per k, keyed by
+    * rk, each contributing value v. The state is the pair of keyed
+    * snapshots plus the view, version-chained as
+    * `v=<batchId>/{left, right, agg}` with [[graft.core.ArtifactIO]]'s
+    * commit marker (three writes — the marker is what makes a crash
+    * between them invisible), and the same replay contract as
+    * aggMaintSink: a redelivered batch rebuilds from its predecessor
+    * and overwrites its own version.
+    *
+    * Delta math — O(|batch| + touched keys' detail rows + touched
+    * groups), never a recompute:
+    *  - LEFT upsert for key k: the k's detail sum R(k) = (Σv, count)
+    *    is read from the CURRENT right snapshot restricted to the
+    *    batch's keys (a keyed semi-join — at scale the snapshot is
+    *    bucketed by k, so this is a pruned scan); the view moves
+    *    −R(k) out of the old row's group and +R(k) into the new one.
+    *  - RIGHT upsert for detail rk under key k: the value delta
+    *    (new − old, count delta for genuinely new rks) joins to the
+    *    CURRENT left snapshot for k's group; details whose k has no
+    *    left row yet contribute nothing NOW — they are picked up by
+    *    R(k) when k's left row arrives, which is exactly the
+    *    join-view invariant: after every batch,
+    *    view == join-and-aggregate over the two current snapshots
+    *    (the spec pins this under interleaved multi-batch replays).
+    * Cross-batch late arrivals are guarded per side the aggMaintSink
+    * way: a batch row older than its key's snapshot row (by ts) is
+    * dropped before the delta.
+    *
+    * FP note: total_v is maintained by ± deltas — last-ulp drift vs a
+    * from-scratch recompute is the documented cost (spec tolerance
+    * 1e-6); n_items is exact.
+    */
+  def joinMaintLeftSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("ts").desc)
+    val bCand = batch0.select("k", "ts", "grp")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val st = joinMaintState(spark, outDir, batchId)
+    val b = st.left match {
+      case Some(pl) => bCand.join(pl.select(col("k"), col("ts").as("__pts")), Seq("k"), "left")
+        .filter(col("__pts").isNull || col("ts") > col("__pts")).drop("__pts")
+      case None => bCand
+    }
+    // R(k) for the batch's keys, from the CURRENT right snapshot
+    val rsums = st.right match {
+      case Some(pr) => pr.join(b.select("k"), Seq("k"), "left_semi")
+        .groupBy("k").agg(sum("v").as("rv"), count(lit(1)).as("rc"))
+      case None => spark.emptyDataFrame
+        .withColumn("k", lit(0L)).withColumn("rv", lit(0.0)).withColumn("rc", lit(0L)).limit(0)
+    }
+    val plus = b.join(rsums, Seq("k"))
+      .groupBy("grp").agg(sum("rv").as("d_v"), sum("rc").as("d_n"))
+    val deltas = st.left match {
+      case Some(pl) =>
+        val minus = b.select("k").join(pl, Seq("k")).join(rsums, Seq("k"))
+          .groupBy("grp").agg((-sum("rv")).as("d_v"), (-sum("rc")).as("d_n"))
+        plus.unionByName(minus).groupBy("grp")
+          .agg(sum("d_v").as("d_v"), sum("d_n").as("d_n"))
+      case None => plus
+    }
+    val newLeft = st.left match {
+      case Some(pl) => b.unionByName(pl.join(b, Seq("k"), "left_anti"))
+      case None => b
+    }
+    joinMaintWrite(outDir, batchId, newLeft,
+      st.right.getOrElse(emptyRight(spark)), applyDeltas(st.agg, deltas))
+  }
+
+  def joinMaintRightSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rk").orderBy(col("ts").desc)
+    val bCand = batch0.select("rk", "k", "ts", "v")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val st = joinMaintState(spark, outDir, batchId)
+    val b = st.right match {
+      case Some(pr) => bCand.join(pr.select(col("rk"), col("ts").as("__pts")), Seq("rk"), "left")
+        .filter(col("__pts").isNull || col("ts") > col("__pts")).drop("__pts")
+      case None => bCand
+    }
+    // per join key: value delta (new − old) and count delta (new rks)
+    val oldRows = st.right match {
+      case Some(pr) => pr.join(b.select("rk"), Seq("rk"), "left_semi")
+        .select(col("k"), (-col("v")).as("dv"), lit(-1L).as("dc"))
+      case None => spark.emptyDataFrame
+        .withColumn("k", lit(0L)).withColumn("dv", lit(0.0)).withColumn("dc", lit(0L)).limit(0)
+    }
+    val perK = b.select(col("k"), col("v").as("dv"), lit(1L).as("dc"))
+      .unionByName(oldRows)
+      .groupBy("k").agg(sum("dv").as("dv"), sum("dc").as("dc"))
+    // group attribution from the CURRENT left snapshot; un-joined keys
+    // contribute nothing until their left row lands
+    val deltas = st.left match {
+      case Some(pl) => perK.join(pl.select("k", "grp"), Seq("k"))
+        .groupBy("grp").agg(sum("dv").as("d_v"), sum("dc").as("d_n"))
+      case None => spark.emptyDataFrame
+        .withColumn("grp", lit("")).withColumn("d_v", lit(0.0)).withColumn("d_n", lit(0L)).limit(0)
+    }
+    val newRight = st.right match {
+      case Some(pr) => b.unionByName(pr.join(b, Seq("rk"), "left_anti"))
+      case None => b
+    }
+    joinMaintWrite(outDir, batchId, st.left.getOrElse(emptyLeft(spark)),
+      newRight, applyDeltas(st.agg, deltas))
+  }
+
+  private case class JoinMaintState(left: Option[DataFrame], right: Option[DataFrame],
+    agg: Option[DataFrame])
+
+  private def joinMaintState(spark: SparkSession, outDir: String,
+      batchId: Long): JoinMaintState =
+    graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
+      .filter(_ < batchId).lastOption match {
+      case Some(v) => JoinMaintState(
+        Some(spark.read.parquet(s"$outDir/v=$v/left")),
+        Some(spark.read.parquet(s"$outDir/v=$v/right")),
+        Some(spark.read.parquet(s"$outDir/v=$v/agg")))
+      case None => JoinMaintState(None, None, None)
+    }
+
+  private def applyDeltas(prevAgg: Option[DataFrame], deltas: DataFrame): DataFrame =
+    prevAgg match {
+      case Some(pa) => pa.join(deltas, Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("total_v"), lit(0.0)) + coalesce(col("d_v"), lit(0.0))).as("total_v"),
+          (coalesce(col("n_items"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_items"))
+      case None => deltas.select(col("grp"), col("d_v").as("total_v"), col("d_n").as("n_items"))
+    }
+
+  private def emptyLeft(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame.withColumn("k", lit(0L))
+      .withColumn("ts", lit(null).cast("timestamp")).withColumn("grp", lit("")).limit(0)
+
+  private def emptyRight(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame.withColumn("rk", lit(0L)).withColumn("k", lit(0L))
+      .withColumn("ts", lit(null).cast("timestamp")).withColumn("v", lit(0.0)).limit(0)
+
+  private def joinMaintWrite(outDir: String, batchId: Long,
+      left: DataFrame, right: DataFrame, agg: DataFrame): Unit = {
+    val spark = left.sparkSession
+    left.write.mode("overwrite").parquet(s"$outDir/v=$batchId/left")
+    right.write.mode("overwrite").parquet(s"$outDir/v=$batchId/right")
+    agg.filter(col("n_items") > 0)
+      .write.mode("overwrite").parquet(s"$outDir/v=$batchId/agg")
+    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+  }
+
+  /** The maintained join view: highest COMMITTED version's agg table. */
+  def joinMaintView(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
 
   /** The current CDC snapshot: the highest version directory. */
   def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame = {
-    val latest = new java.io.File(outDir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    val latest = graft.core.ArtifactIO
+      .committedVersions(spark, outDir, "v=", markerGated = false).max
     spark.read.parquet(s"$outDir/v=$latest")
   }
 
@@ -484,13 +684,10 @@ object StreamingJobs {
   def cdcCompact(outDir: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 (replay rebuilds from the predecessor), got $keepVersions")
-    val versions = new java.io.File(outDir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
-    versions.dropRight(keepVersions).foreach { v =>
-      val dir = java.nio.file.Paths.get(outDir, s"v=$v")
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val spark = SparkSession.active
+    graft.core.ArtifactIO.committedVersions(spark, outDir, "v=", markerGated = false)
+      .dropRight(keepVersions)
+      .foreach(v => graft.core.ArtifactIO.delete(spark, s"$outDir/v=$v"))
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
@@ -605,24 +802,18 @@ object StreamingJobs {
     * space, so a later compaction merges them like any other part.
     */
   def annIndexCompact(indexDir: String): Unit = {
-    val dir = new java.io.File(indexDir)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .map(_.getName).filter(_.startsWith("part="))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parts = graft.core.ArtifactIO.list(spark, indexDir).filter(_.startsWith("part="))
     val numeric = parts.map(_.stripPrefix("part=")).filter(_.forall(_.isDigit)).map(_.toLong)
     if (numeric.isEmpty) return
     val newest = s"part=${numeric.max}"
     val toMerge = parts.filterNot(_ == newest)
     if (toMerge.size < 2) return // nothing worth consolidating
-    val spark = org.apache.spark.sql.SparkSession.active
     val merged = spark.read.parquet(toMerge.map(p => s"$indexDir/$p"): _*)
     val outName = s"part=m${numeric.max}"
     merged.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite").parquet(s"$indexDir/$outName")
-    toMerge.foreach { p =>
-      val path = java.nio.file.Paths.get(indexDir, p)
-      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+    toMerge.foreach(p => graft.core.ArtifactIO.delete(spark, s"$indexDir/$p"))
   }
 
   /** LIVE-index ANN serving, part 2 — the query server. Each query
@@ -642,8 +833,7 @@ object StreamingJobs {
     import org.apache.spark.sql.graft.VectorExpressions.{dotF32, normF32}
     val spark = batch.sparkSession
     val planes = Similarity.hyperplanes(numPlanes, dim)
-    val parts = Option(new java.io.File(indexDir).listFiles())
-      .getOrElse(Array.empty).toSeq.map(_.getName).filter(_.startsWith("part="))
+    val parts = graft.core.ArtifactIO.list(spark, indexDir).filter(_.startsWith("part="))
     val out = s"$outDir/part=$batchId"
     if (parts.isEmpty) {
       batch.sparkSession.emptyDataFrame

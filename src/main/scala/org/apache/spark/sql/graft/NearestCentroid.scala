@@ -101,14 +101,20 @@ object NearestCentroid {
   * first-index ties as the literal form; NULL emb/element/ragged or a
   * NULL/empty/misaligned matrix yields NULL.
   *
-  * normSq here is the double sum over the FLOAT-cast components (the
-  * matrix column has already been cast to float); callers that need
-  * bit-parity with the literal expression must feed the same floats.
+  * `norms` carries |c|² per matrix row, computed by the CALLER over the
+  * ORIGINAL double centroids — exactly [[NearestCentroid]]'s normSq.
+  * (An earlier form summed the float-cast matrix components instead,
+  * which was last-ulp off the literal expression's scores; with
+  * caller-supplied double norms the two are bit-equal whenever the
+  * same float matrix is fed, which is what lets exhaustive-routing
+  * hierarchical assignment replace the flat argmin inside
+  * bit-deterministic training.)
   */
-case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expression)
+case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expression,
+    norms: Expression)
     extends Expression with CodegenFallback {
 
-  override def children: Seq[Expression] = Seq(emb, matrix, ids)
+  override def children: Seq[Expression] = Seq(emb, matrix, ids, norms)
   override def dataType: DataType = StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", IntegerType, nullable = false)))
@@ -119,12 +125,14 @@ case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expressi
     val rawE = emb.eval(input)
     val rawM = matrix.eval(input)
     val rawI = ids.eval(input)
-    if (rawE == null || rawM == null || rawI == null) return null
+    val rawN = norms.eval(input)
+    if (rawE == null || rawM == null || rawI == null || rawN == null) return null
     val x = rawE.asInstanceOf[ArrayData]
     val m = rawM.asInstanceOf[ArrayData]
     val idArr = rawI.asInstanceOf[ArrayData]
+    val nsqArr = rawN.asInstanceOf[ArrayData]
     val k = m.numElements()
-    if (k == 0 || k != idArr.numElements()) return null
+    if (k == 0 || k != idArr.numElements() || k != nsqArr.numElements()) return null
     val n = x.numElements()
     val e = new Array[Double](n)
     var i = 0
@@ -137,20 +145,17 @@ case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expressi
     var bestScore = Double.NaN
     var c = 0
     while (c < k) {
-      if (m.isNullAt(c) || idArr.isNullAt(c)) return null
+      if (m.isNullAt(c) || idArr.isNullAt(c) || nsqArr.isNullAt(c)) return null
       val ctr = m.getArray(c)
       if (ctr.numElements() != n) return null
       var s = 0.0
-      var nsq = 0.0
       var j = 0
       while (j < n) {
         if (ctr.isNullAt(j)) return null
-        val cf = ctr.getFloat(j).toDouble
-        s += e(j) * cf
-        nsq += cf * cf
+        s += e(j) * ctr.getFloat(j).toDouble
         j += 1
       }
-      val score = nsq - 2.0 * s
+      val score = nsqArr.getDouble(c) - 2.0 * s
       if (c == 0 || score < bestScore || (bestScore.isNaN && !score.isNaN)) {
         best = c; bestScore = score
       }
@@ -160,12 +165,13 @@ case class NearestCentroidDyn(emb: Expression, matrix: Expression, ids: Expressi
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(emb = newChildren(0), matrix = newChildren(1), ids = newChildren(2))
+    copy(emb = newChildren(0), matrix = newChildren(1), ids = newChildren(2),
+      norms = newChildren(3))
 }
 
 object NearestCentroidDyn {
-  def nearest(emb: Column, matrix: Column, ids: Column): Column =
+  def nearest(emb: Column, matrix: Column, ids: Column, norms: Column): Column =
     ExpressionUtils.column(NearestCentroidDyn(
       ExpressionUtils.expression(emb), ExpressionUtils.expression(matrix),
-      ExpressionUtils.expression(ids)))
+      ExpressionUtils.expression(ids), ExpressionUtils.expression(norms)))
 }

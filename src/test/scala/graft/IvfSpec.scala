@@ -74,6 +74,33 @@ class IvfSpec extends SparkSpec {
     assert(assigned.select("cluster").distinct().count() >= 4)
   }
 
+  test("trainDistributed with exhaustive hierarchical assignment == flat trainer, bit-equal, at k=64") {
+    // The occupancy-scaled-k config: 64 cells, routed per round through
+    // 8 coarse cells with nProbe = coarseK (exhaustive). The dyn argmin
+    // is fed double norms, so scores — hence assignments, hence the
+    // ordered two-phase sums, hence the trained centroids — must equal
+    // the flat trainer to the last bit. bucketSize=64 exercises the
+    // multi-bucket fold under both assigners.
+    val init = IvfIndex.initFirst(emb, 64)
+    val flat = IvfIndex.trainDistributed(emb, init, iters = 2, bucketSize = 64)
+    val hier = IvfIndex.trainDistributed(emb, init, iters = 2, bucketSize = 64,
+      assigner = IvfIndex.assignHierarchicalExact)
+    flat.centroids.zip(hier.centroids).zipWithIndex.foreach { case ((a, b), c) =>
+      assert(java.util.Arrays.equals(a, b), s"centroid $c differs between assigners")
+    }
+    // production (approximate) routing still trains a usable model:
+    // deterministic, and assignment stays total over valid cells
+    def approx() = IvfIndex.trainDistributed(emb, init, iters = 2, bucketSize = 64,
+      assigner = (df, m) => IvfIndex.assignHierarchical(df, m, nProbe = 2))
+    val p1 = approx(); val p2 = approx()
+    p1.centroids.zip(p2.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "approximate-routed training must be deterministic")
+    }
+    val assigned = IvfIndex.assign(emb, p1)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cluster").distinct().count() >= 16)
+  }
+
   test("saved index searches bit-identically to the fresh one") {
     val path = java.nio.file.Files.createTempDirectory("ivf_save").toString
     val assigned = IvfIndex.assign(emb, model)

@@ -472,6 +472,163 @@ class StreamingSpec extends SparkSpec {
       graft.core.Tables.events(spark, sf("sf0.001")).select("user_id").distinct().count())
   }
 
+  test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
+    // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
+    // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
+    // a genuinely newer row for user 2). The late row must be dropped at
+    // the delta — the view converges to the true latest-per-key, exactly
+    // what a from-scratch recompute over all delivered rows gives.
+    val out = java.nio.file.Files.createTempDirectory("graft-ivm-late").toString
+    def ev(u: Long, id: Long, s: Long, t: String, v: Double) =
+      (u, id, new java.sql.Timestamp(s * 1000L), t, v)
+    val b0 = Seq(ev(1L, 10L, 100L, "A", 5.0), ev(2L, 11L, 100L, "B", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val b1 = Seq(ev(1L, 5L, 50L, "C", 99.0), ev(2L, 12L, 200L, "A", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    StreamingJobs.aggMaintSink(out)(b0, 0L)
+    StreamingJobs.aggMaintSink(out)(b1, 1L)
+    def view() = StreamingJobs.aggMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // latest per key over ALL delivered rows: user1 → (A, 5.0) [ts=100
+    // beats the late ts=50], user2 → (A, 7.0)
+    val got = view()
+    assert(got == Map("A" -> ((12.0, 2L))),
+      s"late row regressed the view: $got (user 1 must stay at its ts=100 snapshot row)")
+    // replaying the late batch is still a no-op
+    StreamingJobs.aggMaintSink(out)(b1, 1L)
+    assert(view() == Map("A" -> ((12.0, 2L))), "replay of the late batch changed the view")
+  }
+
+  test("aggMaint: an uncommitted (crashed-between-writes) version is never selected") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivm-crash").toString
+    def ev(u: Long, id: Long, s: Long, t: String, v: Double) =
+      (u, id, new java.sql.Timestamp(s * 1000L), t, v)
+    val b0 = Seq(ev(1L, 10L, 100L, "A", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val b1 = Seq(ev(2L, 11L, 200L, "B", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    StreamingJobs.aggMaintSink(out)(b0, 0L)
+    // simulate a crash between aggMaintSink's two writes at v=1: keys
+    // landed, agg did not, no commit marker
+    b0.select("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$out/v=1/keys")
+    // the view must still read v=0, not the torn v=1
+    assert(StreamingJobs.aggMaintView(spark, out).count() == 1L,
+      "aggMaintView selected an uncommitted version")
+    // the next (replayed-id or later) batch rebuilds from v=0 and
+    // produces the same view as in-order processing would have
+    StreamingJobs.aggMaintSink(out)(b1, 1L)
+    val got = StreamingJobs.aggMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((5.0, 1L)), "B" -> ((3.0, 1L))),
+      s"recovery from a torn version diverged: $got")
+  }
+
+  test("join-view maintenance: orders ⋈ lineitem revenue per priority stays equal to recompute under interleaved upserts to both sides") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jvm").toString
+    def leftRows(df: org.apache.spark.sql.DataFrame, batchTs: Long) = df.select(
+      col("o_orderkey").as("k"), timestamp_seconds(lit(batchTs)).as("ts"),
+      col("o_orderpriority").as("grp"))
+    def rightRows(df: org.apache.spark.sql.DataFrame, batchTs: Long) = df.select(
+      col("rk"), col("l_orderkey").as("k"), timestamp_seconds(lit(batchTs)).as("ts"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
+    val orders = graft.core.Tables(spark, sf("sf0.001"), "orders")
+    // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+    // so the detail key must be a synthesized row id (any total order
+    // works — full duplicates get distinct rks with identical payloads)
+    val lineitem = graft.core.Tables(spark, sf("sf0.001"), "lineitem")
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")).cast("long"))
+      .persist()
+    val (ordA, ordB) = (orders.filter(col("o_orderkey") % 2 === 0), orders.filter(col("o_orderkey") % 2 =!= 0))
+    val (liA, liB) = (lineitem.filter(col("rk") % 2 === 0), lineitem.filter(col("rk") % 2 =!= 0))
+
+    def view() = StreamingJobs.joinMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def recompute(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("tv"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def assertClose(got: Map[String, (Double, Long)], want: Map[String, (Double, Long)], tag: String): Unit = {
+      assert(got.keySet == want.keySet, s"$tag groups: ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (g, (tv, n)) =>
+        assert(n == want(g)._2, s"$tag group $g n_items: $n vs ${want(g)._2}")
+        assert(math.abs(tv - want(g)._1) < 1e-6, s"$tag group $g total_v: $tv vs ${want(g)._1}")
+      }
+    }
+
+    // interleave: left half, right half, left rest, right rest — each
+    // side's later batch joins against the OTHER side's current state
+    StreamingJobs.joinMaintLeftSink(out)(leftRows(ordA, 100L), 0L)
+    StreamingJobs.joinMaintRightSink(out)(rightRows(liA, 100L), 1L)
+    assertClose(view(), recompute(ordA, liA), "after ordersA+lineitemA")
+    StreamingJobs.joinMaintLeftSink(out)(leftRows(ordB, 200L), 2L)
+    // details for not-yet-arrived orders (liA ⋈ ordB) must appear now
+    assertClose(view(), recompute(orders, liA), "after ordersB")
+    StreamingJobs.joinMaintRightSink(out)(rightRows(liB, 200L), 3L)
+    val full = recompute(orders, lineitem)
+    assertClose(view(), full, "after all four batches")
+
+    // at-least-once replay of the last batch is a no-op
+    StreamingJobs.joinMaintRightSink(out)(rightRows(liB, 200L), 3L)
+    assertClose(view(), full, "replay of lineitemB")
+
+    // a LATE left upsert (older ts than the snapshot row) must not move
+    // its order's revenue to the stale priority
+    val someKey = orders.select("o_orderkey").orderBy("o_orderkey").first().getLong(0)
+    val late = leftRows(orders.filter(col("o_orderkey") === someKey), 50L)
+      .withColumn("grp", lit("9-STALE"))
+    StreamingJobs.joinMaintLeftSink(out)(late, 4L)
+    assertClose(view(), full, "late left upsert ignored")
+
+    // a GENUINE group move: same key, newer ts, new priority — the view
+    // must move exactly that order's revenue between groups
+    val move = leftRows(orders.filter(col("o_orderkey") === someKey), 300L)
+      .withColumn("grp", lit("9-MOVED"))
+    StreamingJobs.joinMaintLeftSink(out)(move, 5L)
+    val movedOrders = orders.withColumn("o_orderpriority",
+      when(col("o_orderkey") === someKey, lit("9-MOVED")).otherwise(col("o_orderpriority")))
+    assertClose(view(), recompute(movedOrders, lineitem), "group move applied by delta")
+
+    // and a RIGHT-side value upsert: replace one line item at double the
+    // price — revenue delta flows to the order's current group, count
+    // unchanged (rk already existed)
+    val oneRk = lineitem.filter(col("l_orderkey") === someKey)
+      .orderBy("rk").first().getAs[Long]("rk")
+    val oneLine = lineitem.filter(col("rk") === oneRk)
+    StreamingJobs.joinMaintRightSink(out)(
+      rightRows(oneLine.withColumn("l_extendedprice", col("l_extendedprice") * 2), 400L), 6L)
+    val bumped = lineitem.withColumn("l_extendedprice",
+      when(col("rk") === oneRk, col("l_extendedprice") * 2).otherwise(col("l_extendedprice")))
+    assertClose(view(), recompute(movedOrders, bumped), "right-side value upsert applied by delta")
+  }
+
+  test("readEvents: files landing in a non-nano form under the empty-dir fallback schema fail loudly") {
+    // Start the stream over an EMPTY staging dir (schema pinned to raw
+    // int64 nanos), then land a file whose int64 ts values are µs-scale
+    // — the silent-1000×-mis-scale trap. The guard must kill the query
+    // with the staging-contract message, not let operators read
+    // timestamps 1000× off.
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-fallback").toString
+    val q = StreamingJobs.readEvents(spark, d)
+      .writeStream.outputMode("append").format("memory").queryName("fallbackguard").start()
+    q.processAllAvailable() // zero batches — schema came from the fallback
+    Seq((1L, 1700000000000000L, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(d)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("not nano-scale")),
+      s"expected the staging-contract guard, got: ${messages(err).take(2)}")
+  }
+
   test("streamed IVF artifact parts search equal to a batch-built index; replay is idempotent") {
     val emb = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
     val model = graft.sim.IvfIndex.train(emb, k = 16, iters = 0)
