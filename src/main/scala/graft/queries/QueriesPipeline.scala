@@ -843,7 +843,11 @@ ORDER BY u.draw_id"""
     * window ever exists. The oracle uses the naive per-source global
     * cumsum, which is exactly the plan this avoids.
     */
-  def q142_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+  /** q142's DOC-level assignment (doc_id, source, n_tokens, seq_id) —
+    * factored so the loader read path (q161) can map documents to the
+    * sequences a worker slice selects without recomputing packing.
+    */
+  private[graft] def q142_doc_assignment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 2048L
     val dl = docs(s, dir).select(col("doc_id"), col("source"),
@@ -859,12 +863,16 @@ ORDER BY u.draw_id"""
       .select("source", "bucket", "off") // |docs|/512 rows — metadata scale
     local.join(broadcast(offsets), Seq("source", "bucket"))
       .withColumn("seq_id", expr(s"(lcum + off) div $B"))
+      .select("doc_id", "source", "n_tokens", "seq_id")
+  }
+
+  def q142_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    q142_doc_assignment(s, dir)
       .groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .withColumn("fill", round(col("n_tokens").cast("double") / B, 6))
+      .withColumn("fill", round(col("n_tokens").cast("double") / 2048L, 6))
       .orderBy("source", "seq_id")
-  }
 
   val q142Sql: String =
     raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
@@ -1130,4 +1138,96 @@ w AS (SELECT epoch, CAST(pos % 4 AS INTEGER) AS worker, pos, n_tokens FROM r)
 SELECT epoch, worker, count(*) AS n_seqs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        min(pos) AS first_pos, max(pos) AS last_pos
 FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
+
+  /** The data-loader READ path, closing the loop the write-side entries
+    * open (q151 shards, q152 epochs, q155 worker slices, q156
+    * manifest): given (epoch, worker, token budget), serve exactly the
+    * worker's budget-prefix of its epoch slice, touching ONLY the shard
+    * partitions it needs. The slice contract is q152/q155's — epoch
+    * order = affine(polyhash(key) + epoch·2654435761), worker w owns
+    * pos ≡ w (mod W), any worker computes its slice from the formula
+    * alone — applied at SHARD granularity, because that is the only
+    * granularity a shuffled read can prune: q151 shards are cut in
+    * doc_id order, so a permutation of 2048-token SEQUENCES scatters
+    * each worker's prefix across essentially every shard (measured: 14
+    * of 14 touched at sf0.001) — which is exactly why production
+    * loaders shuffle shards globally and samples only within a bounded
+    * read buffer. Steps:
+    *  1. shard stats from the manifest (built once at write time —
+    *     metadata scale), epoch-keyed hash order, worker slice, and
+    *     the inclusive running token sum's budget prefix — all on the
+    *     |shards|-row table (tokens/8192 — the q156 window argument);
+    *  2. the ONLY data-scale read: the written shard table filtered to
+    *     the selected ids — a static partition filter, so the scan's
+    *     PartitionFilters prune every other shard's files
+    *     (plan-asserted in PlanAssertionsSpec);
+    *  3. the report audits each served shard from the READ-BACK files
+    *     (the q151 roundtrip convention): doc count, BPE token mass,
+    *     doc range — in epoch/pos order, the loader's consumption
+    *     order.
+    */
+  private[graft] def loaderRead(s: SparkSession, dir: String, W: Int,
+      worker: Int, budget: Long): (DataFrame, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    val assignDf = q151_assignment(s, dir).persist()
+    val out = QueriesSources.tmp("graft_q161_shards_", dir)
+    assignDf.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val manifest = assignDf.groupBy("shard_id").agg(sum("n_bpe").as("sh_tokens"))
+    assignDf.unpersist()
+    val slice = manifest
+      .crossJoin(broadcast(epochDf(s)))
+      .withColumn("base", PortableHash.asciiPolyHash(
+        concat(lit("shard:"), col("shard_id").cast("string"))))
+      .withColumn("h",
+        ((pmod(col("base") + col("epoch") * lit(2654435761L), lit(p))) * lit(a) + lit(b)) % lit(p))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch").orderBy(col("h"), col("shard_id"))).cast("long"))
+      .filter(pmod(col("pos"), lit(W)) === worker)
+      .withColumn("cum", sum("sh_tokens").over(Window.partitionBy("epoch").orderBy("pos")))
+      .filter(col("cum") <= budget)
+      .select("epoch", "pos", "shard_id")
+    val needed = slice.select("shard_id").distinct()
+      .collect().map(_.getLong(0)) // ≤ budget/8192 per epoch — bounded by budget
+    val pruned = s.read.parquet(out)
+      .filter(col("shard_id").isin(needed.map(java.lang.Long.valueOf).toSeq: _*))
+    val result = broadcast(slice)
+      .join(pruned.withColumn("shard_id", col("shard_id").cast("long")), Seq("shard_id"))
+      .groupBy("epoch", "pos", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .select("epoch", "pos", "shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .orderBy("epoch", "pos")
+    (result, out)
+  }
+
+  def q161_loader_read(s: SparkSession, dir: String): DataFrame =
+    loaderRead(s, dir, W = 4, worker = 1, budget = 20000L)._1
+
+  /** Oracle: q151's shard assignment grouped to per-shard stats, the
+    * q152 hash order keyed by 'shard:<id>', the q155 worker rule, and
+    * the inclusive running-sum budget prefix — the oracle reads
+    * everything; partition pruning is the PHYSICAL property the plan
+    * assertion covers.
+    */
+  val q161Sql: String =
+    raw"""WITH $shardAssignSql,
+g AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+             CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM a GROUP BY shard_id),
+ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (SELECT g.*, CAST(ep.epoch AS INTEGER) AS epoch,
+             ((((${QueriesDedup.polyHashSql("'shard:' || CAST(g.shard_id AS VARCHAR)")}
+                + ep.epoch * 2654435761) % 2147483647 + 2147483647) % 2147483647)
+              * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h
+      FROM g, ep),
+r AS (SELECT epoch, shard_id, n_docs, n_tokens, first_doc, last_doc,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, shard_id) AS BIGINT) AS pos
+      FROM k),
+ws AS (SELECT * FROM r WHERE pos % 4 = 1),
+bp AS (SELECT *, sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS cum FROM ws)
+SELECT epoch, pos, shard_id, n_docs, n_tokens, first_doc, last_doc
+FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
 }

@@ -1653,4 +1653,28 @@ SELECT CAST(g.cid AS INTEGER) AS cell, CAST(coalesce(cnf.n, 0) AS BIGINT) AS n_m
        g.centroid_norm, g.drift
 FROM geom g LEFT JOIN cnf ON cnf.cid = g.cid
 ORDER BY cell"""
+
+  /** q153's saved-index search through the LOOKUP-TABLE ADC: the same
+    * persisted artifacts, but each query's M×ksub distance table is
+    * precomputed driver-side and the compressed scan does M native
+    * array lookups per row (AdcLookup) instead of d multiply-adds
+    * through allocating HOFs — the at-scale compute optimization
+    * PqIndex's doc reserved. Bit-equal to the HOF path (PqSpec pins
+    * full-result equality), so the oracle is q119's verbatim — the
+    * third reuse of that SQL (fresh q119, saved q153, LUT here), which
+    * is the point: three physical strategies, one semantics.
+    */
+  def q160_pq_lut(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = PqIndex.train(e, numSub = 8, ksub = 16, iters = 0)
+    val path = QueriesSources.tmp("graft_q160_pq_", dir)
+    PqIndex.save(PqIndex.encode(e, model), model, path)
+    val (loaded, codes) = PqIndex.load(s, path)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopKSplitLut(codes, e, queries, loaded, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q160Sql: String = q119Sql
 }

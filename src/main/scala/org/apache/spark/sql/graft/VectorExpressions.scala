@@ -121,10 +121,61 @@ case class NormF32(child: Expression) extends UnaryExpression with ExpectsInputT
     copy(child = newChild)
 }
 
+/** Row-vector × matrix for a float embedding against a d×d DOUBLE
+  * matrix literal (an OPQ rotation): out[p] = float(Σ_i x[i]·R[i][p]),
+  * accumulated in index order in doubles, output cast to float — the
+  * engine's embedding storage type, so a rotated corpus column is
+  * interchangeable with a stored one. One node, d² multiply-adds per
+  * row in a primitive loop (the HOF formulation would allocate per
+  * output element). NULL array / NULL element / dimension mismatch →
+  * NULL (the [[DotF32]] convention). Interpreted eval only (the d²
+  * literal matrix makes codegen constant tables awkward); rotation is
+  * a once-per-corpus ETL step, not an inner-join hot path.
+  */
+case class MatVecF32(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val m: Array[Array[Double]] = matrix.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "matvec_f32"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = m.length
+    if (x.numElements() != d) return null
+    val xv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      xv(i) = x.getFloat(i).toDouble
+      i += 1
+    }
+    val out = new Array[Float](d)
+    var p = 0
+    while (p < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += xv(j) * m(j)(p); j += 1 }
+      out(p) = s.toFloat
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column builders for the native expressions. */
 object VectorExpressions {
   def dotF32(a: Column, b: Column): Column =
     ExpressionUtils.column(DotF32(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def normF32(a: Column): Column =
     ExpressionUtils.column(NormF32(ExpressionUtils.expression(a)))
+  def matVecF32(a: Column, matrix: Array[Array[Double]]): Column =
+    ExpressionUtils.column(MatVecF32(ExpressionUtils.expression(a), matrix.map(_.toSeq).toSeq))
 }

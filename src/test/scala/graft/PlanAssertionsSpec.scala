@@ -314,6 +314,29 @@ class PlanAssertionsSpec extends SparkSpec {
       s"lang predicate must prune partitions, got: ${scans.head.partitionFilters}")
   }
 
+  test("q161: the loader's shard read scans ONLY the needed shard partitions") {
+    // The data-loader contract's physical half: the worker's
+    // budget-prefix needs a handful of shards, and the scan of the
+    // written shard table must carry a shard_id partition filter AND
+    // physically read fewer partitions than exist — seek, not sweep.
+    val (df, out) = graft.queries.QueriesPipeline.loaderRead(
+      spark, sf("sf0.001"), W = 4, worker = 1, budget = 20000L)
+    assert(df.collect().nonEmpty)
+    val scans = planNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(
+          new java.io.File(out).getName)) => f
+    }
+    assert(scans.nonEmpty, "expected a v1 parquet scan of the shard table")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("shard_id")),
+      s"shard_id must prune partitions, got: ${scans.head.partitionFilters}")
+    val totalShards = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("shard_id="))
+    val readParts = scans.head.metrics("numPartitions").value
+    assert(readParts < totalShards,
+      s"loader read $readParts of $totalShards shard partitions — nothing was pruned")
+  }
+
   test("q83: centroid pairing broadcasts the tiny centroid table; argmin is partial") {
     val plan = executedPlanString(graft.queries.QueriesAnalytics.q83_nearest_centroid(spark, sf("sf0.001")))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

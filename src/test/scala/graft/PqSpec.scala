@@ -51,6 +51,24 @@ class PqSpec extends SparkSpec {
       res(PqIndex.adcTopK(enc, q, model, 10)))
   }
 
+  test("lookup-table ADC is bit-equal to the HOF formulation, distances included") {
+    // The LUT path must be a pure physical rewrite: same candidates,
+    // same ROUNDED DISTANCES to the last bit, same ranks — on both the
+    // init codebook and a Lloyd-trained one (non-trivial cell values).
+    val trained = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 3)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_dist", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    Seq(model, trained).foreach { m =>
+      val enc = PqIndex.encode(emb, m)
+      val hof = rows(PqIndex.adcTopKSplit(enc, emb, q, m, 10))
+      val lut = rows(PqIndex.adcTopKSplitLut(enc, emb, q, m, 10))
+      assert(hof == lut, s"LUT ADC diverged from HOF ADC for ksub=${m.ksub}")
+    }
+  }
+
   test("ADC top-k recall vs brute force is reasonable") {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -153,6 +171,57 @@ class PqSpec extends SparkSpec {
     // both absolute values
     assert(resR > rawR + 0.05, s"residual recall $resR should beat raw recall $rawR with tight cells")
     assert(resR >= 0.5, s"residual recall $resR unexpectedly low in its home regime")
+  }
+
+  /** The q154/q157 energy-concentrated fixture: dims 1–8 keep their
+    * variance, 9–64 shrink 128× (float-lossless power of two).
+    */
+  private def energyFix = emb.select(col("vec_id"),
+    transform(sequence(lit(1), lit(64)), i =>
+      when(i <= 8, element_at(col("embedding"), i))
+        .otherwise((element_at(col("embedding"), i) / lit(128.0)).cast("float")))
+      .as("embedding")).persist()
+
+  test("learned OPQ: orthogonal, bit-deterministic, and beats raw PQ + the q157 bar on the energy fixture") {
+    val fix = energyFix
+    val (r, opqModel) = PqIndex.trainOpq(fix, numSub = 8, ksub = 16,
+      opqIters = 8, pqIters = 4, sampleN = 500)
+    // R is orthogonal: RᵀR = I within numerical tolerance
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"RᵀR[$i][$j] = $dot")
+    }
+    // deterministic to the last bit (fixed-sweep Jacobi, ordered sample)
+    val (r2, _) = PqIndex.trainOpq(fix, numSub = 8, ksub = 16,
+      opqIters = 8, pqIters = 4, sampleN = 500)
+    r.zip(r2).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+
+    // recall panel: rotate corpus AND queries with R, ADC-search the
+    // rotated space, judge against exact kNN on the unrotated fixture
+    // (R orthogonal ⇒ neighbor sets are preserved)
+    def queriesOf(df: org.apache.spark.sql.DataFrame) = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoinAgg(fix, queriesOf(fix), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(corpus: org.apache.spark.sql.DataFrame, m: PqIndex.Model): Double = {
+      val got = PqIndex.adcTopK(PqIndex.encode(corpus, m), queriesOf(corpus), m, k = 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, want) =>
+        (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+      }.sum / exact.size
+    }
+    val rotated = fix.select(col("vec_id"),
+      PqIndex.rotateCol(col("embedding"), r).as("embedding"))
+    val opqRecall = meanRecall(rotated, opqModel)
+    val rawRecall = meanRecall(fix, PqIndex.train(fix, 8, 16, iters = 4, sampleN = 500))
+    assert(opqRecall > rawRecall,
+      s"learned OPQ recall $opqRecall must beat same-budget raw PQ $rawRecall")
+    assert(opqRecall >= 0.62,
+      s"learned OPQ recall $opqRecall below the q157 variance-balanced bar (0.62)")
   }
 
   test("ADC candidate scan reads codes, not embeddings (and no cartesian on the corpus side)") {
