@@ -79,6 +79,27 @@ object Run {
           println(f"[hier] k=$k $label: $cells cells in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       } finally spark.stop()
+    case "hiertrain" :: dir :: rest =>
+      // Capacity probe: ONE distributed Lloyd round at large k under the
+      // three assigners — flat (n·k·dim), exhaustive hierarchical
+      // (√k + √k·√k routing, bit-equal result) and production
+      // approximate routing (√k + nProbe·√k) — the SCALING.md
+      // comparison for the per-round assignment term inside training.
+      val k = rest.headOption.map(_.toInt).getOrElse(256)
+      val spark = Sessions.local("graft-hiertrain")
+      try {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val init = graft.sim.IvfIndex.train(emb, k = k, iters = 0, sampleN = math.max(2048, k))
+        val assigners: Seq[(String, (org.apache.spark.sql.DataFrame, graft.sim.IvfIndex.Model) => org.apache.spark.sql.DataFrame)] = Seq(
+          "flat" -> (graft.sim.IvfIndex.assign _),
+          "hier-exact" -> (graft.sim.IvfIndex.assignHierarchicalExact _),
+          "hier-p4" -> ((df, m) => graft.sim.IvfIndex.assignHierarchical(df, m, nProbe = 4)))
+        for ((label, assigner) <- assigners) {
+          val t0 = System.nanoTime()
+          graft.sim.IvfIndex.trainDistributed(emb, init, iters = 1, assigner = assigner)
+          println(f"[hiertrain] k=$k $label: 1 round in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query
       // local verification without a full graft.Verify pass.
