@@ -739,4 +739,66 @@ SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_orders,
        min(x) AS lo, max(x) AS hi,
        CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM bk GROUP BY bucket ORDER BY bucket"""
+
+  /** MULTI-TABLE incremental view maintenance through the gate: the
+    * orders ⋈ lineitem revenue-per-priority view is built by REPLAYING
+    * a fixed four-batch upsert schedule through the join-IVM sinks
+    * (`StreamingJobs.joinMaintLeftSink`/`joinMaintRightSink` — delta
+    * maintenance, never a recompute: left upserts move R(k) between
+    * groups, right upserts send value deltas through the current left
+    * snapshot), then reading the maintained view. Batches interleave
+    * the two sides (left half → right half → left rest → right rest) so
+    * every delta path executes, including right details arriving before
+    * their left row. Values are integer CENTS (round(price·(1−disc)·100)
+    * — exact in doubles up to 2⁵³), so the ±-delta accumulation is
+    * EXACT integer arithmetic and the maintained view hash-matches a
+    * from-scratch recompute bit-for-bit — which is precisely the oracle:
+    * since each key is delivered exactly once per side, the final
+    * maintained state equals the plain join-aggregate over the full
+    * tables. Deterministic under reruns: the fixed batch ids rebuild
+    * the version chain from v=0 regardless of leftovers (the replay
+    * contract), and duplicate physical lineitem rows get distinct
+    * detail keys with identical payloads, so the view is invariant to
+    * their tie order.
+    */
+  def q162_join_ivm(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingJobs
+    // a FIXED 400-order key window (the recall-panel convention): the
+    // demo-scale sinks rewrite full snapshots per batch (the documented
+    // simplification of the transactional-table MERGE), so the entry
+    // pins the delta SEMANTICS on a bounded fixture instead of paying
+    // 4× snapshot rewrites of the whole fact table every bench run
+    val orders = t(s, dir, "orders").filter(col("o_orderkey") < 400)
+    val lineitem = t(s, dir, "lineitem").filter(col("l_orderkey") < 400)
+      .withColumn("rk",
+        row_number().over(Window.orderBy("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_extendedprice", "l_discount")).cast("long"))
+      .persist()
+    def leftRows(df: DataFrame, ts: Long) = df.select(
+      col("o_orderkey").as("k"), timestamp_seconds(lit(ts)).as("ts"),
+      col("o_orderpriority").as("grp"))
+    def rightRows(df: DataFrame, ts: Long) = df.select(
+      col("rk"), col("l_orderkey").as("k"), timestamp_seconds(lit(ts)).as("ts"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).as("v"))
+    val out = QueriesSources.tmp("graft_q162_ivm_", dir)
+    StreamingJobs.joinMaintLeftSink(out)(leftRows(orders.filter(col("o_orderkey") % 2 === 0), 100L), 0L)
+    StreamingJobs.joinMaintRightSink(out)(rightRows(lineitem.filter(col("rk") % 2 === 0), 100L), 1L)
+    StreamingJobs.joinMaintLeftSink(out)(leftRows(orders.filter(col("o_orderkey") % 2 =!= 0), 200L), 2L)
+    StreamingJobs.joinMaintRightSink(out)(rightRows(lineitem.filter(col("rk") % 2 =!= 0), 200L), 3L)
+    StreamingJobs.joinMaintView(s, out)
+      .select(col("grp"), col("total_v").cast("long").as("total_cents"), col("n_items"))
+      .orderBy("grp")
+  }
+
+  /** Oracle: the maintained view's fixpoint — every key delivered once
+    * per side, so the final state is the plain join-aggregate; cents
+    * keep the ±-delta path exact, hence hashable.
+    */
+  val q162Sql: String =
+    """SELECT o.o_orderpriority AS grp,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 400
+GROUP BY o.o_orderpriority ORDER BY grp"""
 }
