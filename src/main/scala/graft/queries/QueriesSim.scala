@@ -1677,4 +1677,40 @@ ORDER BY cell"""
   }
 
   val q160Sql: String = q119Sql
+
+  /** SemDeDup over TRAINED cells — q108's dedup rule on a codebook the
+    * distributed trainer actually moved: one full-corpus Lloyd round
+    * (q146's machinery) from the first-8 seed set, then the within-cell
+    * exact-cosine keep-lowest-id rule. q108 pins the iters=0 init
+    * partition; this entry pins the TRAINED partition — the production
+    * composition `Similarity.semanticDedupTrained` runs (with initHash
+    * and hierarchical routing at real k; initFirst/flat here so the
+    * oracle can replay seed set, training round, assignment and pair
+    * verify bit-for-bit).
+    */
+  def q163_semantic_trained(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupTrained(emb(s, dir), tau = 0.45, k = 8, iters = 1,
+      init = IvfIndex.initFirst).orderBy("vec_id")
+
+  val q163Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+${lloydDistIterSql(1, "c0")},
+cff AS (SELECT cid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+               list_sum(list_transform(c, x -> x * x)) AS cn FROM c1),
+scf AS (SELECT e.vec_id, cff.cid,
+               cff.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * cff.f[i])) AS s
+        FROM e, cff),
+agf AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scf)
+        WHERE rn = 1),
+p AS (SELECT b.vec_id AS vec_id, a.vec_id AS kept_by, ${cosSql("ea.v", "eb.v")} AS cosine_sim
+      FROM agf a JOIN agf b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id),
+d AS (SELECT vec_id, kept_by, cosine_sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rn
+      FROM p WHERE cosine_sim >= 0.45)
+SELECT vec_id, kept_by, cosine_sim FROM d WHERE rn = 1 ORDER BY vec_id"""
 }

@@ -367,6 +367,42 @@ object Similarity {
     val assigned =
       if (k > hierSwitchK) IvfIndex.assignHierarchical(embeddings, model, nProbe = 4)
       else IvfIndex.assign(embeddings, model)
+    dedupWithinCells(assigned, tau)
+  }
+
+  /** SemDeDup over FULL-CORPUS-TRAINED cells — the production trainer
+    * composed into the production dedup: [[semanticDedupK]] partitions
+    * with the iters=0 init codebook (the q108 oracle convention), but
+    * real SemDeDup wants Lloyd-TIGHTENED cells — tight cells are what
+    * make residual-style locality hold, balance the per-cell quadratic
+    * constant, and put near-dup pairs in one cell. Training runs via
+    * [[IvfIndex.trainDistributed]] (every round sees the corpus; k is
+    * NOT capped by a driver sample), and past `hierSwitchK` BOTH the
+    * per-round training assignment and the final dedup assignment go
+    * through the multi-probe hierarchical router — the full pipeline is
+    * sublinear in k per row. Exact-semantics note: routing
+    * approximation only moves boundary vectors between heuristic
+    * cells; every reported pair still passes the exact cosine ≥ tau
+    * verify. `init` is pluggable ([[IvfIndex.initHash]] default —
+    * unbiased at corpus scale; the q163 gate entry passes
+    * [[IvfIndex.initFirst]] so DuckDB can replay the seed set).
+    */
+  def semanticDedupTrained(embeddings: DataFrame, tau: Double, k: Int,
+      iters: Int = 2, hierSwitchK: Int = 4096,
+      init: (DataFrame, Int) => IvfIndex.Model = IvfIndex.initHash): DataFrame = {
+    val assigner: (DataFrame, IvfIndex.Model) => DataFrame =
+      if (k > hierSwitchK) (df, m) => IvfIndex.assignHierarchical(df, m, nProbe = 4)
+      else IvfIndex.assign
+    val model = IvfIndex.trainDistributed(embeddings, init(embeddings, k), iters,
+      assigner = assigner)
+    dedupWithinCells(assigner(embeddings, model), tau)
+  }
+
+  /** The keep-lowest-id rule over exact cosine WITHIN cells: one
+    * cluster equi-join, pairs verified exactly, smallest qualifying
+    * exemplar per dropped id.
+    */
+  private def dedupWithinCells(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned
       .select(col("vec_id"), col("cluster"), col("embedding"),
         normF32(col("embedding")).as("__n"))

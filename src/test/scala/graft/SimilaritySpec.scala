@@ -253,6 +253,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("semanticDedupTrained: routed == flat on trained cells; trained partition finds the planted dups") {
+    val df = SparkSpec.plantedClusters(spark, n = 1000, c = 20, dim = 16)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "kept_by", "cosine_sim")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    // same TRAINED model, two assignment strategies: on separated
+    // clusters the routed path must reproduce the flat path exactly
+    // (the semanticDedupK hierSwitch argument, now over Lloyd-moved
+    // centroids)
+    val flat = rows(Similarity.semanticDedupTrained(df, tau = 0.99, k = 20, iters = 2))
+    val routed = rows(Similarity.semanticDedupTrained(df, tau = 0.99, k = 20, iters = 2,
+      hierSwitchK = 8))
+    assert(flat == routed, "routed trained dedup must match flat on separated clusters")
+    assert(flat.nonEmpty, "planted near-dups must be found")
+    // the trained partition must find essentially the same DROPPED set
+    // as the init-codebook path — both recover the planted clusters;
+    // only genuine boundary vectors (a handful per thousand on this
+    // fixture) may land in different heuristic cells
+    val initPath = rows(Similarity.semanticDedupK(df, tau = 0.99, k = 20, sampleN = 1000))
+    val (fd, id) = (flat.map(_._1).toSet, initPath.map(_._1).toSet)
+    assert((fd & id).size >= (0.99 * id.size).toInt,
+      s"trained partition misses too many planted duplicates: ${(id -- fd).size} of ${id.size}")
+    // deterministic
+    assert(flat == rows(Similarity.semanticDedupTrained(df, tau = 0.99, k = 20, iters = 2)))
+  }
+
   test("SrpBandSigs == the bucketId column formulation, incl. degenerate inputs") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(24 * 8, 64)
