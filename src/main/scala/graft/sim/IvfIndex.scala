@@ -364,15 +364,21 @@ object IvfIndex {
     * write-temp + FileContext OVERWRITE rename — atomic on
     * HDFS/ABFS/local; see ArtifactIO's doc for the S3A caveat.
     */
+  /** `assigner` reaches both the per-round training assignment and the
+    * saved codes (default flat; pass [[assignHierarchicalExact]] — or
+    * the approximate production router — when the refreshed index runs
+    * at occupancy-scaled k, so a refresh never pays the flat n·k wall).
+    */
   def refreshArtifact(base: String, embeddings: DataFrame, k: Int, iters: Int,
-      init: (DataFrame, Int) => Model = initHash): Model = {
+      init: (DataFrame, Int) => Model = initHash,
+      assigner: (DataFrame, Model) => DataFrame = assign): Model = {
     val spark = embeddings.sparkSession
     graft.core.ArtifactIO.mkdirs(spark, base)
     val next = 1 + graft.core.ArtifactIO.list(spark, base)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .foldLeft(0L)(math.max)
-    val model = trainDistributed(embeddings, init(embeddings, k), iters)
-    save(assign(embeddings, model), model, s"$base/v$next")
+    val model = trainDistributed(embeddings, init(embeddings, k), iters, assigner = assigner)
+    save(assigner(embeddings, model), model, s"$base/v$next")
     graft.core.ArtifactIO.writeAtomicString(spark, s"$base/CURRENT", s"v$next")
     model
   }

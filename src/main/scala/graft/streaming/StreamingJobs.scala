@@ -665,6 +665,27 @@ object StreamingJobs {
   def joinMaintView(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
 
+  /** The join-IVM sinks as ONE foreachBatch over a single TAGGED upsert
+    * stream — the shape a production deployment actually needs: two
+    * independent streaming queries cannot share a version chain (each
+    * numbers its own batches from 0, so their ids collide and the
+    * replay contract breaks), so both tables' upserts arrive on one
+    * stream with a `side` column ('left' rows carry (k, ts, grp),
+    * 'right' rows carry (rk, k, ts, v); the other side's columns are
+    * null). Each micro-batch applies its left rows then its right rows
+    * as the existing delta steps under version ids batchId·2 and
+    * batchId·2+1 — disjoint, ordered, and stable under replay, so the
+    * per-side idempotence carries over verbatim (a redelivered batch
+    * rebuilds both of its versions from the predecessor of batchId·2).
+    * An empty side is a no-op version (deltas vanish, snapshots carry).
+    */
+  def joinMaintSink(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    joinMaintLeftSink(outDir)(
+      batch.filter(col("side") === "left").select("k", "ts", "grp"), batchId * 2)
+    joinMaintRightSink(outDir)(
+      batch.filter(col("side") === "right").select("rk", "k", "ts", "v"), batchId * 2 + 1)
+  }
+
   /** The current CDC snapshot: the highest version directory. */
   def cdcSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val latest = graft.core.ArtifactIO

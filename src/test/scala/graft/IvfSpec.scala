@@ -147,6 +147,23 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("refreshArtifact with the hierarchical assigner produces a bit-equal artifact to flat") {
+    // the occupancy-scaled-k refresh path: training AND the saved codes
+    // go through exhaustive hierarchical routing — artifact must be
+    // indistinguishable from the flat refresh
+    val baseA = java.nio.file.Files.createTempDirectory("ivf_rfA").toString
+    val baseB = java.nio.file.Files.createTempDirectory("ivf_rfB").toString
+    val mA = IvfIndex.refreshArtifact(baseA, emb, k = 16, iters = 1)
+    val mB = IvfIndex.refreshArtifact(baseB, emb, k = 16, iters = 1,
+      assigner = IvfIndex.assignHierarchicalExact)
+    mA.centroids.zip(mB.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "refresh-trained centroids differ between assigners")
+    }
+    def codesOf(base: String) = IvfIndex.loadCurrent(spark, base)._2
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(codesOf(baseA) == codesOf(baseB), "saved codes differ between assigners")
+  }
+
   test("initHash is partitioning-invariant and selects actual corpus vectors") {
     val a = IvfIndex.initHash(emb, 16)
     val b = IvfIndex.initHash(emb.repartition(5), 16)

@@ -606,6 +606,52 @@ class StreamingSpec extends SparkSpec {
     assertClose(view(), recompute(movedOrders, bumped), "right-side value upsert applied by delta")
   }
 
+  test("join-view maintenance driven by ONE tagged upsert stream equals recompute; replay idempotent") {
+    // The production topology: both tables' upserts on a single stream
+    // with a side tag, one foreachBatch, one version chain. Two chunks
+    // so the second micro-batch's deltas run against real prior state.
+    val out = java.nio.file.Files.createTempDirectory("graft-jvm-st").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-jvm-in").toString
+    val orders = graft.core.Tables(spark, sf("sf0.001"), "orders").filter(col("o_orderkey") < 400)
+    val lineitem = graft.core.Tables(spark, sf("sf0.001"), "lineitem").filter(col("l_orderkey") < 400)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")).cast("long"))
+      .persist()
+    def tagged(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame, ts: Long) =
+      o.select(lit("left").as("side"), col("o_orderkey").as("k"),
+          timestamp_seconds(lit(ts)).as("ts"), col("o_orderpriority").as("grp"),
+          lit(null).cast("long").as("rk"), lit(null).cast("double").as("v"))
+        .unionByName(l.select(lit("right").as("side"), col("l_orderkey").as("k"),
+          timestamp_seconds(lit(ts)).as("ts"), lit(null).cast("string").as("grp"),
+          col("rk"), round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).as("v")))
+    tagged(orders.filter(col("o_orderkey") % 2 === 0), lineitem.filter(col("rk") % 2 === 0), 100L)
+      .coalesce(1).write.mode("append").parquet(stage)
+    val q = spark.readStream
+      .schema("side STRING, k LONG, ts TIMESTAMP, grp STRING, rk LONG, v DOUBLE")
+      .parquet(stage)
+      .writeStream.foreachBatch(StreamingJobs.joinMaintSink(out) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-jvm-ck").toString)
+      .start()
+    q.processAllAvailable()
+    tagged(orders.filter(col("o_orderkey") % 2 =!= 0), lineitem.filter(col("rk") % 2 =!= 0), 200L)
+      .coalesce(1).write.mode("append").parquet(stage)
+    q.processAllAvailable(); q.stop()
+    def view() = StreamingJobs.joinMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val want = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)).as("tv"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(view() == want, s"streamed tagged join-IVM diverges: ${view()} vs $want")
+    // at-least-once: redeliver the LAST micro-batch under its own id
+    StreamingJobs.joinMaintSink(out)(
+      tagged(orders.filter(col("o_orderkey") % 2 =!= 0), lineitem.filter(col("rk") % 2 =!= 0), 200L), 1L)
+    assert(view() == want, "replaying the tagged batch changed the view")
+  }
+
   test("readEvents: files landing in a non-nano form under the empty-dir fallback schema fail loudly") {
     // Start the stream over an EMPTY staging dir (schema pinned to raw
     // int64 nanos), then land a file whose int64 ts values are µs-scale
