@@ -698,4 +698,81 @@ k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
 SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
        coalesce(array_to_string(kept, ' '), '') AS clean_text
 FROM k ORDER BY doc_id"""
+
+  /** BENCHMARK DECONTAMINATION against a HELD-OUT SET (the GPT-3
+    * appendix-C / PaLM convention: drop any training document sharing
+    * an n-gram with the evaluation set). q54 is the PAIRWISE form of
+    * this family — it emits contaminated (train, train) doc pairs via
+    * a df-capped shingle self-join; this entry is the other production
+    * shape: one bounded EVAL fingerprint checked against the whole
+    * corpus, no pair generation at all. Docs with doc_id ≡ 0 (mod 97)
+    * stand in for the held-out benchmark; every other document is
+    * audited for 8-token windows that also occur anywhere in the eval
+    * set, and any overlap at all is a 'drop' — the any-hit rule,
+    * because a single shared 8-gram of benchmark text in training data
+    * is leakage, not coincidence. The report keeps every training doc
+    * (hit or not): the 0-hit rows are the evidence the sweep ran over
+    * the whole corpus, and hit_frac separates verbatim inclusions
+    * (≈1.0) from quoted fragments.
+    *
+    * Scale shape: both sides hash windows to one i64 BEFORE any join
+    * (the q131 native WindowHashes single-pass expression — text never
+    * enters a shuffle key). The eval side is benchmark-sized by nature
+    * — thousands of documents regardless of corpus scale — so its
+    * distinct window-hash set BROADCASTS and the contamination check
+    * is a broadcast LEFT SEMI join per window occurrence: the corpus
+    * scan never shuffles at all; only the per-doc hit counts (doc_id,
+    * count) move. At 100 TB this is one pass over the corpus + a
+    * broadcast of the eval fingerprint — the cheapest possible shape
+    * for the operator. Same 1e9+7-modulus collision caveat as q131
+    * (deterministic, oracle-replayed; production swaps in a 128-bit
+    * digest, which only widens the broadcast).
+    */
+  def q164_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val base = docs(s, dir).select(col("doc_id"),
+      org.apache.spark.sql.graft.WindowHashes.windowHashes(
+        Text.tokens(col("text")), W).as("whs"))
+    val win = base.select(col("doc_id"), explode(col("whs")).as("h"))
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val evalHashes = win.filter(isEval).select("h").distinct()
+    val hits = win.filter(!isEval)
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.filter(!isEval)
+      .select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("hit_frac",
+        round(when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_windows")), 6))
+      .withColumn("verdict", when(col("n_hits") > 0, lit("drop")).otherwise(lit("keep")))
+      .select("doc_id", "n_windows", "n_hits", "hit_frac", "verdict")
+      .orderBy("doc_id")
+  }
+
+  /** q131's window-hash replay at W = 8 with the mod-97 eval split:
+    * eval-side distinct hashes, per-training-doc hit counts, any-hit
+    * verdict.
+    */
+  val q164Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+th AS (SELECT doc_id, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
+w AS (SELECT doc_id,
+             CASE WHEN len(hh) >= 8
+                  THEN list_transform(range(0, len(hh) - 8 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 8)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS whs
+      FROM th),
+e AS (SELECT doc_id, unnest(whs) AS h FROM w),
+ev AS (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+hits AS (SELECT e.doc_id, count(*) AS n_hits FROM e JOIN ev USING (h)
+         WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id),
+tot AS (SELECT doc_id, CAST(len(whs) AS BIGINT) AS n_windows FROM w WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, t.n_windows, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CASE WHEN t.n_windows = 0 THEN 0.0
+                  ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_windows END, 6) AS hit_frac,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
 }

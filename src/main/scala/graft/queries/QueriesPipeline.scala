@@ -1167,7 +1167,7 @@ FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
     *     order.
     */
   private[graft] def loaderRead(s: SparkSession, dir: String, W: Int,
-      worker: Int, budget: Long): (DataFrame, String) = {
+      worker: Int, budget: Long, consumed: Long = 0L): (DataFrame, String) = {
     import org.apache.spark.sql.expressions.Window
     val p = PortableHash.MinHashP
     val (a, b) = PortableHash.minHashCoeffs(0)
@@ -1186,24 +1186,29 @@ FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
         Window.partitionBy("epoch").orderBy(col("h"), col("shard_id"))).cast("long"))
       .filter(pmod(col("pos"), lit(W)) === worker)
       .withColumn("cum", sum("sh_tokens").over(Window.partitionBy("epoch").orderBy("pos")))
-      .filter(col("cum") <= budget)
-      .select("epoch", "pos", "shard_id")
+      // resume support (q166): skip the slice prefix already consumed.
+      // consumed = 0 keeps q161's exact original predicate.
+      .filter(col("cum") <= consumed + budget &&
+        (if (consumed > 0) col("cum") > consumed else lit(true)))
+      .select("epoch", "pos", "shard_id", "cum")
     val needed = slice.select("shard_id").distinct()
       .collect().map(_.getLong(0)) // ≤ budget/8192 per epoch — bounded by budget
     val pruned = s.read.parquet(out)
       .filter(col("shard_id").isin(needed.map(java.lang.Long.valueOf).toSeq: _*))
     val result = broadcast(slice)
       .join(pruned.withColumn("shard_id", col("shard_id").cast("long")), Seq("shard_id"))
-      .groupBy("epoch", "pos", "shard_id")
+      .groupBy("epoch", "pos", "shard_id", "cum")
       .agg(count(lit(1)).as("n_docs"), sum("n_bpe").cast("long").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .select("epoch", "pos", "shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .select("epoch", "pos", "shard_id", "cum", "n_docs", "n_tokens",
+        "first_doc", "last_doc")
       .orderBy("epoch", "pos")
     (result, out)
   }
 
   def q161_loader_read(s: SparkSession, dir: String): DataFrame =
     loaderRead(s, dir, W = 4, worker = 1, budget = 20000L)._1
+      .select("epoch", "pos", "shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
 
   /** Oracle: q151's shard assignment grouped to per-shard stats, the
     * q152 hash order keyed by 'shard:<id>', the q155 worker rule, and
@@ -1230,4 +1235,135 @@ ws AS (SELECT * FROM r WHERE pos % 4 = 1),
 bp AS (SELECT *, sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS cum FROM ws)
 SELECT epoch, pos, shard_id, n_docs, n_tokens, first_doc, last_doc
 FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
+
+  /** DOMAIN MIXTURE to a token budget — the static-mixing-weights step
+    * every corpus assembly runs (The Pile's per-source weights, DoReMi's
+    * output): each source domain gets a WEIGHT (here a config stand-in:
+    * weight 3 for every 4th source index, 1 otherwise), the global
+    * budget T = 20000 tokens splits per-domain as ⌊T·w/Σw⌋ (integer
+    * arithmetic — exact), and within a domain documents are admitted in
+    * the deterministic affine-hash order (the q43/q152 zero-RNG
+    * convention: any worker recomputes the selection from the formula
+    * alone) until the inclusive running token sum passes the domain
+    * budget (the q161 inclusive-prefix rule). The report audits, per
+    * domain: weight, budget, docs and tokens admitted, budget
+    * utilization — the numbers that decide whether the mix is
+    * achievable BEFORE a 100 TB materialization runs.
+    *
+    * Scale shape: the per-domain running sum is NOT one window over
+    * each domain (a domain can be most of the corpus — the skew wall):
+    * it is the q152 two-phase form — rank/cumsum within (source,
+    * 1024-wide hash-key bucket), plus a per-(source, bucket) offset
+    * table (|domains|×1024 rows — metadata scale) broadcast back. The
+    * weight/budget table is |domains| rows end to end. The oracle's
+    * naive per-domain window is the semantic twin (exact integers).
+    */
+  def q165_domain_mix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = 20000L
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    val dl = docs(s, dir).select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val wcol = when(pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4)) === 0,
+      lit(3L)).otherwise(lit(1L))
+    val dom = dl.select("source").distinct().withColumn("w", wcol)
+      .withColumn("sw", sum("w").over(
+        Window.orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dom_budget", expr(s"($T * w) div sw"))
+      .select("source", "w", "dom_budget") // |domains| rows — metadata scale
+    val withKey = dl
+      .withColumn("h", (pmod(col("doc_id"), lit(p)) * lit(a) + lit(b)) % lit(p))
+      .withColumn("kb", expr(s"h div ${(p + 1023) / 1024}"))
+    val local = withKey.withColumn("lcum",
+      sum("n_tokens").over(Window.partitionBy("source", "kb")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = withKey.groupBy("source", "kb").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum("bt").over(Window.partitionBy("source").orderBy("kb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "kb", "off") // |domains| × ≤1024 rows — metadata scale
+    val admitted = local.join(broadcast(offsets), Seq("source", "kb"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .join(broadcast(dom), Seq("source"))
+      .filter(col("cum") <= col("dom_budget"))
+    admitted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sel_tokens"))
+      .join(dom, Seq("source"), "right")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("sel_tokens", coalesce(col("sel_tokens"), lit(0L)))
+      .withColumn("util", round(col("sel_tokens").cast("double") / col("dom_budget"), 6))
+      .select("source", "w", "dom_budget", "n_docs", "sel_tokens", "util")
+      .orderBy("source")
+  }
+
+  /** Oracle: the naive per-domain window cumsum in (affine hash,
+    * doc_id) order — the two-phase plan's semantic twin (exact
+    * integers); weights/budgets replayed in integer SQL.
+    */
+  val q165Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+dom AS (SELECT DISTINCT source,
+               CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 4 = 0 THEN 3 ELSE 1 END AS BIGINT) AS w
+        FROM dl),
+bud AS (SELECT source, w, CAST((20000 * w) // (SELECT sum(w) FROM dom) AS BIGINT) AS dom_budget FROM dom),
+k AS (SELECT dl.*, ((doc_id % 2147483647) * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h FROM dl),
+c AS (SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k),
+sel AS (SELECT c.source, c.doc_id, c.n_tokens FROM c JOIN bud USING (source)
+        WHERE c.cum <= bud.dom_budget),
+agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        FROM sel GROUP BY source)
+SELECT b.source, b.w, b.dom_budget,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+       round(CAST(coalesce(a.sel_tokens, 0) AS DOUBLE) / b.dom_budget, 6) AS util
+FROM bud b LEFT JOIN agg a USING (source) ORDER BY b.source"""
+
+  /** MID-EPOCH LOADER RESUME — the crash-recovery half of the q161 read
+    * path: a worker that already consumed the first 20000 tokens of its
+    * epoch slice restarts with (consumed = 20000, budget = 20000) and
+    * must be served exactly the NEXT 20000-token stretch — no replayed
+    * shard, no skipped shard. The slice contract is q161's verbatim
+    * (epoch-keyed hash order over shards, pos ≡ w mod W, inclusive
+    * running token sum); resume just bounds the prefix from both ends:
+    * consumed < cum ≤ consumed + budget. Because the running sum lives
+    * on the MANIFEST (|shards| rows), seeking to the resume point costs
+    * metadata-scale work — the whole point of carrying [start_off,
+    * end_off) in q156 — and the data-scale read stays partition-pruned
+    * to exactly the shards of the resumed stretch (plan-asserted like
+    * q161). slice_cum in the output is the consumption offset after
+    * each served shard — the checkpoint value a loader would persist.
+    */
+  def q166_loader_resume(s: SparkSession, dir: String): DataFrame =
+    loaderRead(s, dir, W = 4, worker = 1, budget = 20000L, consumed = 20000L)._1
+      .withColumnRenamed("cum", "slice_cum")
+      .select("epoch", "pos", "shard_id", "slice_cum", "n_docs", "n_tokens",
+        "first_doc", "last_doc")
+
+  /** q161's oracle with the resume window predicate and the slice_cum
+    * checkpoint column.
+    */
+  val q166Sql: String =
+    raw"""WITH $shardAssignSql,
+g AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+             CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM a GROUP BY shard_id),
+ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (SELECT g.*, CAST(ep.epoch AS INTEGER) AS epoch,
+             ((((${QueriesDedup.polyHashSql("'shard:' || CAST(g.shard_id AS VARCHAR)")}
+                + ep.epoch * 2654435761) % 2147483647 + 2147483647) % 2147483647)
+              * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h
+      FROM g, ep),
+r AS (SELECT epoch, shard_id, n_docs, n_tokens, first_doc, last_doc,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, shard_id) AS BIGINT) AS pos
+      FROM k),
+ws AS (SELECT * FROM r WHERE pos % 4 = 1),
+bp AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS BIGINT) AS slice_cum FROM ws)
+SELECT epoch, pos, shard_id, slice_cum, n_docs, n_tokens, first_doc, last_doc
+FROM bp WHERE slice_cum > 20000 AND slice_cum <= 40000 ORDER BY epoch, pos"""
 }

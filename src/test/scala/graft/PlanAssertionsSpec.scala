@@ -337,6 +337,50 @@ class PlanAssertionsSpec extends SparkSpec {
       s"loader read $readParts of $totalShards shard partitions — nothing was pruned")
   }
 
+  test("q166: the mid-epoch resume read is partition-pruned and disjoint from the consumed prefix") {
+    // Resume must seek: the scan of the shard table carries a shard_id
+    // partition filter and reads fewer partitions than exist, and the
+    // resumed stretch never re-serves a shard of the consumed prefix
+    // (checkpoint-exactness at the slice level).
+    val (prefix, _) = graft.queries.QueriesPipeline.loaderRead(
+      spark, sf("sf0.001"), W = 4, worker = 1, budget = 20000L)
+    // materialize the prefix BEFORE the resume call re-writes the same
+    // tmp shard layout (overwrite invalidates the first plan's files)
+    val served = prefix.select("epoch", "pos").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val (df, out) = graft.queries.QueriesPipeline.loaderRead(
+      spark, sf("sf0.001"), W = 4, worker = 1, budget = 20000L, consumed = 20000L)
+    val resumed = df.collect()
+    assert(resumed.nonEmpty, "resume stretch empty — fixture budget too large")
+    val again = resumed.map(r => (r.getInt(0), r.getLong(1))).filter(served)
+    assert(again.isEmpty, s"resume re-served slice positions: ${again.mkString(", ")}")
+    val scans = planNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(
+          new java.io.File(out).getName)) => f
+    }
+    assert(scans.nonEmpty, "expected a v1 parquet scan of the shard table")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("shard_id")),
+      s"shard_id must prune partitions, got: ${scans.head.partitionFilters}")
+    val totalShards = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("shard_id="))
+    assert(scans.head.metrics("numPartitions").value < totalShards,
+      "resume read swept every shard partition — nothing was pruned")
+  }
+
+  test("q164: the eval fingerprint broadcasts; the corpus window scan never shuffles") {
+    // Decontamination's scale contract: the only join is a broadcast
+    // LEFT SEMI against the eval-set hash fingerprint — the corpus side
+    // must not sort-merge or shuffle for the contamination check (the
+    // lone exchange is the per-doc hit-count aggregation).
+    val df = graft.queries.QueriesDedup.q164_decontaminate(spark, sf("sf0.001"))
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval fingerprint must broadcast into a left-semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never shuffle-join for the contamination check:\n$plan")
+  }
+
   test("q83: centroid pairing broadcasts the tiny centroid table; argmin is partial") {
     val plan = executedPlanString(graft.queries.QueriesAnalytics.q83_nearest_centroid(spark, sf("sf0.001")))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
