@@ -250,16 +250,7 @@ object PqIndex {
       x.foreach { v => s1 += v(i); s2 += v(i) * v(i) }
       (s2 - s1 * s1 / n) / n
     }
-    val sd0 = d / numSub
-    val order = vars.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
-    val bySub = Array.fill(numSub)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    order.zipWithIndex.foreach { case (dim, rank) =>
-      val m = if ((rank / numSub) % 2 == 0) rank % numSub else numSub - 1 - rank % numSub
-      bySub(m) += dim
-    }
-    val perm: Array[Int] = bySub.flatMap(_.toArray) // position p ← original dim perm(p)
-    require(perm.length == d && sd0 * numSub == d, s"dim $d not divisible into $numSub subspaces")
-    var r = Array.tabulate(d, d)((i, p) => if (perm(p) == i) 1.0 else 0.0)
+    var r = snakeRotation(vars, numSub)
     def rotated: Array[Array[Double]] = x.map { v =>
       Array.tabulate(d)(p => { var s = 0.0; var j = 0; while (j < d) { s += v(j) * r(j)(p); j += 1 }; s })
     }
@@ -302,6 +293,182 @@ object PqIndex {
     */
   def rotateCol(emb: Column, r: Array[Array[Double]]): Column =
     VectorExpressions.matVecF32(emb, r)
+
+  /** The q157 variance-balanced snake allocation as a rotation matrix:
+    * dims ranked by variance descending (ties to the lower index), dealt
+    * boustrophedon over the numSub subspaces — Ge et al.'s
+    * eigenvalue-allocation init, shared by [[trainOpq]] (sample
+    * variances) and [[trainOpqDistributed]] (corpus variances).
+    */
+  private def snakeRotation(vars: Array[Double], numSub: Int): Array[Array[Double]] = {
+    val d = vars.length
+    val sd0 = d / numSub
+    val order = vars.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
+    val bySub = Array.fill(numSub)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.zipWithIndex.foreach { case (dim, rank) =>
+      val m = if ((rank / numSub) % 2 == 0) rank % numSub else numSub - 1 - rank % numSub
+      bySub(m) += dim
+    }
+    val perm: Array[Int] = bySub.flatMap(_.toArray) // position p ← original dim perm(p)
+    require(perm.length == d && sd0 * numSub == d, s"dim $d not divisible into $numSub subspaces")
+    Array.tabulate(d, d)((i, p) => if (perm(p) == i) 1.0 else 0.0)
+  }
+
+  /** FULL-CORPUS OPQ — [[trainOpq]]'s alternation with every
+    * corpus-touching step a Spark aggregation, so k·numSub codebook
+    * capacity is no longer limited by what a 2048-row driver sample can
+    * populate (the [[IvfIndex.trainDistributed]] argument, applied to
+    * the rotation trainer). Per OPQ iteration:
+    *
+    *  1. rotate: one narrow [[rotateCol]] map (d² multiply-adds/row,
+    *     float output — the engine's embedding storage type);
+    *  2. codebook fit: pqIters Lloyd rounds, each ONE corpus pass —
+    *     per-subspace assignment via the native [[NearestCentroid]]
+    *     argmin on the subvector slice, then per-(subspace, code)
+    *     component sums;
+    *  3. rotation update: the Procrustes cross-covariance M = XᵀY
+    *     NEVER materializes per-row outer products (d² values/row —
+    *     64× the corpus for d=64): because Y's subspace-m columns are
+    *     the codebook entry c_{m,code_m(x)}, M factors as
+    *     M[:, sub m] = Σ_j S_{m,j} ⊗ c_{m,j} with S_{m,j} = Σ of the
+    *     FULL original x over rows whose subspace-m code is j — so one
+    *     more corpus pass of keyed VECTOR sums (numSub·ksub·d bounded
+    *     stats), and the d×d assembly + polar factor run driver-side
+    *     on metadata-scale state, exactly like trainDistributed's
+    *     k×dim centroid collect.
+    *
+    * Bit-deterministic under any partitioning (hence spec-pinnable):
+    * every double sum — the init variances, the per-(m, code) subspace
+    * sums, the S_{m,j} Procrustes sums — is the repo's TWO-PHASE
+    * ordered fold (fold each 512-id bucket in vec_id order, then the
+    * bucket partials in bucket order); assignment is the deterministic
+    * first-index-tie argmin; the polar factor is the fixed-sweep
+    * one-sided Jacobi. A production variant can drop the ordered folds
+    * for plain map-side-combined sums (partitioning-dependent last-ulp
+    * drift — the trainDistributed trade-off, same note).
+    *
+    * Cost: opqIters × (pqIters + 2) linear corpus passes, driver state
+    * d² + numSub·ksub·d doubles — independent of corpus size. Init R is
+    * the corpus-variance snake ([[snakeRotation]] — same rationale as
+    * [[trainOpq]]: identity init plateaus below the permutation
+    * baseline on energy-concentrated data).
+    */
+  def trainOpqDistributed(embeddings: DataFrame, numSub: Int, ksub: Int,
+      opqIters: Int = 4, pqIters: Int = 2,
+      bucketSize: Long = 512L): (Array[Array[Double]], Model) = {
+    import org.apache.spark.sql.functions.{aggregate => aggr}
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d % numSub == 0, s"dim $d not divisible into $numSub subspaces")
+    val sd = d / numSub
+    val zero = array_repeat(lit(0.0), lit(d))
+
+    // corpus variances by two-phase ordered fold → snake init rotation
+    val vrows = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"),
+      expr(s"vec_id div $bucketSize").as("bucket"))
+    val vp1 = vrows.groupBy("bucket").agg(count(lit(1)).as("cnt"),
+      aggr(array_sort(collect_list(struct(col("vec_id"), col("v")))), zero,
+        (acc, s) => zip_with(acc, s.getField("v"), (a, b) => a + b)).as("s1"),
+      aggr(array_sort(collect_list(struct(col("vec_id"), col("v")))), zero,
+        (acc, s) => zip_with(acc, s.getField("v"), (a, b) => a + b * b)).as("s2"))
+    val vRow = vp1.agg(sum("cnt").as("n"),
+      aggr(array_sort(collect_list(struct(col("bucket"), col("s1")))), zero,
+        (acc, s) => zip_with(acc, s.getField("s1"), (a, b) => a + b)).as("s1"),
+      aggr(array_sort(collect_list(struct(col("bucket"), col("s2")))), zero,
+        (acc, s) => zip_with(acc, s.getField("s2"), (a, b) => a + b)).as("s2"))
+      .head()
+    val n = vRow.getLong(0)
+    require(n >= ksub, s"need at least $ksub vectors, got $n")
+    val s1 = vRow.getSeq[Double](1)
+    val s2 = vRow.getSeq[Double](2)
+    val vars = Array.tabulate(d)(i => (s2(i) - s1(i) * s1(i) / n) / n)
+    var r = snakeRotation(vars, numSub)
+
+    // one Lloyd/stats pass: per-(m, code) counts + ordered-fold sums of
+    // `valueCol` (the rotated subvector for codebook rounds; the full
+    // original x for the Procrustes pass) — numSub·ksub bounded rows.
+    def passStats(rot: DataFrame, cb: Array[Array[Array[Double]]], full: Boolean)
+        : Map[(Int, Int), (Long, Array[Double])] = {
+      val codes = array((0 until numSub).map { m =>
+        org.apache.spark.sql.graft.NearestCentroid.nearest(
+          slice(col("rv"), m * sd + 1, sd), cb(m))
+      }: _*)
+      val width = if (full) d else sd
+      val zeroW = array_repeat(lit(0.0), lit(width))
+      val ex = rot.select(col("vec_id"), col("rv"), col("xv"),
+          expr(s"vec_id div $bucketSize").as("bucket"),
+          posexplode(codes).as(Seq("m", "code")))
+        .select(col("m"), col("code"), col("bucket"), col("vec_id"),
+          (if (full) col("xv")
+           else transform(slice(col("rv"), col("m") * lit(sd) + lit(1), lit(sd)),
+             x => x.cast("double"))).as("sv"))
+      val p1 = ex.groupBy("m", "code", "bucket").agg(count(lit(1)).as("cnt"),
+        aggr(array_sort(collect_list(struct(col("vec_id"), col("sv")))), zeroW,
+          (acc, s) => zip_with(acc, s.getField("sv"), (a, b) => a + b)).as("psum"))
+      val p2 = p1.groupBy("m", "code").agg(sum("cnt").as("cnt"),
+        aggr(array_sort(collect_list(struct(col("bucket"), col("psum")))), zeroW,
+          (acc, s) => zip_with(acc, s.getField("psum"), (a, b) => a + b)).as("ssum"))
+      p2.collect().map { row =>
+        (row.getInt(0), row.getInt(1)) ->
+          (row.getLong(2), row.getSeq[Double](3).toArray)
+      }.toMap
+    }
+
+    def rotDf = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("xv"),
+      VectorExpressions.matVecF32(col("embedding"), r).as("rv"))
+
+    // init codebooks for one alternation: subvectors of the first ksub
+    // rotated vectors in vec_id order (trainFromSample's init rule)
+    def initCb(rot: DataFrame): Array[Array[Array[Double]]] = {
+      val first = rot.orderBy("vec_id").limit(ksub).select("rv").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      Array.tabulate(numSub)(m => first.map(v => v.slice(m * sd, (m + 1) * sd)))
+    }
+
+    def lloyd(rot: DataFrame): Array[Array[Array[Double]]] = {
+      var cb = initCb(rot)
+      (1 to pqIters).foreach { _ =>
+        val st = passStats(rot, cb, full = false)
+        cb = Array.tabulate(numSub) { m =>
+          Array.tabulate(ksub) { j =>
+            st.get((m, j)) match {
+              case Some((cnt, s)) if cnt > 0 => s.map(_ / cnt)
+              case _ => cb(m)(j) // empty cell keeps its previous entry
+            }
+          }
+        }
+      }
+      cb
+    }
+
+    (1 to opqIters).foreach { _ =>
+      val rot = rotDf
+      val cb = lloyd(rot)
+      val sStats = passStats(rot, cb, full = true)
+      // M[:, p ∈ sub m] = Σ_j S_{m,j} ⊗ c_{m,j}
+      val mtx = Array.ofDim[Double](d, d)
+      var m = 0
+      while (m < numSub) {
+        var j = 0
+        while (j < ksub) {
+          sStats.get((m, j)).foreach { case (_, sVec) =>
+            val c = cb(m)(j)
+            var i = 0
+            while (i < d) {
+              var pl = 0
+              while (pl < sd) { mtx(i)(m * sd + pl) += sVec(i) * c(pl); pl += 1 }
+              i += 1
+            }
+          }
+          j += 1
+        }
+        m += 1
+      }
+      r = polarOrtho(mtx)
+    }
+    (r, Model(lloyd(rotDf)))
+  }
 
   /** Orthogonal polar factor of M (the Procrustes minimizer R = U·Vᵀ
     * from M = UΣVᵀ) by ONE-SIDED cyclic Jacobi SVD: rotate column

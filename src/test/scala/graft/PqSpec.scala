@@ -224,6 +224,50 @@ class PqSpec extends SparkSpec {
       s"learned OPQ recall $opqRecall below the q157 variance-balanced bar (0.62)")
   }
 
+  test("distributed OPQ: bit-deterministic under repartitioning, orthogonal, beats raw PQ + the q157 bar") {
+    val fix = energyFix
+    val (r, model) = PqIndex.trainOpqDistributed(fix, numSub = 8, ksub = 16,
+      opqIters = 4, pqIters = 2)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"RᵀR[$i][$j] = $dot")
+    }
+    // the scale property the trainer exists for: the same corpus under a
+    // DIFFERENT partitioning must reproduce R and the codebooks to the
+    // last bit (two-phase ordered folds everywhere)
+    val (r2, model2) = PqIndex.trainOpqDistributed(fix.repartition(7), numSub = 8,
+      ksub = 16, opqIters = 4, pqIters = 2)
+    r.zip(r2).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    model.codebooks.zip(model2.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
+    }
+    // recall panel (the trainOpq judging convention): rotated-space ADC
+    // vs exact kNN on the unrotated fixture
+    def queriesOf(df: org.apache.spark.sql.DataFrame) = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.knnJoinAgg(fix, queriesOf(fix), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(corpus: org.apache.spark.sql.DataFrame, m: PqIndex.Model): Double = {
+      val got = PqIndex.adcTopK(PqIndex.encode(corpus, m), queriesOf(corpus), m, k = 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, want) =>
+        (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+      }.sum / exact.size
+    }
+    val rotated = fix.select(col("vec_id"),
+      PqIndex.rotateCol(col("embedding"), r).as("embedding"))
+    val opqRecall = meanRecall(rotated, model)
+    val rawRecall = meanRecall(fix, PqIndex.train(fix, 8, 16, iters = 2, sampleN = 500))
+    assert(opqRecall > rawRecall,
+      s"distributed OPQ recall $opqRecall must beat same-budget raw PQ $rawRecall")
+    assert(opqRecall >= 0.62,
+      s"distributed OPQ recall $opqRecall below the q157 variance-balanced bar (0.62)")
+  }
+
   test("ADC candidate scan reads codes, not embeddings (and no cartesian on the corpus side)") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
