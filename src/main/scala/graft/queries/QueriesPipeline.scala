@@ -1366,4 +1366,86 @@ ws AS (SELECT * FROM r WHERE pos % 4 = 1),
 bp AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS BIGINT) AS slice_cum FROM ws)
 SELECT epoch, pos, shard_id, slice_cum, n_docs, n_tokens, first_doc, last_doc
 FROM bp WHERE slice_cum > 20000 AND slice_cum <= 40000 ORDER BY epoch, pos"""
+
+  /** HyperLogLog n-gram-diversity rollup — the REGISTER-MAX sketch
+    * algebra beside the bottom-k KMV family (q45/q117/q129): per
+    * (lang, source) the native [[org.apache.spark.sql.graft.HllAgg]]
+    * builds 512 byte registers over the portable 3-gram-shingle hashes
+    * (one pass, m bytes of partial state per group per task — the
+    * shuffle carries registers, never shingles), then the per-LANG
+    * sketch is the ELEMENTWISE MAX of its sources' registers —
+    * associative, commutative, idempotent, so per-shard/per-day
+    * sketches persist and roll up in any order without re-scanning text
+    * (the warehouse pattern that makes approx-distinct viable at
+    * 100 TB). Distinct n-gram count is a standard corpus-diversity
+    * statistic (repetitive corpora have few distinct n-grams per
+    * token), and unlike the 31-word synthetic vocabulary it has real
+    * cardinality — thousands of shingles even at sf0.001 — so the raw
+    * estimator runs in its home regime. The report puts the HLL
+    * estimate next to the exact distinct count and its relative error —
+    * the sketch-health check a pipeline runs before trusting the
+    * estimator at scale.
+    *
+    * Determinism/oracle: register transitions are pure integer
+    * arithmetic on the ~30-bit portable hash (idx = h mod 512, rho =
+    * leading-zero rank in the 21-bit quotient window), and the raw
+    * estimate αm·m²/Σ2^(−M_j) is all dyadic — exact in doubles,
+    * fold-order-independent — so DuckDB replays registers AND estimate
+    * bit-for-bit with no transcendental (the linear-counting
+    * small-range correction needs ln(); production adds it below 2.5m —
+    * at this entry's cardinalities the raw estimator is already home).
+    */
+  def q167_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    val P = 9
+    val words = docs(s, dir).select(col("lang"), col("source"),
+      explode(Text.shingles(Text.tokens(col("text")), 3)).as("word"))
+    val hashed = words.withColumn("h", PortableHash.asciiPolyHash(col("word")))
+    val perSource = hashed.groupBy("lang", "source")
+      .agg(org.apache.spark.sql.graft.HllAgg.hll(col("h"), P).as("regs"))
+    val merged = perSource
+      .select(col("lang"), posexplode(col("regs")).as(Seq("idx", "r")))
+      .groupBy("lang", "idx").agg(max("r").as("r")) // 512 rows/lang — metadata scale
+      .groupBy("lang")
+      .agg(sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_regs_set"),
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)").cast("double")).as("ssum"))
+    val exact = words.groupBy("lang").agg(countDistinct("word").as("n_exact"))
+    merged.join(exact, Seq("lang"))
+      .withColumn("est_raw",
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)))
+          * lit(512.0) * lit(512.0) / col("ssum"))
+      .select(col("lang"), round(col("est_raw"), 6).as("hll_est"),
+        col("n_exact"),
+        round(abs(col("est_raw") - col("n_exact")) / col("n_exact"), 6).as("rel_err"),
+        col("n_regs_set"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the registers recomputed in integer SQL (idx = h mod 512;
+    * rho via length(bin(q)) — exact floor-log2), the same register-max
+    * rollup, and the identical dyadic estimate expression. The oracle's
+    * register table carries only TOUCHED registers, so the zero
+    * registers enter the sum as the (512 − count) correction term —
+    * same exact value.
+    */
+  val q167Sql: String =
+    raw"""WITH tk AS (SELECT lang, source, $ToksSql AS t FROM documents),
+toks AS (SELECT lang, source, array_to_string(t[i:i+2], ' ') AS word
+         FROM (SELECT lang, source, t, unnest(range(1, len(t) - 1)) AS i FROM tk WHERE len(t) >= 3)),
+hh AS (SELECT lang, source, ${QueriesDedup.polyHashSql("word")} AS h FROM toks),
+reg AS (SELECT lang, source, h % 512 AS idx,
+               max(CASE WHEN h // 512 = 0 THEN 22
+                        ELSE 21 - (length(bin(h // 512)) - 1) END) AS r
+        FROM hh GROUP BY lang, source, h % 512),
+mg AS (SELECT lang, idx, max(r) AS r FROM reg GROUP BY lang, idx),
+s AS (SELECT lang,
+             sum(1.0 / CAST(1 << r AS DOUBLE)) + (512 - count(*)) * 1.0 AS ssum,
+             CAST(count(*) AS BIGINT) AS n_regs_set
+      FROM mg GROUP BY lang),
+x AS (SELECT lang, count(DISTINCT word) AS n_exact FROM toks GROUP BY lang),
+e AS (SELECT s.lang, (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / s.ssum AS est_raw,
+             s.n_regs_set, x.n_exact
+      FROM s JOIN x USING (lang))
+SELECT lang, round(est_raw, 6) AS hll_est, CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(est_raw - n_exact) / n_exact, 6) AS rel_err, n_regs_set
+FROM e ORDER BY lang"""
 }

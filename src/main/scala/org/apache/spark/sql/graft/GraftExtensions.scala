@@ -86,7 +86,11 @@ object GraftExtensions {
     ("kmv_sketch",
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
       (es: Seq[Expression]) => KmvAgg(es(0),
-        litInt(es, 1, "kmv_sketch", "k")).toAggregateExpression()))
+        litInt(es, 1, "kmv_sketch", "k")).toAggregateExpression()),
+    ("hll_sketch",
+      new ExpressionInfo(classOf[HllAgg].getName, "hll_sketch"),
+      (es: Seq[Expression]) => HllAgg(es(0),
+        litInt(es, 1, "hll_sketch", "p")).toAggregateExpression()))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
