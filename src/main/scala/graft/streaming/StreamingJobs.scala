@@ -502,6 +502,56 @@ object StreamingJobs {
   def aggMaintView(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
 
+  /** Streaming HLL maintenance — per-group distinct-user register
+    * sketches ([[org.apache.spark.sql.graft.HllAgg]]) maintained under
+    * an event stream: each micro-batch sketches its own rows (one pass,
+    * m bytes of partial state per group) and MERGES into the
+    * predecessor state by elementwise register max (zip_with/greatest —
+    * declarative, m-bounded per group). Register max is associative,
+    * commutative and IDEMPOTENT, which buys this sink a stronger
+    * replay story than the ± delta sinks: a redelivered batch merged
+    * twice changes nothing, so at-least-once delivery needs no
+    * dedup — the version chain (`v=<batchId>` + commit marker, the
+    * aggMaintSink contract) exists for crash atomicity and predecessor
+    * selection, not for correctness of re-merges. State per group is m
+    * bytes FOREVER — the distinct-counting stream job that never grows
+    * state, vs exact streaming countDistinct whose state is the
+    * distinct set itself.
+    */
+  def hllMaintSink(outDir: String, p: Int = 9)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bregs = batch.select(col("event_type"),
+        graft.functions.PortableHash.asciiPolyHash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.graft.HllAgg.hll(col("h"), p).as("regs"))
+    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
+      .filter(_ < batchId).lastOption
+    val merged = prevV match {
+      case Some(v) =>
+        spark.read.parquet(s"$outDir/v=$v")
+          .select(col("event_type"), col("regs").as("__pregs"))
+          .join(bregs, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            when(col("__pregs").isNull, col("regs"))
+              .when(col("regs").isNull, col("__pregs"))
+              .otherwise(zip_with(col("__pregs"), col("regs"),
+                (a, b) => greatest(a, b))).as("regs"))
+      case None => bregs
+    }
+    merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+  }
+
+  /** The maintained sketch view: per group, the current distinct
+    * estimate ([[org.apache.spark.sql.graft.HllAgg.estimateCol]]) and
+    * the registers themselves (for further rollup).
+    */
+  def hllMaintView(spark: SparkSession, outDir: String, p: Int = 9): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}")
+      .select(col("event_type"), col("regs"),
+        round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), p), 6)
+          .as("est_distinct"))
+
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):
     * the maintained view is

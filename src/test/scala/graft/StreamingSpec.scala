@@ -472,6 +472,49 @@ class StreamingSpec extends SparkSpec {
       graft.core.Tables.events(spark, sf("sf0.001")).select("user_id").distinct().count())
   }
 
+  test("streaming HLL maintenance equals the one-shot batch sketch exactly; replays are no-ops") {
+    // Register-max algebra: the maintained state after streaming the
+    // events in two chunks must be BIT-EQUAL to sketching the whole
+    // table at once (not a tolerance comparison — the merge is exact),
+    // and re-running the last batch must change nothing (idempotence).
+    val raw = StreamingJobs.rawEvents(spark, sf("sf0.001"))
+    val cut = raw.selectExpr("CAST(percentile(ts, 0.5) AS LONG)").first().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ev-hll").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-hll-out").toString
+    raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.readEvents(spark, d)
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingJobs.hllMaintSink(out) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hll-ck").toString)
+      .start()
+    q.processAllAvailable()
+    raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable(); q.stop()
+
+    def state() = StreamingJobs.hllMaintView(spark, out)
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val got = state()
+    val want = graft.core.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"),
+        graft.functions.PortableHash.asciiPolyHash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.graft.HllAgg.hll(col("h"), 9).as("regs"))
+      .select(col("event_type"), col("regs"),
+        round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), 9), 6).as("e"))
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, (regs, est)) =>
+      assert(regs == want(g)._1, s"group $g registers diverge from the one-shot sketch")
+      assert(est == want(g)._2, s"group $g estimate not bit-equal")
+    }
+    // idempotence: redeliver EVERY row as one more batch — state unchanged
+    val lastV = graft.core.ArtifactIO.committedVersions(spark, out, "v=").max
+    StreamingJobs.hllMaintSink(out)(
+      graft.core.Tables.events(spark, sf("sf0.001")), lastV + 1)
+    assert(state() == got, "re-merging already-seen rows changed the registers")
+  }
+
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
     // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
     // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
