@@ -100,6 +100,25 @@ object Run {
           println(f"[hiertrain] k=$k $label: 1 round in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       } finally spark.stop()
+    case "opqdist" :: dir :: rest =>
+      // Capacity probe: ONE OPQ alternation (1 Lloyd round + the
+      // Procrustes stats pass + the d×d polar factor) of the
+      // full-corpus trainer, vs the bounded-sample trainer at the same
+      // iteration budget — the SCALING.md evidence that a distributed
+      // alternation costs a constant number of linear corpus passes.
+      val numSub = rest.headOption.map(_.toInt).getOrElse(8)
+      val spark = Sessions.local("graft-opqdist")
+      try {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        var t0 = System.nanoTime()
+        graft.sim.PqIndex.trainOpqDistributed(emb, numSub = numSub, ksub = 16,
+          opqIters = 1, pqIters = 1)
+        println(f"[opqdist] distributed: 1 alternation in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        t0 = System.nanoTime()
+        graft.sim.PqIndex.trainOpq(emb, numSub = numSub, ksub = 16,
+          opqIters = 1, pqIters = 1)
+        println(f"[opqdist] sample-2048: 1 alternation in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query
       // local verification without a full graft.Verify pass.
