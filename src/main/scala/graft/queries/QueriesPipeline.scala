@@ -377,7 +377,12 @@ ORDER BY lang"""
     * narrow keys. Catalyst sees all six stages at once and pipelines
     * the scans; nothing is materialized between stages.
     */
-  def q123_full_pipeline(s: SparkSession, dir: String): DataFrame = {
+  /** q123's chain with every intermediate stage exposed — (stage name,
+    * surviving docs) in pipeline order, so q123 (final splits) and q168
+    * (per-stage attrition funnel) share one definition. Each stage
+    * DataFrame carries n_tokens.
+    */
+  private[graft] def pipelineStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val evalSource = "src0"
     val all = docs(s, dir)
     val toks = Text.tokens(col("text"))
@@ -416,6 +421,12 @@ ORDER BY lang"""
     val contaminated = keptSh.filter(col("source") =!= evalSource)
       .join(evalSh, Seq("sh"), "left_semi").select("doc_id").distinct()
     val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq("raw" -> scored, "quality_gate" -> gated, "exact_dedup" -> deduped,
+      "near_dedup" -> surv, "decontaminated" -> clean)
+  }
+
+  def q123_full_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val clean = pipelineStages(s, dir).last._2
     val slot = pmod(PortableHash.asciiPolyHash(col("doc_id").cast("string")), lit(100))
     clean
       .withColumn("split",
@@ -427,8 +438,9 @@ ORDER BY lang"""
       .orderBy("split", "lang")
   }
 
-  val q123Sql: String =
-    raw"""WITH t AS (
+  /** The oracle chain through `clean` — shared by q123 and q168. */
+  private val pipelineChainSql: String =
+    raw"""t AS (
   SELECT doc_id, source, lang, text, n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len($ToksSql) AS n_tokens,
@@ -470,7 +482,10 @@ keptsh AS (SELECT sh8.doc_id, sh8.source, sh8.s8 FROM sh8 JOIN rare USING (s8)),
 contam AS (SELECT DISTINCT k.doc_id
            FROM keptsh k JOIN (SELECT DISTINCT s8 FROM keptsh WHERE source = 'src0') ev USING (s8)
            WHERE k.source <> 'src0'),
-clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+
+  val q123Sql: String =
+    raw"""WITH $pipelineChainSql,
 sp AS (SELECT lang, n_tokens, doc_id,
               CASE WHEN ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
                    WHEN ${QueriesDedup.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
@@ -1448,4 +1463,63 @@ e AS (SELECT s.lang, (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / s.ssum AS 
 SELECT lang, round(est_raw, 6) AS hll_est, CAST(n_exact AS BIGINT) AS n_exact,
        round(abs(est_raw - n_exact) / n_exact, 6) AS rel_err, n_regs_set
 FROM e ORDER BY lang"""
+
+  /** The ATTRITION FUNNEL of the q123 curation pipeline — the
+    * per-stage observability report every production corpus build ships
+    * with: for each stage (raw → quality gate → exact dedup → near-dup
+    * → decontamination), surviving docs and token mass, docs dropped by
+    * that stage, and the stage's drop fraction. q123 reports only the
+    * end state; a pipeline owner watching a 100 TB build needs to know
+    * WHERE the corpus went — a quality gate suddenly eating 40 % of a
+    * crawl is the alarm this report exists for.
+    *
+    * Scale shape: the stages are [[pipelineStages]]'s single shared DAG
+    * (each stage a keyed semi/anti join off the previous — Catalyst
+    * sees all five aggregates over common subplans); each stage
+    * contributes ONE (count, sum) row, and the funnel arithmetic (lag,
+    * drop fraction) runs on the 5-row result. Nothing new is
+    * materialized: the report costs the pipeline's own DAG plus five
+    * partial-aggregated counts.
+    */
+  def q168_pipeline_attrition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = pipelineStages(s, dir)
+    val rows = stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(name).as("stage"), lit(i).as("stage_order"),
+          col("n_docs"), col("n_tokens"))
+    }
+    val u = rows.reduce(_ unionByName _)
+    val w = Window.orderBy("stage_order") // 5 rows — a driver-scale window
+    u.withColumn("prev", lag("n_docs", 1).over(w))
+      .withColumn("dropped", coalesce(col("prev") - col("n_docs"), lit(0L)))
+      .withColumn("drop_frac",
+        round(when(col("prev").isNull || col("prev") === 0, lit(0.0))
+          .otherwise(col("dropped").cast("double") / col("prev")), 6))
+      .select("stage", "stage_order", "n_docs", "n_tokens", "dropped", "drop_frac")
+      .orderBy("stage_order")
+  }
+
+  /** Oracle: the shared q123 chain, one UNION ALL aggregate per stage,
+    * funnel arithmetic by lag over the 5-row stage table.
+    */
+  val q168Sql: String =
+    raw"""WITH $pipelineChainSql,
+st AS (SELECT 'raw' AS stage, 0 AS stage_order, count(*) AS n_docs,
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM q
+       UNION ALL SELECT 'quality_gate', 1, count(*),
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM gated
+       UNION ALL SELECT 'exact_dedup', 2, count(*),
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM dd
+       UNION ALL SELECT 'near_dedup', 3, count(*),
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv
+       UNION ALL SELECT 'decontaminated', 4, count(*),
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM clean),
+f AS (SELECT *, lag(n_docs) OVER (ORDER BY stage_order) AS prev FROM st)
+SELECT stage, stage_order, n_docs, n_tokens,
+       CAST(coalesce(prev - n_docs, 0) AS BIGINT) AS dropped,
+       round(CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
+                  ELSE CAST(prev - n_docs AS DOUBLE) / prev END, 6) AS drop_frac
+FROM f ORDER BY stage_order"""
 }
