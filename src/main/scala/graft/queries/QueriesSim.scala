@@ -867,9 +867,11 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
       .orderBy("query_id", "rnk")
   }
 
-  val q128Sql: String =
-    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
+  /** The residual-IVF-PQ replay from the `e` CTE (vec_id, v:double[])
+    * onward — shared by q128 (raw corpus) and q169 (permuted corpus).
+    */
+  private val residualIvfPqBodySql: String =
+    raw"""c AS (SELECT vec_id AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM e WHERE vec_id < 16),
 iscores AS (SELECT e.vec_id, c.cid,
                    c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
             FROM e, c),
@@ -914,6 +916,10 @@ f AS (SELECT r.query_id, r.vec_id, r.adc_dist, ${cosSql("e.v", "q.qv")} AS cosin
       FROM r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.query_id = r.query_id
       WHERE r.rnk <= 10)
 SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk"""
+
+  val q128Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+$residualIvfPqBodySql"""
 
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-5 most cosine-similar vectors carrying a DIFFERENT
@@ -1538,9 +1544,14 @@ ORDER BY grid.method, grid.query_id"""
     * known in advance. Recall panel vs unpermuted PQ on the same
     * energy fixture, exact kNN as judge.
     */
-  def q157_pq_balanced(s: SparkSession, dir: String): DataFrame = {
-    val fix = energyFixture(s, dir).persist()
-    val stats = fix.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+  /** The measured variance-balanced snake permutation (q157's rule):
+    * per-dim variance with the round-8 pinning both engines replay,
+    * ranks dealt boustrophedon over 8 subspaces. Shared by q157
+    * (energy fixture) and q169 (raw corpus). Returns position 8m+j →
+    * original dim.
+    */
+  private def snakePermOf(df: DataFrame): Seq[Int] = {
+    val stats = df.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select((col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
       .groupBy("dim")
       .agg(count(lit(1)).cast("double").as("n"), sum("x").as("s1"),
@@ -1555,7 +1566,12 @@ ORDER BY grid.method, grid.query_id"""
       val m = if ((r / 8) % 2 == 0) r % 8 else 7 - r % 8
       bySub(m) += d
     }
-    val perm: Seq[Int] = bySub.toSeq.flatMap(_.toSeq) // position 8m+j → original dim
+    bySub.toSeq.flatMap(_.toSeq)
+  }
+
+  def q157_pq_balanced(s: SparkSession, dir: String): DataFrame = {
+    val fix = energyFixture(s, dir).persist()
+    val perm = snakePermOf(fix)
     pqRecallPanels(fix, Seq("pq_raw" -> fix, "pq_bal" -> permute(fix, perm)))
   }
 
@@ -1713,4 +1729,73 @@ d AS (SELECT vec_id, kept_by, cosine_sim,
              row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rn
       FROM p WHERE cosine_sim >= 0.45)
 SELECT vec_id, kept_by, cosine_sim FROM d WHERE rn = 1 ORDER BY vec_id"""
+
+  /** The FULL PRODUCTION INDEX, composed and persisted end to end —
+    * the capstone over the family's individually-verified pieces:
+    * measured variance-balanced rotation (q157's snake, derived from
+    * THIS corpus's stats) → IVF coarse cells over the rotated space
+    * (q34/q148's init rule) → residual PQ codebooks (q128's faiss
+    * composition) → EVERY artifact persisted (permutation, centroids,
+    * cluster-partitioned codes carrying the PQ codes column, PQ
+    * codebooks) → everything re-LOADED → the query served purely from
+    * loaded artifacts (queries rotated through the loaded permutation,
+    * probes against the loaded centroids, candidates from the loaded
+    * partition-pruned codes, ADC against the loaded codebooks, exact
+    * re-rank from the loaded table's embedding column). A user of the
+    * reference engine migrating an ANN corpus runs exactly this build
+    * once and this serve path forever after.
+    *
+    * Scale shape is the sum of its parts, all previously measured:
+    * stats pass (one posexplode aggregate), rotation (per-row
+    * permutation projection), one assignment pass, the partitioned
+    * write; the serve path reads nprobe/k of the partitions × M bytes
+    * per candidate. Oracle: the q157 permutation prelude feeding the
+    * q128 residual-IVF-PQ body verbatim — persistence is lossless
+    * (doubles/ints/floats round-trip parquet bit-exactly, the
+    * q148/q153 precedent), so the composed SQL replays the served
+    * results bit-for-bit.
+    */
+  def q169_index_full(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val perm = snakePermOf(e)
+    val rot = permute(e, perm)
+    val ivf = IvfIndex.train(rot, k = 16, iters = 0)
+    val pqRes = PqIndex.trainResiduals(rot, ivf, numSub = 8, ksub = 16, iters = 0)
+    val indexed = IvfIndex.assign(rot, ivf)
+      .withColumn("codes", PqIndex.codesCol(
+        PqIndex.residualCol(col("embedding"), col("cluster"), ivf), pqRes))
+    val path = QueriesSources.tmp("graft_q169_idx_", dir)
+    perm.zipWithIndex.map { case (dim, p) => (p, dim) }.toDF("p", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/perm")
+    IvfIndex.save(indexed, ivf, s"$path/ivf") // codes table carries embedding+codes too
+    PqIndex.save(indexed.select(col("vec_id"), col("codes")), pqRes, s"$path/pq")
+    // ---- serve purely from the loaded artifacts ----
+    val permL: Seq[Int] = s.read.parquet(s"$path/perm")
+      .orderBy("p").select("dim").as[Int].collect().toSeq
+    val (ivfL, codesL) = IvfIndex.load(s, s"$path/ivf")
+    val (pqL, _) = PqIndex.load(s, s"$path/pq")
+    val queries = permute(e.filter(col("vec_id") < 5), permL)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    PqIndex.adcTopKIvfResidual(
+      codesL.withColumn("cluster", col("cluster").cast("int")),
+      queries, ivfL, pqL, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the q157 snake-permutation prelude over the RAW corpus
+    * feeding the q128 residual-IVF-PQ body — the artifacts are
+    * lossless, so the composed replay needs no persistence model.
+    */
+  val q169Sql: String =
+    raw"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exd AS (SELECT vec_id, i AS dim, v[i] AS x FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e0)),
+st AS (SELECT dim, round((sum(x * x) - sum(x) * sum(x) / count(*)) / count(*), 8) AS vr
+       FROM exd GROUP BY dim),
+rk AS (SELECT dim, row_number() OVER (ORDER BY vr DESC, dim) - 1 AS r FROM st),
+asn AS (SELECT dim, r, CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS m FROM rk),
+slot AS (SELECT dim, m, row_number() OVER (PARTITION BY m ORDER BY r) - 1 AS j FROM asn),
+pmt AS (SELECT m * 8 + j + 1 AS p, dim FROM slot),
+e AS (SELECT f.vec_id, list(f.v[pmt.dim] ORDER BY pmt.p) AS v FROM e0 f, pmt GROUP BY f.vec_id),
+$residualIvfPqBodySql"""
 }
