@@ -925,10 +925,17 @@ FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
     * returns the read-back of the WRITTEN files, whose plan is just the
     * final aggregate).
     */
-  private[graft] def q151_assignment(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q151_assignment(s: SparkSession, dir: String): DataFrame =
+    assignmentOf(docs(s, dir))
+
+  /** q151's doc→shard assignment over an ARBITRARY (doc_id, text)
+    * corpus — shared by q151/q156/q161/q166 (raw documents) and q170
+    * (the curated corpus).
+    */
+  private[graft] def assignmentOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 8192L
-    val occ = docs(s, dir)
+    val occ = d
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
     val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = graft.text.Bpe.train(vocab, rounds = 5)
@@ -972,10 +979,11 @@ FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
     * start_off // 8192.
     */
   /** Shared oracle prefix: BPE per-doc token counts, the naive global
-    * cumsum, and the shard assignment `a` — reused by q151 and q156.
+    * cumsum, and the shard assignment `a` — reused by q151 and q156,
+    * parameterized on the docs relation for q170.
     */
-  private val shardAssignSql: String =
-    raw"""occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+  private def shardAssignSqlFrom(docsRel: String): String =
+    raw"""occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM $docsRel),
 vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
 w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM vocab),
 ${QueriesText.bpeRoundSql(1, 0)},
@@ -991,6 +999,8 @@ cum AS (SELECT doc_id, n_bpe,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         FROM pd),
 a AS (SELECT doc_id, n_bpe, start_off // 8192 AS shard_id FROM cum)"""
+
+  private val shardAssignSql: String = shardAssignSqlFrom("documents")
 
   val q151Sql: String =
     raw"""WITH $shardAssignSql
@@ -1522,4 +1532,51 @@ SELECT stage, stage_order, n_docs, n_tokens,
        round(CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
                   ELSE CAST(prev - n_docs AS DOUBLE) / prev END, 6) AS drop_frac
 FROM f ORDER BY stage_order"""
+
+  /** The TERMINAL PATH OVER THE CURATED CORPUS — the join the layers
+    * were built for: q123's cleaning chain decides WHAT trains, q151's
+    * shard writer decides HOW it is laid out; this entry composes them,
+    * running the full BPE→offsets→8192-token-shard pipeline (including
+    * the BPE vocabulary TRAINED on the curated text — a cleaned corpus
+    * has a different merge table than the raw one) over exactly the
+    * documents that survive quality gating, exact dedup, near-dup
+    * removal, and decontamination. Same write+read-back report as q151.
+    * A production corpus build runs THIS, not q151-on-raw: the shards
+    * a loader serves must contain only curated text.
+    *
+    * Scale shape: the curation chain is q123's single DAG of keyed
+    * semi/anti joins; the shard path is q151's (vocabulary-bound BPE,
+    * broadcast encode join, two-phase metadata-scale offsets,
+    * shuffle-free partitioned write). Composing them adds one keyed
+    * semi-join (docs ⋉ clean) — nothing new moves.
+    */
+  def q170_clean_shards(s: SparkSession, dir: String): DataFrame = {
+    val S = 8192L
+    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text")
+    val assigned = assignmentOf(clean)
+    val out = QueriesSources.tmp("graft_q170_shards_", dir)
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    s.read.parquet(out)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / S, 6))
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("last_doc"), col("fill"))
+      .orderBy("shard_id")
+  }
+
+  /** Oracle: the q123 chain selects the curated doc set, the q151
+    * machinery (BPE rounds, cumsum, shard cut) runs over it via the
+    * parameterized shard fragment.
+    */
+  val q170Sql: String =
+    raw"""WITH $pipelineChainSql,
+cleandocs AS (SELECT d.doc_id, d.text FROM documents d JOIN clean c USING (doc_id)),
+${shardAssignSqlFrom("cleandocs")}
+SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_bpe) AS DOUBLE) / 8192, 6) AS fill
+FROM a GROUP BY shard_id ORDER BY shard_id"""
 }
