@@ -1192,12 +1192,21 @@ FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
     *     order.
     */
   private[graft] def loaderRead(s: SparkSession, dir: String, W: Int,
+      worker: Int, budget: Long, consumed: Long = 0L): (DataFrame, String) =
+    loaderReadOf(s, q151_assignment(s, dir), dir, "graft_q161_shards_",
+      W, worker, budget, consumed)
+
+  /** The loader serve path over an ARBITRARY shard assignment — shared
+    * by q161/q166 (raw-corpus shards) and q171 (curated-corpus shards).
+    */
+  private[graft] def loaderReadOf(s: SparkSession, assignment: DataFrame,
+      dir: String, tmpPrefix: String, W: Int,
       worker: Int, budget: Long, consumed: Long = 0L): (DataFrame, String) = {
     import org.apache.spark.sql.expressions.Window
     val p = PortableHash.MinHashP
     val (a, b) = PortableHash.minHashCoeffs(0)
-    val assignDf = q151_assignment(s, dir).persist()
-    val out = QueriesSources.tmp("graft_q161_shards_", dir)
+    val assignDf = assignment.persist()
+    val out = QueriesSources.tmp(tmpPrefix, dir)
     assignDf.write.mode("overwrite").partitionBy("shard_id").parquet(out)
     val manifest = assignDf.groupBy("shard_id").agg(sum("n_bpe").as("sh_tokens"))
     assignDf.unpersist()
@@ -1579,4 +1588,47 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        round(CAST(sum(n_bpe) AS DOUBLE) / 8192, 6) AS fill
 FROM a GROUP BY shard_id ORDER BY shard_id"""
+
+  /** CURATE → SHARD → SERVE, closed end to end: the q161 loader
+    * contract (epoch-keyed shard shuffle, worker slice, budget prefix,
+    * partition-pruned read) over the CURATED corpus's shard layout
+    * (q170's assignment). This is the full lifecycle a training job
+    * actually exercises — the raw crawl never reaches a loader; the
+    * cleaned shards do — and every hop is the same previously-verified
+    * machinery, composed: q123's chain picks the docs, q151's writer
+    * cuts the shards, q152/q155's zero-RNG slice formulas pick what
+    * worker 1 reads, and the scan touches only the served shards'
+    * partitions.
+    */
+  def q171_clean_loader(s: SparkSession, dir: String): DataFrame = {
+    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text")
+    loaderReadOf(s, assignmentOf(clean), dir, "graft_q171_shards_",
+      W = 4, worker = 1, budget = 20000L)._1
+      .select("epoch", "pos", "shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+  }
+
+  /** Oracle: q170's curated shard assignment feeding q161's slice/
+    * budget tail verbatim.
+    */
+  val q171Sql: String =
+    raw"""WITH $pipelineChainSql,
+cleandocs AS (SELECT d.doc_id, d.text FROM documents d JOIN clean c USING (doc_id)),
+${shardAssignSqlFrom("cleandocs")},
+g AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, count(*) AS n_docs,
+             CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM a GROUP BY shard_id),
+ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (SELECT g.*, CAST(ep.epoch AS INTEGER) AS epoch,
+             ((((${QueriesDedup.polyHashSql("'shard:' || CAST(g.shard_id AS VARCHAR)")}
+                + ep.epoch * 2654435761) % 2147483647 + 2147483647) % 2147483647)
+              * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h
+      FROM g, ep),
+r2 AS (SELECT epoch, shard_id, n_docs, n_tokens, first_doc, last_doc,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, shard_id) AS BIGINT) AS pos
+      FROM k),
+ws AS (SELECT * FROM r2 WHERE pos % 4 = 1),
+bp AS (SELECT *, sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS cum FROM ws)
+SELECT epoch, pos, shard_id, n_docs, n_tokens, first_doc, last_doc
+FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
 }
