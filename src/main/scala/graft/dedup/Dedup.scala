@@ -388,6 +388,37 @@ object Dedup {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** SOFT dedup: inverse-duplication-frequency resampling. Each member
+    * of a duplicate cluster of size m survives with probability 1/m,
+    * realized deterministically as admission iff
+    * affineHash(doc_id) · m < P — so a cluster contributes one member
+    * in expectation, WHICH member survives is unbiased across the
+    * cluster (keep-first always privileges the smallest id), and
+    * heavily duplicated content is downweighted rather than collapsed.
+    * Singletons (m = 1) always pass since every hash is < P. Returns
+    * the kept set as (doc_id, cluster, n_members).
+    *
+    * Scale: prefix-filtered exact-Jaccard pairs (near-linear
+    * candidates), keyed-join connected components, one keyed size agg,
+    * then a per-row integer predicate — the text column never enters a
+    * shuffle key.
+    */
+  def softDedup(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    val pairs = ngramJaccardPairsPrefix(docs, shingleN, threshold)
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+    val members = cc.join(cc.groupBy("cluster").agg(count(lit(1)).as("n_members")), Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+    docs.select("doc_id")
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+      .withColumn("h", (pmod(col("doc_id"), lit(p)) * lit(a) + lit(b)) % lit(p))
+      .filter(col("h") * col("n_members") < lit(p))
+      .select("doc_id", "cluster", "n_members")
+  }
+
   /** 32-bit SimHash fingerprint per document over its distinct token set,
     * using the portable token hash so fingerprints are engine-reproducible.
     * Two hash-partitioned aggregations; rows = tokens × 32 bits (narrow).

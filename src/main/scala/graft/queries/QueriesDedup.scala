@@ -775,4 +775,50 @@ SELECT t.doc_id, t.n_windows, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                   ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_windows END, 6) AS hit_frac,
        CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
 FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
+
+  /** SOFT dedup: inverse-duplication-frequency resampling (the D4 /
+    * "keep duplicates in proportion, not in full" recipe) instead of
+    * the q46/q91 hard keep-one-representative rule. Every document in
+    * a duplicate cluster of size m survives with probability 1/m —
+    * realized DETERMINISTICALLY as admission iff
+    * affineHash(doc_id) · m < P (the repo's zero-RNG sampling
+    * convention, exact integer arithmetic) — so each cluster
+    * contributes one member in expectation while (unlike keep-first)
+    * WHICH member survives is unbiased across the cluster and heavily
+    * duplicated content is downweighted rather than collapsed to a
+    * single arbitrary exemplar. Singletons (m = 1) always pass:
+    * 1·h < P for every h in [0, P).
+    *
+    * Scale shape: the pair graph is the prefix-filtered exact τ=0.8
+    * generator (q90's operator — near-linear candidates), clustering
+    * is the keyed-join CC, sizes are one keyed agg, and the admission
+    * test is a per-row predicate: no step exceeds the q91 composition
+    * this extends. Cluster sizes follow the dup-cluster join; the
+    * corpus text itself is never shuffled.
+    */
+  def q172_soft_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.softDedup(docs(s, dir), shingleN = 5, threshold = 0.8)
+      .orderBy("doc_id")
+
+  /** Oracle: q91's recursive-CTE clusters at τ=0.8, singletons filled
+    * in by a left join, then the identical integer admission test.
+    */
+  val q172Sql: String = {
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    raw"""WITH RECURSIVE pairs AS (${jaccardOracle(5, "0.8")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM n
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM c GROUP BY cluster),
+m AS (SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster)),
+ad AS (SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster,
+              CAST(coalesce(m.n_members, 1) AS BIGINT) AS n_members,
+              ((d.doc_id % 2147483647) * $a + $b) % 2147483647 AS h
+       FROM documents d LEFT JOIN m USING (doc_id))
+SELECT doc_id, cluster, n_members FROM ad
+WHERE h * n_members < 2147483647 ORDER BY doc_id"""
+  }
 }

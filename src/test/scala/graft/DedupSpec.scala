@@ -148,6 +148,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup: admission equals the 1/m hash rule exactly; singletons always survive") {
+    import graft.functions.PortableHash
+    // Planted clusters with disjoint vocabularies: sizes 6, 3, and 20
+    // singletons. Identical texts -> Jaccard 1.0 pairs, so cluster
+    // structure is known exactly.
+    val cl6 = (0 until 6).map(i => (100L + i, "alpha beta gamma delta epsilon zeta eta"))
+    val cl3 = (0 until 3).map(i => (200L + i, "omicron pi rho sigma tau upsilon phi"))
+    // Letter-only tokens: the corpus tokenizer splits on non-letters,
+    // so digits inside a token would merge all "unique" docs into one.
+    val singles = (0 until 20).map(i => (300L + i,
+      (0 until 7).map(j => s"uniq${('a' + i).toChar}x${('a' + j).toChar}").mkString(" ")))
+    val df = (cl6 ++ cl3 ++ singles).toDF("doc_id", "text")
+    val out = Dedup.softDedup(df, shingleN = 5, threshold = 0.8)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // Test-side replay of the admission rule.
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
+    def keepExpected(id: Long, m: Long): Boolean = ((id % p) * a + b) % p * m < p
+    val truth = (cl6.map(_._1 -> ((100L, 6L))) ++ cl3.map(_._1 -> ((200L, 3L))) ++
+      singles.map(_._1 -> ((0L, 1L)))).toMap
+    truth.foreach { case (id, (cluster0, m)) =>
+      val expectCluster = if (m == 1L) id else cluster0
+      if (keepExpected(id, m)) {
+        assert(out.contains(id), s"doc $id (m=$m) should be admitted")
+        assert(out(id) == ((expectCluster, m)), s"doc $id labeled ${out(id)}, want ($expectCluster, $m)")
+      } else assert(!out.contains(id), s"doc $id (m=$m) should be dropped")
+    }
+    // Singletons always pass (h*1 < P for all h) — all 20 present.
+    assert(singles.forall(s => out.contains(s._1)), "a singleton was dropped")
+    // Determinism: a second run over a repartitioned input is identical.
+    val again = Dedup.softDedup(df.repartition(7), shingleN = 5, threshold = 0.8)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(again == out)
+  }
+
   test("simhash: near-identical docs get close fingerprints, disjoint docs do not collide") {
     val df = Seq(
       (1L, "spark query plan join filter scan data table row column"),
