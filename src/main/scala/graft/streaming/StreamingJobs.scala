@@ -263,6 +263,46 @@ object StreamingJobs {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming eval-set DECONTAMINATION — the ingestion-time face of
+    * the q164 batch check: every arriving document is screened against
+    * a STATIC eval/benchmark fingerprint (the distinct W-token window
+    * hashes of the eval corpus) and labeled keep/drop by the any-hit
+    * rule, with the same n_windows/n_hits/hit_frac observables.
+    *
+    * Shape, chosen for ZERO streaming state: the eval side is
+    * benchmark-sized by nature (thousands of documents regardless of
+    * corpus scale), so its fingerprint collapses to ONE static row
+    * holding the sorted distinct hash array; the stream side
+    * cross-joins that row — a stream-static join with a one-row static
+    * side, stateless and re-planned per microbatch — and the hit count
+    * is a per-row HOF over the document's own window hashes. No
+    * watermark, no state store, append mode: each document is labeled
+    * exactly once, in the microbatch it arrives.
+    *
+    * 100 TB note: array_contains over the eval array is a linear probe
+    * per window; at production eval sizes swap the array for a Bloom
+    * filter (or binary search in a native expression) — the join shape
+    * and the no-state story are unchanged.
+    */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame, W: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.WindowHashes
+    import graft.text.Text
+    val evalRow = evalDocs
+      .select(explode(WindowHashes.windowHashes(Text.tokens(col("text")), W)).as("h"))
+      .distinct()
+      .agg(sort_array(collect_list(col("h"))).as("eval_hs")) // one row, benchmark-sized
+    docs
+      .withColumn("whs", WindowHashes.windowHashes(Text.tokens(col("text")), W))
+      .crossJoin(evalRow)
+      .select(col("doc_id"), col("ts"),
+        size(col("whs")).cast("long").as("n_windows"),
+        size(filter(col("whs"), h => array_contains(col("eval_hs"), h))).cast("long").as("n_hits"))
+      .withColumn("hit_frac",
+        round(when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_windows")), 6))
+      .withColumn("verdict", when(col("n_hits") > 0, lit("drop")).otherwise(lit("keep")))
+  }
+
   /** Streaming ANN SERVING: an unbounded query-vector stream probing a
     * STATIC embedding corpus — the online face of Similarity.annLshTopK.
     * The corpus is banded ONCE (bucket id per vector, same fixed-seed

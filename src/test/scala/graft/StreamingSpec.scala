@@ -170,6 +170,39 @@ class StreamingSpec extends SparkSpec {
       s"join state tracks stream length, not horizon: $stateRows of $unbounded banded rows")
   }
 
+  test("streaming decontamination equals batch q164 and holds zero state") {
+    // Non-eval documents streamed in two chunks against the static eval
+    // fingerprint (the q164 mod-97 split). Every label must equal the
+    // batch decontamination row for row, and the job must hold NO
+    // streaming state at all (stream-static join with a one-row static
+    // side + per-row HOFs) — the telemetry check pins that.
+    val all = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val evalDocs = all.filter(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text")
+    val train = all.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") * 60))
+      .select("doc_id", "ts", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft-decon-stream").toString
+    val n = all.count()
+    train.filter(col("doc_id") < n / 2).coalesce(1).write.mode("append").parquet(d)
+    val q = StreamingJobs.decontaminateStream(StreamingJobs.readDocs(spark, d), evalDocs)
+      .writeStream.outputMode("append").format("memory").queryName("decon").start()
+    q.processAllAvailable()
+    train.filter(col("doc_id") >= n / 2).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps == null || stateOps.isEmpty || stateOps.forall(_.numRowsTotal == 0),
+      s"decontamination should be stateless, found state: ${stateOps.map(_.numRowsTotal).mkString(",")}")
+    q.stop()
+    val got = spark.table("decon")
+      .select("doc_id", "n_windows", "n_hits", "hit_frac", "verdict")
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    val batch = graft.queries.QueriesDedup.q164_decontaminate(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(batch.exists(_._3 > 0), "fixture has no contaminated docs — test is vacuous")
+    assert(got == batch,
+      s"streaming vs batch decontamination diverge: extra=${(got -- batch).take(3)} missing=${(batch -- got).take(3)}")
+  }
+
   test("streaming ANN serving equals batch annLshTopK per query") {
     // 20 query vectors streamed 30s apart against the static embedding
     // corpus; a far-future flusher query advances the watermark so every
