@@ -435,4 +435,84 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
   }
+
+  /** Boilerplate removal at non-overlapping chunk granularity — the
+    * CCNet/RefinedWeb "duplicated lines" filter adapted to a corpus
+    * whose text carries no line structure: the document is cut into
+    * consecutive `c`-token chunks (the tail chunk short rather than
+    * padded, q133's convention) and a chunk occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate — removed from every
+    * document that carries it, including repeats within one document.
+    * The frequency threshold is what distinguishes this from span-level
+    * dedup ([[removeSpans]]): a span duplicated once is content worth
+    * keeping exactly once; a chunk showing up across `minDocs`+
+    * documents is template/header material that should survive nowhere.
+    *
+    * Output per input document: chunk counts, removal counts, and the
+    * RECONSTRUCTED text of the surviving tokens (so a gate hashes the
+    * transform, not just the bookkeeping).
+    *
+    * Scale shape: chunk hashes are per-row HOFs (no shuffle); the
+    * document-frequency count shuffles (chunk_hash, doc_id) longs; the
+    * boilerplate set joins back on the hash key; removal positions
+    * aggregate per doc_id; the text itself moves only through the final
+    * doc_id-keyed join — never on a content key. No step is wider than
+    * the narrow keyed aggregations the other dedup operators bound.
+    */
+  def removeBoilerplate(docs: DataFrame, c: Int, minDocs: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("nch", expr(s"(size(toks) + ${c - 1}) div $c").cast("int"))
+      .withColumn("chs", when(col("nch") > 0,
+        transform(sequence(lit(0), col("nch") - 1), i =>
+          PortableHash.asciiPolyHash(concat_ws(" ", slice(col("toks"), i * c + 1, lit(c))))))
+        .otherwise(array().cast("array<bigint>")))
+    val occ = base.select(col("doc_id"), posexplode(col("chs")).as(Seq("ci", "h")))
+    val boiler = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    val removed = occ.join(boiler, Seq("h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("ci"))).as("rem"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("rem", coalesce(col("rem"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (_, j) =>
+        !array_contains(col("rem"), floor(j.cast("double") / c).cast("int"))))
+      .select(col("doc_id"),
+        col("nch").cast("long").as("n_chunks"),
+        size(col("rem")).cast("long").as("n_boiler"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Keep the HIGHEST-QUALITY member of every duplicate cluster (the
+    * RefinedWeb refinement of keep-min-id): clusters are connected
+    * components over the prefix-filtered exact Jaccard pair graph (the
+    * [[softDedup]] generator), and the survivor is the member maximizing
+    * `quality` (doc_id ascending on ties). `quality` is caller-supplied
+    * as a (doc_id, z) frame so the operator stays independent of any one
+    * scoring recipe. Singletons survive trivially with their own score.
+    *
+    * Scale shape: identical to [[softDedup]] up to cluster labeling (no
+    * O(n²) step, text never shuffles); the arg-max is a row_number
+    * window PARTITIONed BY cluster — partitions are cluster-sized, never
+    * corpus-sized.
+    */
+  def bestExemplar(docs: DataFrame, shingleN: Int, threshold: Double,
+      quality: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairsPrefix(docs, shingleN, threshold)
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+    val members = cc.join(cc.groupBy("cluster").agg(count(lit(1)).as("n_members")), Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+    val labeled = docs.select("doc_id")
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+      .join(quality.select(col("doc_id"), col("z")), Seq("doc_id"))
+    val w = Window.partitionBy("cluster").orderBy(col("z").desc, col("doc_id").asc)
+    labeled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cluster", "n_members", "z")
+  }
 }

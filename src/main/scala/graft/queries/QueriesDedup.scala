@@ -821,4 +821,77 @@ ad AS (SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster,
 SELECT doc_id, cluster, n_members FROM ad
 WHERE h * n_members < 2147483647 ORDER BY doc_id"""
   }
+
+  /** Boilerplate chunk removal — the CCNet "remove duplicated lines"
+    * filter at 5-token chunk granularity (this corpus has no line
+    * structure): a chunk occurring in ≥ 3 DISTINCT documents is
+    * template material and is removed wherever it appears; the output
+    * carries the reconstructed text so the gate hashes the transform.
+    * Frequency-thresholded (≥ 3 docs) is what separates this from
+    * q149's span REMOVAL: q149 keeps the globally-first occurrence of
+    * any duplicated span; boilerplate survives NOWHERE — a header
+    * present in 300 documents should not be kept even once.
+    */
+  def q173_boilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeBoilerplate(docs(s, dir), c = 5, minDocs = 3)
+      .orderBy("doc_id")
+
+  /** Oracle: chunk cut by integer arithmetic, the portable chunk-string
+    * hash, distinct-doc frequency, and index-lambda reconstruction
+    * (DuckDB's list lambdas index 1-based; Spark's 0-based — the
+    * (i-1)//5 below vs floor(j/5) in the operator). The q149 lesson
+    * applies: array_to_string of an empty list is NULL in DuckDB, so
+    * the fully-boilerplate document coalesces to ''.
+    */
+  val q173Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+n AS (SELECT doc_id, tk, CAST((len(tk) + 4) // 5 AS BIGINT) AS nch FROM t),
+ch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+       FROM (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM n)),
+hh AS (SELECT doc_id, ci, ${polyHashSql("chunk")} AS h FROM ch),
+boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM hh GROUP BY h) WHERE df >= 3),
+rem AS (SELECT doc_id, list_sort(list(DISTINCT ci)) AS rem FROM hh JOIN boiler USING (h) GROUP BY doc_id),
+fin AS (SELECT n.doc_id, n.tk, n.nch, coalesce(rem.rem, CAST([] AS BIGINT[])) AS rem
+        FROM n LEFT JOIN rem USING (doc_id)),
+k AS (SELECT doc_id, tk, nch, rem,
+             list_filter(tk, (x, i) -> NOT list_contains(rem, (i - 1) // 5)) AS kept
+      FROM fin)
+SELECT doc_id, nch AS n_chunks, CAST(len(rem) AS BIGINT) AS n_boiler,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM k ORDER BY doc_id"""
+
+  /** Quality-arg-max dedup: every τ=0.8 duplicate cluster keeps its
+    * HIGHEST-quality member (q140's logit score z, doc_id on ties)
+    * instead of an arbitrary exemplar — the RefinedWeb-style refinement
+    * of keep-min-id, and the hard-dedup counterpart of q172's soft
+    * resampling. Survivors are reported with their cluster, its size,
+    * and the winning score.
+    */
+  def q174_best_exemplar(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestExemplar(docs(s, dir), shingleN = 5, threshold = 0.8,
+        quality = QueriesText.qualityZ(docs(s, dir)))
+      .orderBy("doc_id")
+
+  /** Oracle: q91's recursive-CTE clusters, q140's spliced z CTEs, and a
+    * window arg-max with the identical (z DESC, doc_id) tie order.
+    */
+  val q174Sql: String =
+    raw"""WITH RECURSIVE pairs AS (${jaccardOracle(5, "0.8")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nn AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM nn
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM c GROUP BY cluster),
+m AS (SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster)),
+${QueriesText.QualityZSql},
+ad AS (SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster,
+              CAST(coalesce(m.n_members, 1) AS BIGINT) AS n_members
+       FROM documents d LEFT JOIN m USING (doc_id)),
+j AS (SELECT ad.doc_id, ad.cluster, ad.n_members, z.z FROM ad JOIN z USING (doc_id)),
+k AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY z DESC, doc_id) AS rn FROM j)
+SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
 }

@@ -1295,8 +1295,6 @@ FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
   def q165_domain_mix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val T = 20000L
-    val p = PortableHash.MinHashP
-    val (a, b) = PortableHash.minHashCoeffs(0)
     val dl = docs(s, dir).select(col("doc_id"), col("source"),
       size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
     val wcol = when(pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4)) === 0,
@@ -1306,6 +1304,21 @@ FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
         Window.orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("dom_budget", expr(s"($T * w) div sw"))
       .select("source", "w", "dom_budget") // |domains| rows — metadata scale
+    budgetAdmitReport(dl, dom)
+  }
+
+  /** Shared tail of the domain-mixing entries (q165 static weights,
+    * q175 temperature weights): admit each domain's documents in the
+    * deterministic affine-hash order until its token budget is spent,
+    * the running sum in the q152 two-phase (source, 1024-wide hash
+    * bucket) form — no domain-sized window partition anywhere — and
+    * report per-domain selection counts and budget utilization.
+    * `dom` is (source, w, dom_budget), metadata-scale by construction.
+    */
+  private def budgetAdmitReport(dl: DataFrame, dom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = PortableHash.MinHashP
+    val (a, b) = PortableHash.minHashCoeffs(0)
     val withKey = dl
       .withColumn("h", (pmod(col("doc_id"), lit(p)) * lit(a) + lit(b)) % lit(p))
       .withColumn("kb", expr(s"h div ${(p + 1023) / 1024}"))
@@ -1341,6 +1354,59 @@ FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
 dom AS (SELECT DISTINCT source,
                CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 4 = 0 THEN 3 ELSE 1 END AS BIGINT) AS w
         FROM dl),
+bud AS (SELECT source, w, CAST((20000 * w) // (SELECT sum(w) FROM dom) AS BIGINT) AS dom_budget FROM dom),
+k AS (SELECT dl.*, ((doc_id % 2147483647) * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h FROM dl),
+c AS (SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k),
+sel AS (SELECT c.source, c.doc_id, c.n_tokens FROM c JOIN bud USING (source)
+        WHERE c.cum <= bud.dom_budget),
+agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        FROM sel GROUP BY source)
+SELECT b.source, b.w, b.dom_budget,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+       round(CAST(coalesce(a.sel_tokens, 0) AS DOUBLE) / b.dom_budget, 6) AS util
+FROM bud b LEFT JOIN agg a USING (source) ORDER BY b.source"""
+
+  /** TEMPERATURE-scaled domain mixing — q165's admission machinery with
+    * DATA-DRIVEN weights w_d ∝ tokens_d^(1/2), the α = 0.5 sampling
+    * exponent of the multilingual-LM recipe (XLM / mBERT): small
+    * domains are upweighted relative to proportional sampling, large
+    * ones damped, without any hand-set weight table. The exponent is
+    * realized as the INTEGER isqrt — w_d = ⌊√tokens_d⌋ via the
+    * correctly-rounded IEEE sqrt, exact for token counts far below
+    * 2^52 — so every downstream number (Σw, budgets, admission) stays
+    * in the exact-integer regime both engines reproduce bit-for-bit;
+    * a fractional exponent through pow() would not be portable.
+    *
+    * Scale shape: identical to q165 — per-domain token sums are one
+    * keyed aggregation, the weight/budget table is |domains| rows, and
+    * admission reuses the two-phase running sum (no domain-sized
+    * window partition).
+    */
+  def q175_temp_mix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = 20000L
+    val dl = docs(s, dir).select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val dom = dl.groupBy("source").agg(sum("n_tokens").as("tok"))
+      .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
+      .withColumn("sw", sum("w").over(
+        Window.orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dom_budget", expr(s"($T * w) div sw"))
+      .select("source", "w", "dom_budget") // |domains| rows — metadata scale
+    budgetAdmitReport(dl, dom)
+  }
+
+  /** Oracle: q165's replay with the isqrt weight derivation — floor of
+    * the IEEE sqrt on both engines, then identical integer arithmetic.
+    */
+  val q175Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+ds AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok FROM dl GROUP BY source),
+dom AS (SELECT source, CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS w FROM ds),
 bud AS (SELECT source, w, CAST((20000 * w) // (SELECT sum(w) FROM dom) AS BIGINT) AS dom_budget FROM dom),
 k AS (SELECT dl.*, ((doc_id % 2147483647) * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h FROM dl),
 c AS (SELECT source, doc_id, n_tokens,

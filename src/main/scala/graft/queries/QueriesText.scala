@@ -761,13 +761,18 @@ FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
     * before the sigmoid and p before bucketing (the round-before-order
     * rule) so cross-engine libm ulps cannot flip a bucket boundary.
     */
-  def q140_quality_logit(s: SparkSession, dir: String): DataFrame = {
+  /** The q140 logit's linear score z as a reusable (doc_id, z) frame —
+    * shared by q140's calibration histogram and q174's quality-arg-max
+    * exemplar selection, so "quality" means the same number everywhere.
+    * z is rounded to 6 places HERE (before any consumer), which is what
+    * makes downstream comparisons engine-reproducible.
+    */
+  private[queries] def qualityZ(d: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
     val nTok = size(toks).cast("long")
     val nStop = Text.markerCount(toks, Text.EnglishMarkers)
-    val f = docs(s, dir)
-      .select(col("doc_id"), col("n_chars"), alpha.as("alpha"),
+    d.select(col("doc_id"), col("n_chars"), alpha.as("alpha"),
         nTok.as("n_tokens"), nStop.as("n_stop"))
       .select(col("doc_id"),
         when(col("n_chars") === 0, 0.0)
@@ -780,18 +785,17 @@ FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
       .withColumn("z", round(lit(-2.0) + lit(3.0) * col("alpha_ratio")
         + lit(2.0) * col("stop_ratio") + lit(1.5) * col("len_feat")
         + lit(0.5) * col("size_feat"), 6))
-      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-    f.withColumn("bucket", least(floor(col("p") * 10).cast("long"), lit(9L)))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg("p"), 6).as("avg_p"),
-        round(min("z"), 6).as("min_z"),
-        round(max("z"), 6).as("max_z"))
-      .orderBy("bucket")
+      .select("doc_id", "z")
   }
 
-  val q140Sql: String =
-    raw"""WITH t AS (
+  /** The matching DuckDB CTE chain (t, feat, z) producing (doc_id, z) —
+    * the fragment form so q140 and q174 splice identical score SQL.
+    * A def, not a val: QueriesDedup.q174Sql splices it while QueriesText
+    * itself splices QueriesDedup.polyHashSql — a val on either side of
+    * that cycle is null during the other object's initialization.
+    */
+  private[queries] def QualityZSql: String =
+    raw"""t AS (
   SELECT doc_id, n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len($ToksSql) AS n_tokens,
@@ -804,7 +808,22 @@ feat AS (
          least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END) / 10.0, 1.0) AS len_feat,
          least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS size_feat
   FROM t),
-z AS (SELECT doc_id, round(-2.0 + 3.0 * alpha_ratio + 2.0 * stop_ratio + 1.5 * len_feat + 0.5 * size_feat, 6) AS z FROM feat),
+z AS (SELECT doc_id, round(-2.0 + 3.0 * alpha_ratio + 2.0 * stop_ratio + 1.5 * len_feat + 0.5 * size_feat, 6) AS z FROM feat)"""
+
+  def q140_quality_logit(s: SparkSession, dir: String): DataFrame = {
+    val f = qualityZ(docs(s, dir))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+    f.withColumn("bucket", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("p"), 6).as("avg_p"),
+        round(min("z"), 6).as("min_z"),
+        round(max("z"), 6).as("max_z"))
+      .orderBy("bucket")
+  }
+
+  val q140Sql: String =
+    raw"""WITH $QualityZSql,
 p AS (SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z),
 b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket, z, p FROM p)
 SELECT bucket, count(*) AS n_docs, round(avg(p), 6) AS avg_p,

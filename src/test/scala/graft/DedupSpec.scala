@@ -192,4 +192,82 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
   }
+
+  test("removeBoilerplate: frequency-thresholded chunk removal matches planted truth") {
+    // Chunk size 5, minDocs 3. boiler = a 5-token chunk planted as the
+    // HEAD chunk of docs 1,2,3 (df=3 -> removed everywhere); pair = a
+    // chunk shared by docs 4,5 only (df=2 -> kept); doc 6 repeats a
+    // chunk twice WITHIN itself (df=1 -> kept: within-doc repetition is
+    // not boilerplate); doc 7 is 100% boilerplate and must reconstruct
+    // to the empty string.
+    val boiler = "alpha beta gamma delta epsilon"
+    val pair = "omicron pi rho sigma tau"
+    val self = "kappa lambda mu nu xi"
+    val df = Seq(
+      (1L, s"$boiler one two three four five"),
+      (2L, s"$boiler six seven eight nine ten"),
+      (3L, s"$boiler eleven twelve thirteen fourteen fifteen"),
+      (4L, s"$pair aaa bbb ccc ddd eee"),
+      (5L, s"$pair fff ggg hhh iii jjj"),
+      (6L, s"$self $self"),
+      (7L, boiler)).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(df, c = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((2L, 1L, 10L, 5L, "one two three four five")))
+    assert(out(2L) == ((2L, 1L, 10L, 5L, "six seven eight nine ten")))
+    assert(out(3L) == ((2L, 1L, 10L, 5L, "eleven twelve thirteen fourteen fifteen")))
+    // df=2 chunk survives in both carriers.
+    assert(out(4L) == ((2L, 0L, 10L, 0L, s"$pair aaa bbb ccc ddd eee")))
+    assert(out(5L)._2 == 0L)
+    // within-doc repeat survives (df counts DISTINCT docs).
+    assert(out(6L) == ((2L, 0L, 10L, 0L, s"$self $self")))
+    // fully-boilerplate doc reconstructs to ''.
+    assert(out(7L) == ((1L, 1L, 5L, 5L, "")))
+    // Determinism under repartitioning.
+    val again = Dedup.removeBoilerplate(df.repartition(7), c = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(again == out.map { case (k, v) => k -> v._5 })
+  }
+
+  test("removeBoilerplate: a boilerplate chunk is removed at EVERY occurrence in a carrier") {
+    // Chunk "alpha..epsilon" appears in 3 docs (df=3) and TWICE in doc 1
+    // (chunks 0 and 2): both positions must go.
+    val b = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, s"$b one two three four five $b"),
+      (2L, s"$b aaa bbb ccc ddd eee"),
+      (3L, s"$b fff ggg hhh iii jjj")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(df, c = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(5)))).toMap
+    assert(out(1L) == ((2L, "one two three four five")))
+    assert(out(2L) == ((1L, "aaa bbb ccc ddd eee")))
+  }
+
+  test("bestExemplar: each cluster keeps its max-quality member, ties to smaller id") {
+    // Two identical-text clusters (Jaccard 1.0 internally) plus
+    // singletons; quality is caller-supplied, so plant scores directly.
+    val cl = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (10L, "omicron pi rho sigma tau upsilon phi"),
+      (11L, "omicron pi rho sigma tau upsilon phi"),
+      (20L, "uniq unique solo only single lone alone"))
+    val df = cl.toDF("doc_id", "text")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5), (20L, -1.0))
+      .toDF("doc_id", "z")
+    val out = Dedup.bestExemplar(df, shingleN = 5, threshold = 0.8, quality)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Cluster {1,2,3}: max z = 0.9 shared by 2 and 3 -> doc 2 wins the tie.
+    // Cluster {10,11}: tie at 0.5 -> doc 10. Singleton 20 survives at any z.
+    assert(out.keySet == Set(2L, 10L, 20L))
+    assert(out(2L) == ((1L, 3L, 0.9)))
+    assert(out(10L) == ((10L, 2L, 0.5)))
+    assert(out(20L) == ((20L, 1L, -1.0)))
+    // Determinism under repartitioning.
+    val again = Dedup.bestExemplar(df.repartition(5), shingleN = 5, threshold = 0.8, quality)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == out.keySet)
+  }
 }
