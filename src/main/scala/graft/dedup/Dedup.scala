@@ -460,19 +460,41 @@ object Dedup {
     * the narrow keyed aggregations the other dedup operators bound.
     */
   def removeBoilerplate(docs: DataFrame, c: Int, minDocs: Int): DataFrame = {
-    val base = docs
+    val boiler = chunkOccurrences(docs, c)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    applyBoilerplate(docs, boiler, c)
+  }
+
+  /** (doc_id, ci, h) — the portable hash of every consecutive `c`-token
+    * chunk, the tail chunk short rather than padded. The shared chunk
+    * extraction of [[removeBoilerplate]] / [[applyBoilerplate]] and the
+    * streaming df-maintenance sink. Per-row HOFs only — no shuffle.
+    */
+  def chunkOccurrences(docs: DataFrame, c: Int): DataFrame =
+    chunkBase(docs, c).select(col("doc_id"), posexplode(col("chs")).as(Seq("ci", "h")))
+
+  private def chunkBase(docs: DataFrame, c: Int): DataFrame =
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("nch", expr(s"(size(toks) + ${c - 1}) div $c").cast("int"))
       .withColumn("chs", when(col("nch") > 0,
         transform(sequence(lit(0), col("nch") - 1), i =>
           PortableHash.asciiPolyHash(concat_ws(" ", slice(col("toks"), i * c + 1, lit(c))))))
         .otherwise(array().cast("array<bigint>")))
+
+  /** Remove every chunk whose hash is in `boiler` (a 1-column `h` frame
+    * — e.g. the [[removeBoilerplate]] threshold set, or a streamed
+    * df-maintenance view) and reconstruct the surviving text. Split out
+    * so an INGEST path can clean new batches against an ACCUMULATED
+    * boilerplate set without recomputing corpus frequencies.
+    */
+  def applyBoilerplate(docs: DataFrame, boiler: DataFrame, c: Int): DataFrame = {
+    val base = chunkBase(docs, c)
     val occ = base.select(col("doc_id"), posexplode(col("chs")).as(Seq("ci", "h")))
-    val boiler = occ.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("h")
-    val removed = occ.join(boiler, Seq("h"))
+    val removed = occ.join(boiler.select("h"), Seq("h"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("ci"))).as("rem"))
     base.join(removed, Seq("doc_id"), "left")
       .withColumn("rem", coalesce(col("rem"), array().cast("array<int>")))

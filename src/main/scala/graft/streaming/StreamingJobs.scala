@@ -592,6 +592,52 @@ object StreamingJobs {
         round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), p), 6)
           .as("est_distinct"))
 
+  /** Streaming BOILERPLATE frequency maintenance — the incremental half
+    * of [[graft.dedup.Dedup.removeBoilerplate]]: arriving documents'
+    * c-token chunk hashes increment a persistent (h, df) table, df
+    * counting DISTINCT carrier documents (distinct is taken within the
+    * batch; across batches the crawl-ingest contract applies — each
+    * doc_id arrives in exactly one batch, the q100-family assumption,
+    * so per-batch distinct sums are corpus distinct). Version-chained
+    * with the [[graft.core.ArtifactIO]] commit marker and the standard
+    * replay contract: a REDELIVERED batch rebuilds from its predecessor
+    * version and overwrites its own — a crash/retry never double-counts.
+    *
+    * The view at `minDocs` is the accumulated boilerplate set; cleaning
+    * any batch against it via [[graft.dedup.Dedup.applyBoilerplate]]
+    * reproduces the one-shot batch transform (spec'd) without ever
+    * recomputing corpus-wide frequencies — per batch the cost is the
+    * batch's chunks plus a keyed merge into the touched df rows.
+    */
+  def boilerMaintSink(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bdf = graft.dedup.Dedup.chunkOccurrences(batch, c)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
+      .filter(_ < batchId).lastOption
+    val merged = prevV match {
+      case Some(v) =>
+        spark.read.parquet(s"$outDir/v=$v")
+          .select(col("h"), col("df").as("__pdf"))
+          .join(bdf, Seq("h"), "full_outer")
+          .select(col("h"),
+            (coalesce(col("__pdf"), lit(0L)) + coalesce(col("df"), lit(0L))).as("df"))
+      case None => bdf
+    }
+    merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+  }
+
+  /** The accumulated boilerplate set: chunk hashes whose document
+    * frequency has reached `minDocs` — the `boiler` input
+    * [[graft.dedup.Dedup.applyBoilerplate]] expects.
+    */
+  def boilerMaintView(spark: SparkSession, outDir: String, minDocs: Int): DataFrame =
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}")
+      .filter(col("df") >= minDocs)
+      .select("h", "df")
+
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):
     * the maintained view is

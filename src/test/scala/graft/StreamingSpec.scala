@@ -548,6 +548,46 @@ class StreamingSpec extends SparkSpec {
     assert(state() == got, "re-merging already-seen rows changed the registers")
   }
 
+  test("streamed boilerplate df-maintenance equals the batch frequency table; cleaning through the view equals the one-shot transform") {
+    // Documents arrive in three batches (each doc exactly once — the
+    // crawl-ingest contract); the maintained (h, df) table must equal
+    // the one-shot distinct-doc frequency count, the minDocs view must
+    // equal removeBoilerplate's threshold set, and applyBoilerplate
+    // against the view must reproduce the one-shot transform.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-boiler-out").toString
+    (0 until 3).foreach { i =>
+      StreamingJobs.boilerMaintSink(out)(docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+    }
+    val view = StreamingJobs.boilerMaintView(spark, out, minDocs = 3)
+    val gotSet = view.select("h").collect().map(_.getLong(0)).toSet
+    val wantDf = graft.dedup.Dedup.chunkOccurrences(docs, 5)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val wantSet = wantDf.filter(col("df") >= 3).collect().map(_.getLong(0)).toSet
+    assert(gotSet == wantSet, "streamed boilerplate set diverges from the batch threshold set")
+    assert(gotSet.nonEmpty, "degenerate fixture: no boilerplate at minDocs=3")
+    // full df table equality, not just the thresholded view
+    val fullGot = spark.read.parquet(
+      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullWant = wantDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fullGot == fullWant, "maintained df table diverges from one-shot counts")
+    // cleaning through the accumulated view == the one-shot transform
+    val viaView = graft.dedup.Dedup.applyBoilerplate(docs, view, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val oneShot = graft.dedup.Dedup.removeBoilerplate(docs, 5, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(viaView == oneShot)
+    // replay contract: redelivering the LAST batch under its own batchId
+    // rebuilds from the predecessor — state unchanged
+    StreamingJobs.boilerMaintSink(out)(docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+    val replayed = spark.read.parquet(
+      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == fullWant, "batch replay double-counted document frequencies")
+  }
+
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
     // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
     // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
