@@ -39,9 +39,9 @@ FROM kept GROUP BY lang ORDER BY lang"""
     * Any pair with J > 0 shares a shingle, so the inverted-index join is
     * exact; Jaccard is a ratio of exact integers — no float drift.
     */
-  private def jaccardOracle(n: Int, threshold: String): String = {
+  private def jaccardOracle(n: Int, threshold: String, table: String = "documents"): String = {
     val last = n - 1
-    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM $table),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+$last], ' ') AS s
        FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${last - 1})) AS i FROM toks WHERE len(t) >= $n)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -892,6 +892,77 @@ ad AS (SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster,
               CAST(coalesce(m.n_members, 1) AS BIGINT) AS n_members
        FROM documents d LEFT JOIN m USING (doc_id)),
 j AS (SELECT ad.doc_id, ad.cluster, ad.n_members, z.z FROM ad JOIN z USING (doc_id)),
+k AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY z DESC, doc_id) AS rn FROM j)
+SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
+
+  /** ROUND-9 CURATION COMPOSITION — boilerplate removal FEEDING
+    * exemplar selection: the corpus is first cleaned of ≥3-doc
+    * template chunks (q173's transform), then near-dup clustered and
+    * quality-arg-maxed OVER THE CLEANED TEXT — clusters, quality
+    * scores, and survivors are all computed on what would actually
+    * train, not on the raw crawl. Ordering matters and is the point:
+    * boilerplate inflates both Jaccard similarity (shared template
+    * chunks create spurious pairs) and quality features, so a pipeline
+    * that dedups before cleaning keeps different — worse — documents.
+    *
+    * Scale shape: strictly the q173 + q174 plans composed; the cleaned
+    * text flows doc_id-keyed between stages and never shuffles on
+    * content.
+    */
+  def q176_boiler_exemplar(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.removeBoilerplate(docs(s, dir), c = 5, minDocs = 3)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    Dedup.bestExemplar(cleaned, shingleN = 5, threshold = 0.8,
+        quality = QueriesText.qualityZ(cleaned))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the q173 chain (b-prefixed CTEs) materializes the cleaned
+    * table; pairs/clusters/z replay the q174 CTEs against it (the z
+    * chain restated q-prefixed because its canonical fragment is bound
+    * to `documents`).
+    */
+  val q176Sql: String =
+    raw"""WITH RECURSIVE bt AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+bn AS (SELECT doc_id, tk, CAST((len(tk) + 4) // 5 AS BIGINT) AS nch FROM bt),
+bch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+        FROM (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM bn)),
+bhh AS (SELECT doc_id, ci, ${polyHashSql("chunk")} AS h FROM bch),
+bboiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM bhh GROUP BY h) WHERE df >= 3),
+brem AS (SELECT doc_id, list(DISTINCT ci) AS rem FROM bhh JOIN bboiler USING (h) GROUP BY doc_id),
+bfin AS (SELECT bn.doc_id, bn.tk, coalesce(brem.rem, CAST([] AS BIGINT[])) AS rem
+         FROM bn LEFT JOIN brem USING (doc_id)),
+cd AS (SELECT doc_id,
+              coalesce(array_to_string(
+                list_filter(tk, (x, i) -> NOT list_contains(rem, (i - 1) // 5)), ' '), '') AS text
+       FROM bfin),
+cdn AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM cd),
+pairs AS (${jaccardOracle(5, "0.8", "cdn")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nn AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM nn
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM c GROUP BY cluster),
+m AS (SELECT c.doc_id, c.cluster, sz.n_members FROM c JOIN sz USING (cluster)),
+qt AS (SELECT doc_id, n_chars,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+              len($ToksSql) AS n_tokens,
+              len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+       FROM cdn),
+qfeat AS (SELECT doc_id,
+                 CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+                 CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+                 least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END) / 10.0, 1.0) AS len_feat,
+                 least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS size_feat
+          FROM qt),
+qz AS (SELECT doc_id, round(-2.0 + 3.0 * alpha_ratio + 2.0 * stop_ratio + 1.5 * len_feat + 0.5 * size_feat, 6) AS z FROM qfeat),
+ad AS (SELECT cdn.doc_id, coalesce(m.cluster, cdn.doc_id) AS cluster,
+              CAST(coalesce(m.n_members, 1) AS BIGINT) AS n_members
+       FROM cdn LEFT JOIN m USING (doc_id)),
+j AS (SELECT ad.doc_id, ad.cluster, ad.n_members, qz.z FROM ad JOIN qz USING (doc_id)),
 k AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY z DESC, doc_id) AS rn FROM j)
 SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
 }
