@@ -910,9 +910,15 @@ SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
     * content.
     */
   def q176_boiler_exemplar(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: the cleaned corpus is consumed three ways (pair
+    // generation, cluster labeling, quality scoring) — at production
+    // scale this stage is materialized between jobs anyway, and without
+    // it the whole boilerplate chain re-executes per consumer (measured
+    // 63 s → 35 s at the 8× probe, 13 s → 9 s at sf0.1).
     val cleaned = Dedup.removeBoilerplate(docs(s, dir), c = 5, minDocs = 3)
       .select(col("doc_id"), col("clean_text").as("text"),
         length(col("clean_text")).cast("long").as("n_chars"))
+      .persist()
     Dedup.bestExemplar(cleaned, shingleN = 5, threshold = 0.8,
         quality = QueriesText.qualityZ(cleaned))
       .orderBy("doc_id")
