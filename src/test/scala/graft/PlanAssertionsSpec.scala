@@ -717,6 +717,39 @@ class PlanAssertionsSpec extends SparkSpec {
     buf.toSeq
   }
 
+  test("q173: boilerplate frequency machinery shuffles longs; text moves at most once, doc_id-keyed") {
+    // The df count, threshold set, and removal positions all travel as
+    // (doc_id, ci, h, df) longs; the only exchange allowed to carry the
+    // token payload is the final doc_id-keyed join that rebuilds the
+    // text (the q149 convention: text moves ONCE, never on content).
+    val exchanges = shuffleOutputs(graft.dedup.Dedup.removeBoilerplate(
+      graft.core.Tables(spark, sf("sf0.001"), "documents"), c = 5, minDocs = 3))
+    assert(exchanges.nonEmpty, "expected the df-count and removal shuffles")
+    val textish = exchanges.filter(_.exists(n =>
+      n.startsWith("text") || n.startsWith("toks") || n.startsWith("chs") ||
+        n.startsWith("kept") || n.startsWith("clean_text")))
+    assert(textish.size <= 1,
+      s"token payload may cross at most the one reconstruction join: $exchanges")
+    exchanges.filterNot(textish.contains).foreach { e =>
+      assert(e.forall(n => n.startsWith("doc_id") || n.startsWith("ci") ||
+        n.startsWith("h") || n.startsWith("df") || n.startsWith("rem") ||
+        n.startsWith("count") || n.startsWith("buf")), // buf = collect_set
+        s"frequency-machinery exchange carries unexpected columns: $e") // partial-agg buffer of int positions
+    }
+  }
+
+  test("q176: the clean-then-dedup composition never builds a cartesian product") {
+    // Pairs come from the shingle equi-join over the CLEANED text;
+    // cluster labeling is keyed joins; the arg-max is a cluster-
+    // partitioned window — end to end, no pairwise enumeration.
+    val plan = executedPlanString(
+      graft.queries.QueriesDedup.q176_boiler_exemplar(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"),
+      "q176 must not build a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q176 must not fall back to a nested-loop join")
+  }
+
   test("q151: text never shuffles, and only the vocabulary reduce shuffles words") {
     // The shard writer's contract: after encoding, everything that moves
     // between stages is doc-level longs. The document text is consumed
