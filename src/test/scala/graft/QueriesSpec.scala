@@ -9,10 +9,26 @@ import graft.queries.Queries
   */
 class QueriesSpec extends SparkSpec {
 
+  /** Queries allowed to plan a nested-loop/cartesian node — each one a
+    * BOUNDED broadcast cross join by construction (a grid, an epoch
+    * table, a fixed query panel), audited in PlanAssertionsSpec or the
+    * entry's own doc. Everything else in the catalog must stay keyed.
+    */
+  private val BoundedCrossJoinAllowed: Set[String] = QueriesSpec.BoundedCrossJoinAllowed
+
   Queries.all.foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sf("sf0.001"))
       assert(df.count() > 0, s"$name returned no rows")
+      // Catalog-wide plan lint: no query may plan an unkeyed pair scan
+      // unless it is on the bounded-cross-join whitelist above. Planning
+      // only — the execution above already proved the query runs.
+      if (!BoundedCrossJoinAllowed(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unkeyed pair join (not on the bounded whitelist)")
+      }
     }
   }
 
@@ -135,4 +151,31 @@ class QueriesSpec extends SparkSpec {
         s"corr() and the moment formula disagree for $k: $c vs ${fromMoments(k)}")
     }
   }
+}
+
+object QueriesSpec {
+  /** Every member's nested-loop node has a BOUNDED broadcast side —
+    * a fixed query panel, a calendar/bin grid, an epoch/weights/sketch
+    * table — never data × data. Grouped by the bounded table that
+    * justifies membership; any query NOT listed here is asserted to
+    * plan keyed joins only.
+    */
+  val BoundedCrossJoinAllowed: Set[String] = Set(
+    // fixed query panel × corpus (the brute-force / serving baselines)
+    "q17_cosine_knn", "q26_knn_join", "q83_nearest_centroid",
+    "q93_payload_knn", "q110_bm25", "q112_ann_recall", "q119_pq_ann",
+    "q121_sq_ann", "q124_sparse_cosine", "q126_compressed_recall",
+    "q127_pq_trained", "q134_hard_negatives", "q138_residual_clustered",
+    "q139_hybrid_rrf", "q153_pq_saved", "q154_pq_rotated",
+    "q157_pq_balanced", "q160_pq_lut",
+    // calendar / grid / bin tables (gapfill, histograms, windows)
+    "q63_gapfill_hours", "q68_price_histogram", "q84_locf_daily",
+    "q115_equidepth", "q129_sliding_kmv",
+    // broadcast model/weight/offset tables (sketches, LM, sampling,
+    // projections)
+    "q114_bigram_logprob", "q117_kmv_rollup", "q130_mixture_sample",
+    "q135_jl_projection", "q137_negative_sampling",
+    // 2-row epoch / W-row worker tables (the loader family)
+    "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
+    "q166_loader_resume", "q171_clean_loader")
 }
