@@ -243,4 +243,31 @@ SELECT lang, CAST(cum_before // 4096 AS BIGINT) AS bin,
        count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
+
+  /** ORC roundtrip — the third columnar interchange format after
+    * parquet (q82) and the row formats (q86 CSV, q87 JSONL): write the
+    * documents table as ORC, read it back, aggregate per (lang,
+    * source). ORC ships in Spark's core jars (warehouse estates mix
+    * parquet and ORC freely), so the source/sink matrix should cover
+    * it; the oracle aggregates the original table directly — the
+    * roundtrip's losslessness IS the claim (DuckDB reads no ORC).
+    */
+  def q177_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_q177_orc_", dir)
+    Tables(s, dir, "documents").write.mode("overwrite").orc(out)
+    s.read.schema(DocsSchema).orc(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("lang", "source")
+  }
+
+  val q177Sql: String =
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY lang, source ORDER BY lang, source"""
 }
