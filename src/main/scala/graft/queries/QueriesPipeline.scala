@@ -1627,7 +1627,12 @@ FROM f ORDER BY stage_order"""
     */
   def q170_clean_shards(s: SparkSession, dir: String): DataFrame = {
     val S = 8192L
-    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text")
+    // Persisted: the shard assignment consumes the curated text several
+    // times (vocabulary count, encode join, per-doc reduce), and without
+    // the persist each pass re-executes the whole cleaning chain — the
+    // q176 lesson; at production scale this stage is a materialized
+    // artifact between the curation job and the shard writer.
+    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text").persist()
     val assigned = assignmentOf(clean)
     val out = QueriesSources.tmp("graft_q170_shards_", dir)
     assigned.write.mode("overwrite").partitionBy("shard_id").parquet(out)
@@ -1667,7 +1672,8 @@ FROM a GROUP BY shard_id ORDER BY shard_id"""
     * partitions.
     */
   def q171_clean_loader(s: SparkSession, dir: String): DataFrame = {
-    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text")
+    // Persisted for the same multi-consumer reason as q170.
+    val clean = pipelineStages(s, dir).last._2.select("doc_id", "text").persist()
     loaderReadOf(s, assignmentOf(clean), dir, "graft_q171_shards_",
       W = 4, worker = 1, budget = 20000L)._1
       .select("epoch", "pos", "shard_id", "n_docs", "n_tokens", "first_doc", "last_doc")
