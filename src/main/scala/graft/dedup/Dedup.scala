@@ -480,10 +480,11 @@ object Dedup {
     docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("nch", expr(s"(size(toks) + ${c - 1}) div $c").cast("int"))
-      .withColumn("chs", when(col("nch") > 0,
-        transform(sequence(lit(0), col("nch") - 1), i =>
-          PortableHash.asciiPolyHash(concat_ws(" ", slice(col("toks"), i * c + 1, lit(c))))))
-        .otherwise(array().cast("array<bigint>")))
+      // Native one-pass chunk hashing (the WindowHashes lesson): values
+      // identical to asciiPolyHash(concat_ws(" ", slice(toks, i*c+1, c)))
+      // per chunk — DedupSpec pins the equality against the HOF spelling.
+      .withColumn("chs",
+        org.apache.spark.sql.graft.ChunkHashes.chunkHashes(col("toks"), c))
 
   /** Remove every chunk whose hash is in `boiler` (a 1-column `h` frame
     * — e.g. the [[removeBoilerplate]] threshold set, or a streamed

@@ -244,6 +244,29 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, "aaa bbb ccc ddd eee")))
   }
 
+  test("ChunkHashes: native one-pass values equal the HOF asciiPolyHash-of-concat_ws spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    // Real corpus text (sf0.001) so token lengths, tail chunks, and
+    // empty-token docs all occur; both spellings computed side by side
+    // for several chunk sizes, equality required cell-for-cell.
+    val toks = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+    for (c <- Seq(1, 3, 5, 8)) {
+      val nch = expr(s"(size(toks) + ${c - 1}) div $c").cast("int")
+      val hof = when(nch > 0,
+        transform(sequence(lit(0), nch - 1), i =>
+          PortableHash.asciiPolyHash(concat_ws(" ", slice(col("toks"), i * c + 1, lit(c))))))
+        .otherwise(array().cast("array<bigint>"))
+      val bad = toks.select(col("doc_id"),
+          org.apache.spark.sql.graft.ChunkHashes.chunkHashes(col("toks"), c).as("native"),
+          hof.as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(bad == 0L, s"native/HOF chunk hashes diverge at c=$c on $bad docs")
+    }
+  }
+
   test("bestExemplar: each cluster keeps its max-quality member, ties to smaller id") {
     // Two identical-text clusters (Jaccard 1.0 internally) plus
     // singletons; quality is caller-supplied, so plant scores directly.
