@@ -595,37 +595,52 @@ object StreamingJobs {
   /** Streaming BOILERPLATE frequency maintenance — the incremental half
     * of [[graft.dedup.Dedup.removeBoilerplate]]: arriving documents'
     * c-token chunk hashes increment a persistent (h, df) table, df
-    * counting DISTINCT carrier documents (distinct is taken within the
-    * batch; across batches the crawl-ingest contract applies — each
-    * doc_id arrives in exactly one batch, the q100-family assumption,
-    * so per-batch distinct sums are corpus distinct). Version-chained
-    * with the [[graft.core.ArtifactIO]] commit marker and the standard
-    * replay contract: a REDELIVERED batch rebuilds from its predecessor
-    * version and overwrites its own — a crash/retry never double-counts.
+    * counting DISTINCT carrier documents. Distinctness holds under
+    * at-least-once delivery ACROSS batches, not just within one: the
+    * state carries a served-ids table alongside the df table, and a
+    * batch's rows anti-join it before counting — a document redelivered
+    * in a LATER batch contributes nothing (the q100 exact-ingest
+    * machinery; at scale both state tables are doc_id-/h-keyed narrow
+    * longs, bucketed so the anti-join is a pruned keyed probe). The
+    * two tables are version-chained as `v=<batchId>/{df, ids}` behind
+    * the [[graft.core.ArtifactIO]] commit marker (written AFTER both —
+    * a crash between the writes leaves an uncommitted version no
+    * reader selects), with the standard replay contract: a REDELIVERED
+    * batch rebuilds from its predecessor version and overwrites its
+    * own — a crash/retry never double-counts either table.
     *
     * The view at `minDocs` is the accumulated boilerplate set; cleaning
     * any batch against it via [[graft.dedup.Dedup.applyBoilerplate]]
     * reproduces the one-shot batch transform (spec'd) without ever
     * recomputing corpus-wide frequencies — per batch the cost is the
-    * batch's chunks plus a keyed merge into the touched df rows.
+    * batch's chunks plus keyed merges into the touched df/ids rows.
     */
   def boilerMaintSink(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val bdf = graft.dedup.Dedup.chunkOccurrences(batch, c)
-      .select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
     val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
       .filter(_ < batchId).lastOption
-    val merged = prevV match {
+    val novel = prevV match {
       case Some(v) =>
-        spark.read.parquet(s"$outDir/v=$v")
+        batch.join(spark.read.parquet(s"$outDir/v=$v/ids"), Seq("doc_id"), "left_anti")
+      case None => batch
+    }
+    val bdf = graft.dedup.Dedup.chunkOccurrences(novel, c)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val (mergedDf, mergedIds) = prevV match {
+      case Some(v) =>
+        val df = spark.read.parquet(s"$outDir/v=$v/df")
           .select(col("h"), col("df").as("__pdf"))
           .join(bdf, Seq("h"), "full_outer")
           .select(col("h"),
             (coalesce(col("__pdf"), lit(0L)) + coalesce(col("df"), lit(0L))).as("df"))
-      case None => bdf
+        val ids = spark.read.parquet(s"$outDir/v=$v/ids")
+          .unionByName(novel.select("doc_id")).distinct()
+        (df, ids)
+      case None => (bdf, batch.select("doc_id").distinct())
     }
-    merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+    mergedDf.write.mode("overwrite").parquet(s"$outDir/v=$batchId/df")
+    mergedIds.write.mode("overwrite").parquet(s"$outDir/v=$batchId/ids")
     graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
   }
 
@@ -634,7 +649,7 @@ object StreamingJobs {
     * [[graft.dedup.Dedup.applyBoilerplate]] expects.
     */
   def boilerMaintView(spark: SparkSession, outDir: String, minDocs: Int): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}")
+    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/df")
       .filter(col("df") >= minDocs)
       .select("h", "df")
 

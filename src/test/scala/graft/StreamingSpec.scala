@@ -568,9 +568,10 @@ class StreamingSpec extends SparkSpec {
     assert(gotSet == wantSet, "streamed boilerplate set diverges from the batch threshold set")
     assert(gotSet.nonEmpty, "degenerate fixture: no boilerplate at minDocs=3")
     // full df table equality, not just the thresholded view
-    val fullGot = spark.read.parquet(
-      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}")
+    def dfTable() = spark.read.parquet(
+      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}/df")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullGot = dfTable()
     val fullWant = wantDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fullGot == fullWant, "maintained df table diverges from one-shot counts")
     // cleaning through the accumulated view == the one-shot transform
@@ -582,10 +583,31 @@ class StreamingSpec extends SparkSpec {
     // replay contract: redelivering the LAST batch under its own batchId
     // rebuilds from the predecessor — state unchanged
     StreamingJobs.boilerMaintSink(out)(docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
-    val replayed = spark.read.parquet(
-      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(replayed == fullWant, "batch replay double-counted document frequencies")
+    assert(dfTable() == fullWant, "batch replay double-counted document frequencies")
+    // CROSS-BATCH at-least-once: a LATER batch redelivering already-seen
+    // docs (half of batch 0, all of batch 1) is screened by the served-ids
+    // anti-join — the df table must not move
+    val redelivered = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    StreamingJobs.boilerMaintSink(out)(redelivered, 3L)
+    assert(dfTable() == fullWant,
+      "cross-batch redelivery of already-served docs inflated document frequencies")
+    // ...while a later batch mixing redelivered + genuinely new docs
+    // counts only the new ones (served ids drive the screen, not batch
+    // boundaries): plant two fresh docs carrying an already-boiler chunk
+    val planted = Seq((900001L, "x"), (900002L, "y")).toDF("doc_id", "text")
+    StreamingJobs.boilerMaintSink(out)(
+      planted.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2).select("doc_id", "text")), 4L)
+    val after = dfTable()
+    // the redelivered two-thirds contributed nothing; each planted doc
+    // added its own single-token chunk with df=1
+    val extra = after.view.filterKeys(!fullWant.contains(_)).toMap
+    assert(extra.values.forall(_ == 1L) && extra.size == 2,
+      s"expected exactly the two planted chunks at df=1, got $extra")
+    assert(after.view.filterKeys(fullWant.contains).toMap == fullWant,
+      "pre-existing chunk frequencies moved on a mixed redelivery batch")
   }
 
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
