@@ -32,6 +32,55 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("whitelisted cross joins are actually bounded: min side <= 10k rows at runtime") {
+    // The whitelist above claims each nested-loop node cross-joins
+    // against a panel/grid/epoch table that is bounded BY CONSTRUCTION.
+    // This test makes the claim empirical: execute each whitelisted
+    // query, read the runtime numOutputRows metric nearest each
+    // nested-loop node's children, and assert the smaller side stayed
+    // tiny (observed max 62 at sf0.001; the 10k bound leaves room for
+    // larger grids without ever admitting a data x data join).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    // Nearest descendant with a populated numOutputRows — the row count
+    // feeding the join from that side. -1 = unexecuted/reused subtree
+    // with no metric (no evidence either way; skipped).
+    def nearestRows(p: SparkPlan): Long = {
+      var frontier = Seq(p)
+      while (frontier.nonEmpty) {
+        val vals = frontier.flatMap(_.metrics.get("numOutputRows").map(_.value))
+        if (vals.nonEmpty) return vals.min
+        frontier = frontier.flatMap(kids)
+      }
+      -1L
+    }
+    val offenders = QueriesSpec.BoundedCrossJoinAllowed.toSeq.sorted.flatMap { name =>
+      val df = Queries.all(name)(spark, sf("sf0.001"))
+      df.collect()
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      var measured = List.empty[Long]
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+        val cn = p.getClass.getSimpleName
+        if (cn.contains("BroadcastNestedLoopJoin") || cn.contains("CartesianProduct")) {
+          val m = p.children.map(nearestRows).filter(_ >= 0)
+          if (m.nonEmpty) measured = m.min :: measured
+        }
+        kids(p).foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      spark.catalog.clearCache()
+      if (measured.isEmpty) Seq(s"$name: no measurable nested-loop node (stale whitelist entry?)")
+      else measured.filter(_ > 10000L).map(v => s"$name: bounded side had $v rows")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("every query has a DuckDB oracle") {
     assert(Queries.all.keySet -- Queries.oracles.keySet == Set.empty)
   }
