@@ -937,7 +937,10 @@ FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
     val S = 8192L
     val occ = d
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
+    // Vocabulary-scale persist: the BPE trainer and the encode pass both
+    // consume it, and without the persist each re-runs the tokenize +
+    // explode + count over the corpus.
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq")).persist()
     val merges = graft.text.Bpe.train(vocab, rounds = 5)
     val enc = vocab.select(col("word"),
       size(graft.text.Bpe.encode(graft.text.Bpe.initialSymbols(col("word")), merges))

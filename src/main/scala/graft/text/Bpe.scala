@@ -67,10 +67,17 @@ object Bpe {
     * broadcast-joins back to occurrences whatever the merge count.
     */
   def train(vocab: DataFrame, rounds: Int): Seq[(String, String)] = {
+    // localCheckpoint, not persist: persist caches the DATA but every
+    // round's actions still re-analyze the full upstream LOGICAL PLAN —
+    // when the vocabulary hangs off a deep lineage (the curated-corpus
+    // entries: cleaning chain → tokenize → count), Catalyst re-optimizes
+    // that tree ~3× per merge round and planning dwarfs execution
+    // (measured 10.5 s vs 0.95 s for 5 rounds on a 31-word vocabulary).
+    // The checkpoint severs lineage at the (freq, syms) table, which is
+    // vocabulary-scale by construction. Eager, so no separate count().
     var syms = vocab
       .select(col("freq"), initialSymbols(col("word")).as("syms"))
-      .persist()
-    syms.count() // materialize before the loop
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var r = 0
@@ -95,13 +102,25 @@ object Bpe {
             .select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
             .persist()
           next.count()
-          syms.unpersist()
+          free(syms)
           syms = next
           r += 1
         }
       }
       merges.toSeq
-    } finally syms.unpersist()
+    } finally free(syms)
+  }
+
+  /** Dataset.unpersist covers cacheManager entries only; a
+    * localCheckpoint()ed frame's storage lives behind its LogicalRDD
+    * (the ConnectedComponents lesson) — release both forms.
+    */
+  private def free(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 
   /** Re-tokenize a symbol array through an ordered merge list (inference
