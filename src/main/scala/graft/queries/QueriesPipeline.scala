@@ -937,10 +937,13 @@ FROM a GROUP BY source, seq_id ORDER BY source, seq_id"""
     val S = 8192L
     val occ = d
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-    // Vocabulary-scale persist: the BPE trainer and the encode pass both
-    // consume it, and without the persist each re-runs the tokenize +
-    // explode + count over the corpus.
-    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq")).persist()
+    // NOT persisted: the BPE trainer checkpoints its own working set (so
+    // vocab is computed once there), the encode pass is one more
+    // vocabulary reduce over an already-cached or raw-scan input, and a
+    // persist here would hide the vocabulary-reduce exchange behind an
+    // InMemoryTableScan boundary — breaking the q151 plan assertion that
+    // words shuffle exactly once, vocabulary-shaped.
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = graft.text.Bpe.train(vocab, rounds = 5)
     val enc = vocab.select(col("word"),
       size(graft.text.Bpe.encode(graft.text.Bpe.initialSymbols(col("word")), merges))
