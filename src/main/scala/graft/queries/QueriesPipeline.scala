@@ -1214,7 +1214,12 @@ FROM w GROUP BY epoch, worker ORDER BY epoch, worker"""
     val assignDf = assignment.persist()
     val out = QueriesSources.tmp(tmpPrefix, dir)
     assignDf.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    // Eager localCheckpoint BEFORE the unpersist: the manifest is
+    // |shards| rows, but lazily it still hangs off the full assignment
+    // DAG — unpersisting first would recompute that DAG at every
+    // downstream action (the slice collect AND the final result).
     val manifest = assignDf.groupBy("shard_id").agg(sum("n_bpe").as("sh_tokens"))
+      .localCheckpoint()
     assignDf.unpersist()
     val slice = manifest
       .crossJoin(broadcast(epochDf(s)))

@@ -698,8 +698,12 @@ object StreamingJobs {
     */
   def joinMaintLeftSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
     val spark = batch0.sparkSession
+    // grp as the secondary key: equal-ts upserts for one join key must
+    // resolve DETERMINISTICALLY (the aggMaintSink (ts, event_id)
+    // convention) or a redelivered batch can rebuild its version with
+    // different content than the original.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy(col("ts").desc)
+      .partitionBy("k").orderBy(col("ts").desc, col("grp").desc)
     val bCand = batch0.select("k", "ts", "grp")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     val st = joinMaintState(spark, outDir, batchId)
@@ -735,8 +739,11 @@ object StreamingJobs {
 
   def joinMaintRightSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
     val spark = batch0.sparkSession
+    // (k, v) as secondary keys for the same determinism reason as the
+    // left sink: an equal-ts pair of upserts to one rk must pick the
+    // same winner on every (re)delivery.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("rk").orderBy(col("ts").desc)
+      .partitionBy("rk").orderBy(col("ts").desc, col("k").desc, col("v").desc)
     val bCand = batch0.select("rk", "k", "ts", "v")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     val st = joinMaintState(spark, outDir, batchId)
