@@ -79,6 +79,41 @@ object ArtifactIO {
       .filter(n => !markerGated || isCommitted(spark, s"$dir/$n"))
       .map(_.stripPrefix(prefix).toLong).sorted
 
+  /** Version-chain RETENTION — bounds the on-disk copies every
+    * version-chained sink accumulates (aggMaint/joinMaint/boilerMaint
+    * state snapshots grow one full copy per batch; at scale that is
+    * the dominant storage term, not the data). Deletes:
+    *   - committed `<prefix><id>` versions beyond the newest `keep`;
+    *   - UNCOMMITTED version dirs older than the newest committed id —
+    *     crash debris that no replay can ever target again (a
+    *     redelivered batch always carries an id ≥ the newest committed
+    *     one, so an old uncommitted dir is unreachable by contract).
+    * Never touches uncommitted dirs at/after the newest committed id:
+    * that is the in-flight batch a retry will overwrite and commit.
+    *
+    * Safe `keep`: foreachBatch redelivers only the batch AFTER the
+    * last checkpoint-committed one, whose rebuild reads the newest
+    * committed version — so `keep = 1` already preserves the replay
+    * predecessor; callers wanting manual rollback headroom pass more.
+    * Returns the ids deleted (committed ++ debris), for observability.
+    */
+  def retainVersions(spark: SparkSession, dir: String, prefix: String,
+      keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val committed = committedVersions(spark, dir, prefix)
+    if (committed.isEmpty) return Seq.empty
+    val newest = committed.last
+    val dropCommitted = committed.dropRight(keep)
+    val debris = list(spark, dir)
+      .filter(_.startsWith(prefix))
+      .filter(n => n.stripPrefix(prefix).nonEmpty && n.stripPrefix(prefix).forall(_.isDigit))
+      .map(_.stripPrefix(prefix).toLong)
+      .filter(id => id < newest && !committed.contains(id))
+    (dropCommitted ++ debris).sorted.map { id =>
+      delete(spark, s"$dir/$prefix$id"); id
+    }
+  }
+
   def readString(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

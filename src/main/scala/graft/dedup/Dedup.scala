@@ -538,4 +538,45 @@ object Dedup {
       .filter(col("rn") === 1)
       .select("doc_id", "cluster", "n_members", "z")
   }
+
+  /** INTRA-document chunk dedup — the within-doc counterpart of
+    * [[removeBoilerplate]]'s cross-doc rule: each document is cut into
+    * consecutive `c`-token chunks (tail chunk short, q133's convention)
+    * and a chunk REPEATING AN EARLIER CHUNK OF THE SAME DOCUMENT is
+    * dropped (first occurrence kept). This is the "remove duplicated
+    * lines within a page" half of the CCNet recipe — it fires on
+    * scraper artifacts (menus repeated per section, retry-duplicated
+    * paragraphs) that no corpus-frequency threshold can see, because
+    * the repetition is local to one document.
+    *
+    * Scale shape: the ENTIRE operator is per-row projections — chunk
+    * hashes are the one-pass native [[org.apache.spark.sql.graft.ChunkHashes]]
+    * and the first-occurrence mask is an index-lambda over that array —
+    * so the plan has ZERO shuffles at any corpus size; it composes into
+    * any pipeline stage for free. The mask is O(nch²) hash compares per
+    * document (array_position over a growing prefix); documents are
+    * length-bounded in every real corpus (a 20k-token doc is 4k chunks),
+    * and if that bound ever moves, the same rule respells as a
+    * (doc_id, h) → min(ci) keyed aggregation — still never shuffling
+    * text, just no longer shuffle-free.
+    */
+  def dedupChunksWithin(docs: DataFrame, c: Int): DataFrame = {
+    val base = chunkBase(docs, c)
+    // rem = chunk indices whose hash already appeared at a smaller index
+    // of the SAME doc. slice(chs, 1, i) is the strict prefix (i elements);
+    // array_position is 1-based, 0 = absent.
+    val rem = filter(
+      transform(col("chs"), (h, i) =>
+        when(array_position(slice(col("chs"), lit(1), i), h) > 0, i).otherwise(lit(-1))),
+      x => x >= 0)
+    base.withColumn("rem", rem)
+      .withColumn("kept", filter(col("toks"), (_, j) =>
+        !array_contains(col("rem"), floor(j.cast("double") / c).cast("int"))))
+      .select(col("doc_id"),
+        col("nch").cast("long").as("n_chunks"),
+        size(col("rem")).cast("long").as("n_dup_chunks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

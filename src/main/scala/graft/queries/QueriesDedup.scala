@@ -971,4 +971,92 @@ ad AS (SELECT cdn.doc_id, coalesce(m.cluster, cdn.doc_id) AS cluster,
 j AS (SELECT ad.doc_id, ad.cluster, ad.n_members, qz.z FROM ad JOIN qz USING (doc_id)),
 k AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY z DESC, doc_id) AS rn FROM j)
 SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Intra-document chunk dedup — the within-doc "remove duplicated
+    * lines in a page" half of the CCNet recipe (q173 is the cross-doc
+    * half): a 5-token chunk repeating an EARLIER chunk of the same
+    * document is dropped, first occurrence kept, and the output carries
+    * the reconstructed text so the gate hashes the transform. The
+    * whole plan is per-row projections — zero shuffles at any scale
+    * (see [[graft.dedup.Dedup.dedupChunksWithin]]).
+    */
+  def q178_intra_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupChunksWithin(docs(s, dir), c = 5)
+      .orderBy("doc_id")
+
+  /** Oracle: same chunk cut and portable chunk hash as q173; the
+    * first-occurrence rule replayed as ci > min(ci) over (doc_id, h)
+    * (set-equal to the operator's prefix-scan mask); index-lambda
+    * reconstruction with the q149/q173 empty-list coalesce.
+    */
+  val q178Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+n AS (SELECT doc_id, tk, CAST((len(tk) + 4) // 5 AS BIGINT) AS nch FROM t),
+ch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+       FROM (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM n)),
+hh AS (SELECT doc_id, ci, ${polyHashSql("chunk")} AS h FROM ch),
+mn AS (SELECT doc_id, ci, min(ci) OVER (PARTITION BY doc_id, h) AS first_ci FROM hh),
+rem AS (SELECT doc_id, list_sort(list(ci)) AS rem FROM mn WHERE ci > first_ci GROUP BY doc_id),
+fin AS (SELECT n.doc_id, n.tk, n.nch, coalesce(rem.rem, CAST([] AS BIGINT[])) AS rem
+        FROM n LEFT JOIN rem USING (doc_id)),
+k AS (SELECT doc_id, tk, nch, rem,
+             list_filter(tk, (x, i) -> NOT list_contains(rem, (i - 1) // 5)) AS kept
+      FROM fin)
+SELECT doc_id, nch AS n_chunks, CAST(len(rem) AS BIGINT) AS n_dup_chunks,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM k ORDER BY doc_id"""
+
+  /** Cross-SOURCE novelty — the between-dump diversity report a curation
+    * run consults before paying for another crawl snapshot: for every
+    * source, the number of distinct 8-token windows it contains and the
+    * fraction of them found in NO other source. A source whose novelty
+    * collapses toward 0 is re-crawling what the corpus already has —
+    * the aggregate-level signal that q131's per-doc span flag and
+    * q164's eval-set screen don't provide.
+    *
+    * Scale shape: windows are hashed per row by the native single-pass
+    * WindowHashes (text never shuffles); the shuffle carries DISTINCT
+    * (source, window_hash) pairs; source-df per hash is a keyed count
+    * and the novelty join is hash-keyed. Output is |sources| rows.
+    */
+  def q180_source_novelty(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val win = docs(s, dir).select(col("source"),
+        explode(org.apache.spark.sql.graft.WindowHashes.windowHashes(
+          Text.tokens(col("text")), W)).as("h"))
+      .distinct()
+    val df = win.groupBy("h").agg(count(lit(1)).as("nsrc"))
+    win.join(df, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_windows"), 6))
+      .select("source", "n_windows", "n_novel", "novelty")
+      .orderBy("source")
+  }
+
+  /** Oracle: the q131 window-hash replay at w=8, distinct pairs, and
+    * the same df/novelty arithmetic (ratios of exact integers).
+    */
+  val q180Sql: String =
+    raw"""WITH t AS (SELECT doc_id, source, $ToksSql AS tk FROM documents),
+th AS (SELECT source, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
+w AS (SELECT source,
+             CASE WHEN len(hh) >= 8
+                  THEN list_transform(range(0, len(hh) - 8 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 8)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS whs
+      FROM th),
+e AS (SELECT DISTINCT source, h FROM (SELECT source, unnest(whs) AS h FROM w)),
+df AS (SELECT h, count(*) AS nsrc FROM e GROUP BY h),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM e JOIN df USING (h) GROUP BY source)
+SELECT source, n_windows, n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_windows, 6) AS novelty
+FROM agg ORDER BY source"""
 }

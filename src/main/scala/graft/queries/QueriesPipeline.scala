@@ -1714,4 +1714,90 @@ ws AS (SELECT * FROM r2 WHERE pos % 4 = 1),
 bp AS (SELECT *, sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos) AS cum FROM ws)
 SELECT epoch, pos, shard_id, n_docs, n_tokens, first_doc, last_doc
 FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
+
+  /** HLL sketch-rollup CUBE — the warehouse pattern that makes
+    * approx-distinct affordable at 100 TB: the corpus is scanned ONCE
+    * to build per-(lang, source) register sketches (q167's native
+    * [[org.apache.spark.sql.graft.HllAgg]] over 3-gram-shingle
+    * hashes), and every coarser granularity — per-lang, per-source,
+    * global — is derived from the |lang×source|-row base sketch table
+    * by ELEMENTWISE register max. Because register max is associative,
+    * commutative, and idempotent, the merged sketch at each level is
+    * IDENTICAL to the sketch a direct scan at that grouping would
+    * build — and that identity is exactly what the gate checks: the
+    * oracle computes every level's registers DIRECTLY from the corpus
+    * with its own GROUP BY, so the hash-match proves merged == direct,
+    * register for register, estimate bit for bit (the q167 dyadic
+    * estimate — no transcendental).
+    *
+    * Scale shape: one corpus pass (explode + partial-aggregated
+    * sketch groupBy; the shuffle carries m-byte registers per group,
+    * never shingles); the persisted exploded base is |groups|·512
+    * rows and all three rollups aggregate THAT — the plan's only
+    * data-scale stage is the base build, which is the whole point.
+    */
+  def q181_sketch_cube(s: SparkSession, dir: String): DataFrame = {
+    val P = 9; val m = 512
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val hashed = docs(s, dir).select(col("lang"), col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("word"))
+      .withColumn("h", PortableHash.asciiPolyHash(col("word")))
+    val baseE = hashed.groupBy("lang", "source")
+      .agg(org.apache.spark.sql.graft.HllAgg.hll(col("h"), P).as("regs"))
+      .select(col("lang"), col("source"), posexplode(col("regs")).as(Seq("idx", "r")))
+      .persist() // |lang×source|·512 rows — metadata scale
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val merged =
+        if (keys.isEmpty) baseE.groupBy("idx").agg(max("r").as("r"))
+        else baseE.groupBy((keys :+ "idx").map(col): _*).agg(max("r").as("r"))
+      val est =
+        (if (keys.isEmpty) merged.groupBy()
+         else merged.groupBy(keys.map(col): _*))
+          .agg(sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_regs_set"),
+            sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)").cast("double")).as("ssum"))
+      est.select(lit(name).as("level"),
+        (if (keys.contains("lang")) col("lang") else lit("ALL")).as("lang"),
+        (if (keys.contains("source")) col("source") else lit("ALL")).as("source"),
+        round(alpha * lit(m.toDouble) * lit(m.toDouble) / col("ssum"), 6).as("hll_est"),
+        col("n_regs_set"))
+    }
+    level("lang_source", Seq("lang", "source"))
+      .unionByName(level("lang", Seq("lang")))
+      .unionByName(level("source", Seq("source")))
+      .unionByName(level("all", Seq.empty))
+      .orderBy("level", "lang", "source")
+  }
+
+  /** Oracle: each level's registers computed DIRECTLY from the shingle
+    * hashes with that level's GROUP BY (the q167 register replay), so
+    * the comparison certifies the operator's merge-based rollup
+    * against independent direct sketches. Untouched registers enter
+    * each ssum as the (512 − count) correction, same exact value.
+    */
+  val q181Sql: String = {
+    val rho = "CASE WHEN h // 512 = 0 THEN 22 ELSE 21 - (length(bin(h // 512)) - 1) END"
+    def lvl(name: String, keys: Seq[String]): String = {
+      val sel = Seq(
+        if (keys.contains("lang")) "lang" else "'ALL' AS lang",
+        if (keys.contains("source")) "source" else "'ALL' AS source").mkString(", ")
+      val grp = (keys :+ "h % 512").mkString(", ")
+      val regGrp = if (keys.isEmpty) "h % 512" else grp
+      val sGrp = if (keys.isEmpty) "" else s"GROUP BY ${keys.mkString(", ")}"
+      s"""SELECT '$name' AS level, $sel,
+       round((0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 /
+             (sum(1.0 / CAST(1 << r AS DOUBLE)) + (512 - count(*)) * 1.0), 6) AS hll_est,
+       CAST(count(*) AS BIGINT) AS n_regs_set
+FROM (SELECT ${if (keys.isEmpty) "" else keys.mkString(", ") + ", "}h % 512 AS idx, max($rho) AS r
+      FROM hh GROUP BY $regGrp) $sGrp"""
+    }
+    raw"""WITH tk AS (SELECT lang, source, $ToksSql AS t FROM documents),
+toks AS (SELECT DISTINCT lang, source, array_to_string(t[i:i+2], ' ') AS word
+         FROM (SELECT lang, source, t, unnest(range(1, len(t) - 1)) AS i FROM tk WHERE len(t) >= 3)),
+hh AS (SELECT lang, source, ${QueriesDedup.polyHashSql("word")} AS h FROM toks)
+${lvl("lang_source", Seq("lang", "source"))}
+UNION ALL ${lvl("lang", Seq("lang"))}
+UNION ALL ${lvl("source", Seq("source"))}
+UNION ALL ${lvl("all", Seq.empty)}
+ORDER BY level, lang, source"""
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.text.{Bpe, Text}
 
 /** Text / word-count queries: the reference's own surface (SURVEY.md §2.D
@@ -989,4 +990,139 @@ r AS (SELECT lang, tok, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC,
 a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct FROM c GROUP BY lang)
 SELECT a.lang, a.n_tokens, a.n_distinct, r.tok AS top_token
 FROM a JOIN r ON r.lang = a.lang AND r.rn = 1 ORDER BY a.lang"""
+
+  /** The Gopher repetition-rule BATTERY (Rae et al. 2021, Table A1),
+    * adapted to token granularity (this corpus has no line/char
+    * structure worth preserving): per document —
+    *   - `top2_frac`: token mass of the single most frequent word
+    *     2-gram (count × 2 / tokens; lexicographically-smallest gram on
+    *     count ties), threshold 0.20;
+    *   - `dup_chunk_frac`: token mass of 5-token chunks whose content
+    *     occurs ≥ 2× within the doc, ALL occurrences counted (the
+    *     "duplicate lines" analog), threshold 0.30;
+    *   - `dup5_frac`: tokens COVERED (union of positions) by sliding
+    *     5-token windows occurring ≥ 2× within the doc, threshold 0.15.
+    * A document passes a rule at ≤ the threshold; `verdict` requires
+    * all three. q52 reports the single distinct-trigram ratio; this is
+    * the full multi-signal filter a production quality gate actually
+    * runs, and every threshold decision is EXACT — integer
+    * cross-multiplication (e.g. 10·top2_cnt ≤ n), no float compare at
+    * the boundary.
+    *
+    * Scale shape: per-doc n-gram/chunk/window counts are keyed
+    * aggregations on (doc_id, hash) longs — partial-aggregated, text
+    * never shuffles; the coverage union explodes dup windows into ≤ 5
+    * positions each and distinct-counts per doc; every window/argmax
+    * partition is doc-sized. All report joins are doc_id-keyed.
+    */
+  def q179_repetition_battery(s: SparkSession, dir: String): DataFrame =
+    repetitionBattery(docs(s, dir)).orderBy("doc_id")
+
+  /** The battery over any (doc_id, text) frame — factored out so specs
+    * can drive planted documents through the exact production rule set.
+    */
+  def repetitionBattery(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 5; val W = 5
+    val base = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+    // top word-2gram with multiplicity
+    val gc = base.select(col("doc_id"), explode(Text.shinglesAll(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val w2 = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
+    val top2 = gc.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top2_gram"), col("cnt").as("top2_cnt"))
+    // duplicated 5-token chunks: all occurrences' token mass
+    val occ = Dedup.chunkOccurrences(d, C)
+    val dupCh = occ.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2).select("doc_id", "h")
+    val dupTok = occ.join(dupCh, Seq("doc_id", "h"))
+      .join(base.select("doc_id", "n"), Seq("doc_id"))
+      .select(col("doc_id"), least(lit(C.toLong), col("n") - col("ci") * C).as("csz"))
+      .groupBy("doc_id").agg(sum("csz").cast("long").as("dup_chunk_tokens"))
+    // duplicated sliding 5-windows: union-of-positions coverage
+    val wp = base.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graft.WindowHashes.windowHashes(col("toks"), W))
+        .as(Seq("wi", "h")))
+    val dupW = wp.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2).select("doc_id", "h")
+    val cov = wp.join(dupW, Seq("doc_id", "h"))
+      .select(col("doc_id"), explode(sequence(col("wi"), col("wi") + (W - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("dup5_tokens"))
+    base.select("doc_id", "n")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dupTok, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("dup_chunk_tokens"), lit(0L)).as("dct"),
+        coalesce(col("dup5_tokens"), lit(0L)).as("d5"))
+      .select(col("doc_id"), col("n_tokens"), col("top2_gram"), col("top2_cnt"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("top2_cnt") / col("n_tokens")), 6).as("top2_frac"),
+        col("dct").as("dup_chunk_tokens"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("dct").cast("double") / col("n_tokens")), 6).as("dup_chunk_frac"),
+        col("d5").as("dup5_tokens"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("d5").cast("double") / col("n_tokens")), 6).as("dup5_frac"),
+        when(lit(10L) * col("top2_cnt") <= col("n_tokens"), 1L).otherwise(0L).as("pass_top2"),
+        when(lit(10L) * col("dct") <= lit(3L) * col("n_tokens"), 1L).otherwise(0L).as("pass_chunk"),
+        when(lit(20L) * col("d5") <= lit(3L) * col("n_tokens"), 1L).otherwise(0L).as("pass_dup5"),
+        when(lit(10L) * col("top2_cnt") <= col("n_tokens")
+            && lit(10L) * col("dct") <= lit(3L) * col("n_tokens")
+            && lit(20L) * col("d5") <= lit(3L) * col("n_tokens"), lit("keep"))
+          .otherwise(lit("flag")).as("verdict"))
+  }
+
+  /** Oracle: 2-grams by inclusive list slices, chunks/window hashes by
+    * the q173/q131 replays (w=5), coverage by unnesting each duplicated
+    * window into its ≤ 5 positions and distinct-counting — identical
+    * exact-integer threshold arithmetic.
+    */
+  val q179Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+g2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2)),
+gc AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+tp AS (SELECT doc_id, g AS top2_gram, cnt AS top2_cnt
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM gc)
+       WHERE rn = 1),
+ch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+       FROM (SELECT doc_id, tk, unnest(range(0, CAST((len(tk) + 4) // 5 AS BIGINT))) AS ci FROM t)),
+hh AS (SELECT doc_id, ci, ${QueriesDedup.polyHashSql("chunk")} AS h FROM ch),
+dc AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) AS m FROM hh GROUP BY doc_id, h) WHERE m >= 2),
+dt AS (SELECT hh.doc_id, sum(least(5, b.n - hh.ci * 5)) AS dct
+       FROM hh JOIN dc USING (doc_id, h) JOIN b ON b.doc_id = hh.doc_id GROUP BY hh.doc_id),
+th AS (SELECT doc_id, list_transform(tk, s -> ${QueriesDedup.polyHashSql("s")}) AS hsh FROM t),
+wp AS (SELECT doc_id, i AS wi,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hsh, i + 1, i + 5)),
+                          (a, x) -> (a * 31 + x) % 1000000007) AS h
+       FROM (SELECT doc_id, hsh, unnest(range(0, len(hsh) - 5 + 1)) AS i FROM th WHERE len(hsh) >= 5)),
+dw AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) AS m FROM wp GROUP BY doc_id, h) WHERE m >= 2),
+cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS d5
+        FROM (SELECT wp.doc_id, unnest(range(wp.wi, wp.wi + 5)) AS p
+              FROM wp JOIN dw USING (doc_id, h))
+        GROUP BY doc_id),
+f AS (SELECT b.doc_id, b.n,
+             coalesce(tp.top2_gram, '') AS top2_gram,
+             CAST(coalesce(tp.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+             CAST(coalesce(dt.dct, 0) AS BIGINT) AS dct,
+             CAST(coalesce(cov.d5, 0) AS BIGINT) AS d5
+      FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN dt USING (doc_id) LEFT JOIN cov USING (doc_id))
+SELECT doc_id, n AS n_tokens, top2_gram, top2_cnt,
+       round(CASE WHEN n = 0 THEN 0.0 ELSE 2.0 * top2_cnt / n END, 6) AS top2_frac,
+       dct AS dup_chunk_tokens,
+       round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(dct AS DOUBLE) / n END, 6) AS dup_chunk_frac,
+       d5 AS dup5_tokens,
+       round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(d5 AS DOUBLE) / n END, 6) AS dup5_frac,
+       CAST(CASE WHEN 10 * top2_cnt <= n THEN 1 ELSE 0 END AS BIGINT) AS pass_top2,
+       CAST(CASE WHEN 10 * dct <= 3 * n THEN 1 ELSE 0 END AS BIGINT) AS pass_chunk,
+       CAST(CASE WHEN 20 * d5 <= 3 * n THEN 1 ELSE 0 END AS BIGINT) AS pass_dup5,
+       CASE WHEN 10 * top2_cnt <= n AND 10 * dct <= 3 * n AND 20 * d5 <= 3 * n
+            THEN 'keep' ELSE 'flag' END AS verdict
+FROM f ORDER BY doc_id"""
 }

@@ -653,6 +653,20 @@ object StreamingJobs {
       .filter(col("df") >= minDocs)
       .select("h", "df")
 
+  /** Retention for the version-chained sink states ([[boilerMaintSink]],
+    * [[aggMaintSink]], [[joinMaintLeftSink]]/[[joinMaintRightSink]] —
+    * all share the `v=<batchId>` + commit-marker layout): each batch
+    * writes a FULL state copy, so an unbounded chain's storage is
+    * O(batches × state), dominating the state itself. Delegates to
+    * [[graft.core.ArtifactIO.retainVersions]]; `keep = 2` (the default)
+    * preserves the replay predecessor plus one manual-rollback step.
+    * Call it from the maintenance cadence (e.g. every N batches from
+    * the foreachBatch body, or a janitor job) — readers always select
+    * the newest COMMITTED version, so compaction is invisible to them.
+    */
+  def compactVersions(spark: SparkSession, outDir: String, keep: Int = 2): Seq[Long] =
+    graft.core.ArtifactIO.retainVersions(spark, outDir, "v=", keep)
+
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):
     * the maintained view is

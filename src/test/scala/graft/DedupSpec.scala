@@ -293,4 +293,47 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(again == out.keySet)
   }
+
+  test("dedupChunksWithin: within-doc repeats drop (first kept); cross-doc duplicates untouched") {
+    val A = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      // repeat after filler: chunk 2 repeats chunk 0 -> dropped.
+      (1L, s"$A one two three four five $A"),
+      // cross-doc duplicate of A but unique within doc 2 -> untouched.
+      (2L, s"$A aaa bbb ccc ddd eee"),
+      // triple repeat -> only the first survives.
+      (3L, s"$A $A $A"),
+      // all distinct, short tail chunk -> unchanged.
+      (4L, "uu vv ww xx yy zz")).toDF("doc_id", "text")
+    val out = Dedup.dedupChunksWithin(df, c = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((3L, 1L, 15L, 5L, s"$A one two three four five")))
+    assert(out(2L) == ((2L, 0L, 10L, 0L, s"$A aaa bbb ccc ddd eee")))
+    assert(out(3L) == ((3L, 2L, 15L, 10L, A)))
+    assert(out(4L) == ((2L, 0L, 6L, 0L, "uu vv ww xx yy zz")))
+  }
+
+  test("dedupChunksWithin: prefix-scan mask equals the keyed min-ci respelling on real text") {
+    // The operator's per-row first-occurrence mask against the shuffle-
+    // based (doc_id, h) -> min(ci) formulation the doc names as the
+    // unbounded-doc-length fallback — same dup counts on every doc of
+    // the real corpus, and idempotence: a second pass removes nothing.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val perRow = Dedup.dedupChunksWithin(docs, c = 5)
+    val keyed = Dedup.chunkOccurrences(docs, 5)
+      .withColumn("mn", min("ci").over(Window.partitionBy("doc_id", "h")))
+      .filter(col("ci") > col("mn"))
+      .groupBy("doc_id").agg(count(lit(1)).as("k"))
+    val mism = perRow.select("doc_id", "n_dup_chunks")
+      .join(keyed, Seq("doc_id"), "left")
+      .withColumn("k", coalesce(col("k"), lit(0L)))
+      .filter(col("n_dup_chunks") =!= col("k")).count()
+    assert(mism == 0L)
+    val second = Dedup.dedupChunksWithin(
+      perRow.select(col("doc_id"), col("clean_text").as("text")), c = 5)
+    assert(second.agg(sum("n_removed")).head.getLong(0) == 0L)
+  }
 }

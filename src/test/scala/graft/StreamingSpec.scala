@@ -610,6 +610,45 @@ class StreamingSpec extends SparkSpec {
       "pre-existing chunk frequencies moved on a mixed redelivery batch")
   }
 
+  test("compactVersions: keeps the view and the replay predecessor, removes only unreachable state") {
+    // Batches land as v=0, v=2, v=4 (all committed). Plant crash debris:
+    // an UNCOMMITTED v=3 (older than the newest committed version — a
+    // crashed write whose batch later succeeded elsewhere; no replay can
+    // target it again) and an UNCOMMITTED v=9 (newer — the in-flight
+    // batch a retry WILL overwrite; must survive). keep=1 retention must
+    // delete exactly {0, 2 (committed beyond keep), 3 (debris)}, leave
+    // {4, 9}, keep the view bit-identical, and leave the chain usable:
+    // the next batch merges against v=4 as if nothing happened.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-boiler-compact").toString
+    (0 until 3).foreach { i =>
+      StreamingJobs.boilerMaintSink(out)(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong * 2)
+    }
+    graft.core.ArtifactIO.mkdirs(spark, s"$out/v=3")
+    graft.core.ArtifactIO.mkdirs(spark, s"$out/v=9")
+    val wantView = StreamingJobs.boilerMaintView(spark, out, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDf = spark.read.parquet(s"$out/v=4/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deleted = StreamingJobs.compactVersions(spark, out, keep = 1)
+    assert(deleted == Seq(0L, 2L, 3L), s"unexpected deletions: $deleted")
+    assert(graft.core.ArtifactIO.committedVersions(spark, out, "v=") == Seq(4L))
+    assert(graft.core.ArtifactIO.exists(spark, s"$out/v=9"),
+      "compaction removed the in-flight (uncommitted, newest) version")
+    val afterView = StreamingJobs.boilerMaintView(spark, out, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterView == wantView, "compaction changed the reader-visible view")
+    // chain still live: a later batch merges against the kept predecessor
+    val planted = Seq((910001L, "compactprobe")).toDF("doc_id", "text")
+    StreamingJobs.boilerMaintSink(out)(planted, 6L)
+    val merged = spark.read.parquet(s"$out/v=6/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.view.filterKeys(wantDf.contains).toMap == wantDf,
+      "post-compaction merge lost accumulated frequencies")
+    assert(merged.size == wantDf.size + 1, "planted chunk missing after post-compaction batch")
+  }
+
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
     // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
     // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
