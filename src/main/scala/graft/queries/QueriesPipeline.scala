@@ -1800,4 +1800,147 @@ UNION ALL ${lvl("source", Seq("source"))}
 UNION ALL ${lvl("all", Seq.empty)}
 ORDER BY level, lang, source"""
   }
+
+  /** DSIR-style importance SELECTION (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): documents from
+    * the selection pool (non-English here) are scored by how much a
+    * TARGET distribution (the English subset) prefers their hashed
+    * unigram features over the raw-pool distribution —
+    * score(d) = Σ_f c_df · ln(p_target(f) / p_raw(f)), add-one
+    * smoothing over B = 1024 hash buckets (q113's feature-hashing
+    * domain: the paper's trick for a vocabulary-free feature space) —
+    * and the top-20 by score are selected, ties to the smaller doc_id.
+    * This is the importance-weighting recipe modern pipelines use to
+    * fish target-domain-like documents out of a general crawl.
+    *
+    * Scale shape: feature counts are keyed (doc, f) / (f) aggregations
+    * over hashed longs (text never shuffles); the log-ratio table is
+    * B rows — broadcast back onto per-doc counts; scoring is one
+    * doc-keyed aggregation; selection is orderBy+limit
+    * (TakeOrderedAndProject — bounded top-k, never a global sort). The
+    * transcendental follows the q114 convention: ln on exact integer
+    * ratios, rounded to 6 before any ordering the gate hashes.
+    */
+  def q182_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val feat = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.asciiPolyHash(col("tok")), lit(B)).as("f"))
+    // ONE corpus pass: the doc-level feature counts are persisted and
+    // every coarser table (target, raw, totals) derives from them —
+    // feat is token-scale, cdf is the much smaller doc×feature table
+    // with three consumers (the q176 materialized-stage convention).
+    val cdf = feat.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c")).persist()
+    val tgt = cdf.filter(col("lang") === "en").groupBy("f").agg(sum("c").as("tf"))
+    val raw = cdf.groupBy("f").agg(sum("c").as("rf"))
+    val totals = tgt.agg(sum("tf").as("tt")).crossJoin(raw.agg(sum("rf").as("rr")))
+    val lr = raw.join(tgt, Seq("f"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(totals)) // one row: the two totals
+      .select(col("f"),
+        log(((col("tf") + lit(1.0)) / (col("tt") + lit(B.toDouble)))
+          / ((col("rf") + lit(1.0)) / (col("rr") + lit(B.toDouble)))).as("lr"))
+    cdf.filter(col("lang") =!= "en")
+      .join(broadcast(lr), Seq("f")) // B rows
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").cast("long").as("n_feats"),
+        round(sum(col("c") * col("lr")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Oracle: identical hashed-feature counts, smoothing, ln ratio, and
+    * (score DESC, doc_id) top-20.
+    */
+  val q182Sql: String =
+    raw"""WITH feat AS (SELECT doc_id, lang, ${QueriesDedup.polyHashSql("tok")} % 1024 AS f
+             FROM (SELECT doc_id, lang, unnest($ToksSql) AS tok FROM documents)),
+cdf AS (SELECT doc_id, lang, f, count(*) AS c FROM feat GROUP BY doc_id, lang, f),
+tgt AS (SELECT f, count(*) AS tf FROM feat WHERE lang = 'en' GROUP BY f),
+rawc AS (SELECT f, count(*) AS rf FROM feat GROUP BY f),
+tot AS (SELECT (SELECT sum(tf) FROM tgt) AS tt, (SELECT sum(rf) FROM rawc) AS rr),
+lr AS (SELECT rawc.f,
+              ln(((coalesce(tgt.tf, 0) + 1.0) / (tot.tt + 1024.0))
+                 / ((rawc.rf + 1.0) / (tot.rr + 1024.0))) AS lr
+       FROM rawc LEFT JOIN tgt USING (f) CROSS JOIN tot)
+SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_feats,
+       round(sum(c * lr), 6) AS score
+FROM cdf JOIN lr USING (f)
+WHERE lang <> 'en'
+GROUP BY doc_id, lang
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** Feature-distribution DRIFT monitor — the population-stability-index
+    * (PSI) report a pipeline owner reads before admitting a new crawl
+    * source: for every source, PSI between ITS hashed-unigram-feature
+    * distribution and the REST of the corpus's,
+    * PSI_s = Σ_f (p_f − q_f)·ln(p_f / q_f) over the B = 1024 hash
+    * buckets (add-one smoothing keeps every ln finite), with the
+    * standard reading: < 0.1 stable, 0.1–0.2 moderate, > 0.2 drifted.
+    * The complement of q180's novelty (content overlap): PSI sees
+    * DISTRIBUTIONAL shift — a source can be 100 % novel text drawn
+    * from the same topic mix (PSI ≈ 0) or near-duplicate text with a
+    * skewed vocabulary (PSI large).
+    *
+    * Scale shape: one tokenize+hash pass; (source, f) counts are a
+    * keyed aggregation (≤ |sources|·B rows out); the corpus-wide B-row
+    * feature table broadcasts back; the PSI sum is (source)-keyed over
+    * ≤ B terms. The rest-of-corpus counts are global − source — no
+    * second corpus pass. ln follows the q114 rounding convention.
+    */
+  def q184_feature_drift(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val feat = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("source"), pmod(PortableHash.asciiPolyHash(col("tok")), lit(B)).as("f"))
+    val sf = feat.groupBy("source", "f").agg(count(lit(1)).as("c"))
+    val gf = sf.groupBy("f").agg(sum("c").as("g")) // corpus-wide, B rows
+    val ns = sf.groupBy("source").agg(sum("c").as("n")) // per-source totals
+    val tot = gf.agg(sum("g").as("t")) // one row
+    // PSI sums over ALL B buckets — under add-one smoothing a bucket the
+    // source never emits still contributes (p = 1/(n+B) vs the rest's
+    // mass there), so the support is the bounded |sources|×B grid, not
+    // just the observed (source, f) rows.
+    val grid = ns.crossJoin(broadcast(gf))
+    val p = grid.join(sf, Seq("source", "f"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        ((col("c") + lit(1.0)) / (col("n") + lit(B.toDouble))).as("p"),
+        ((col("g") - col("c") + lit(1.0)) / (col("t") - col("n") + lit(B.toDouble))).as("q"))
+    p.groupBy("source")
+      .agg(first("n").as("n_tokens"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") > 0.2, "drift")
+          .when(col("psi") > 0.1, "moderate").otherwise("stable"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("psi"), col("verdict"))
+      .orderBy("source")
+  }
+
+  /** Oracle: identical counts, the same sources×buckets grid (absent
+    * features enter at c = 0, exactly as the operator's left join), and
+    * the same smoothed PSI arithmetic.
+    */
+  val q184Sql: String =
+    raw"""WITH feat AS (SELECT source, ${QueriesDedup.polyHashSql("tok")} % 1024 AS f
+             FROM (SELECT source, unnest($ToksSql) AS tok FROM documents)),
+sf AS (SELECT source, f, count(*) AS c FROM feat GROUP BY source, f),
+gf AS (SELECT f, sum(c) AS g FROM sf GROUP BY f),
+ns AS (SELECT source, sum(c) AS n FROM sf GROUP BY source),
+tot AS (SELECT sum(g) AS t FROM gf),
+grid AS (SELECT ns.source, ns.n, gf.f, gf.g FROM ns CROSS JOIN gf),
+p AS (SELECT grid.source, grid.n,
+             (coalesce(sf.c, 0) + 1.0) / (grid.n + 1024.0) AS p,
+             (grid.g - coalesce(sf.c, 0) + 1.0) / (tot.t - grid.n + 1024.0) AS q
+      FROM grid LEFT JOIN sf ON sf.source = grid.source AND sf.f = grid.f CROSS JOIN tot),
+agg AS (SELECT source, CAST(min(n) AS BIGINT) AS n_tokens,
+               round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM p GROUP BY source)
+SELECT source, n_tokens, psi,
+       CASE WHEN psi > 0.2 THEN 'drift'
+            WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
+FROM agg ORDER BY source"""
 }

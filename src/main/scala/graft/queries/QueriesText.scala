@@ -431,16 +431,26 @@ FROM nz GROUP BY doc_id ORDER BY doc_id"""
     * per-doc mean is a reorderable float sum, rounded at 6 with ~9
     * orders of headroom.
     */
-  def q114_bigram_logprob(s: SparkSession, dir: String): DataFrame = {
+  def q114_bigram_logprob(s: SparkSession, dir: String): DataFrame =
+    bigramDocScores(docs(s, dir))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(20)
+
+  /** Per-doc add-one-smoothed bigram-LM average log-probability over any
+    * (doc_id, text) frame — q114's scorer factored out so the CCNet
+    * perplexity-bucketing entry (q183) can run it corpus-wide. Docs
+    * with fewer than 2 tokens score nothing (no bigram evidence).
+    */
+  def bigramDocScores(d: DataFrame): DataFrame = {
     val t = Text.tokens(col("text"))
     val pairs = arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
-    val inst = docs(s, dir)
+    val inst = d
       .where(size(t) >= 2) // slice length must be non-negative
       .select(col("doc_id"), explode(pairs).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
     val c2 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = docs(s, dir)
+    val vocab = d
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .agg(countDistinct("tok").cast("double").as("v"))
     inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -449,8 +459,6 @@ FROM nz GROUP BY doc_id ORDER BY doc_id"""
         log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("avg_logprob"))
-      .orderBy(col("avg_logprob"), col("doc_id"))
-      .limit(20)
   }
 
   val q114Sql: String =
@@ -1125,4 +1133,64 @@ SELECT doc_id, n AS n_tokens, top2_gram, top2_cnt,
        CASE WHEN 10 * top2_cnt <= n AND 10 * dct <= 3 * n AND 20 * d5 <= 3 * n
             THEN 'keep' ELSE 'flag' END AS verdict
 FROM f ORDER BY doc_id"""
+
+  /** CCNet perplexity BUCKETING (Wenzek et al. 2020): every document is
+    * scored by the corpus-trained bigram LM ([[bigramDocScores]] — the
+    * in-repo stand-in for CCNet's KenLM) and split into per-LANGUAGE
+    * head / middle / tail terciles of model fit (head = highest average
+    * log-probability = lowest perplexity). CCNet trains on head+middle
+    * and drops tail; the report gives each (lang, bucket)'s document
+    * count, bigram mass, and mean score — per language because a
+    * perplexity threshold is never comparable across languages.
+    *
+    * Scale shape: the scorer is q114's keyed-join plan corpus-wide; the
+    * tercile split is one ntile window per LANGUAGE partition ordered
+    * by (score, doc_id) — deterministic, and partitions are
+    * language-sized. (At 100 TB a per-lang window is still wide; the
+    * production respelling computes the two tercile CUT POINTS per
+    * language — a 2-row quantile table — and buckets by broadcast
+    * compare, the q115 equi-depth machinery; ntile keeps this entry's
+    * oracle exact at every scale tested.) The report aggregate is
+    * (lang, bucket)-keyed.
+    */
+  def q183_ppl_buckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramDocScores(docs(s, dir))
+      .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+    scored.withColumn("b", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("b") === 1, "head").when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").cast("long").as("n_bigrams"),
+        round(avg("avg_logprob"), 6).as("mean_logprob"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Oracle: the q114 scorer CTEs corpus-wide, the identical
+    * (lang)-partitioned ntile with the same (score DESC, doc_id) total
+    * order, and the same bucket labels.
+    */
+  val q183Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+inst AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest($ToksSql) AS tok FROM documents)),
+lp AS (SELECT inst.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v)) AS lp
+       FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+sc AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+       FROM lp GROUP BY doc_id),
+lb AS (SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.avg_logprob,
+              ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.avg_logprob DESC, sc.doc_id) AS b
+       FROM sc JOIN documents d USING (doc_id))
+SELECT lang,
+       CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(avg(avg_logprob), 6) AS mean_logprob
+FROM lb GROUP BY lang, b ORDER BY lang, bucket"""
 }

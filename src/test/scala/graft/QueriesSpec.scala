@@ -224,6 +224,9 @@ object QueriesSpec {
     // projections)
     "q114_bigram_logprob", "q117_kmv_rollup", "q130_mixture_sample",
     "q135_jl_projection", "q137_negative_sampling",
+    "q182_dsir_select" /* 1-row totals + B-row log-ratio table */,
+    "q183_ppl_buckets" /* q114's 1-row |V| table */,
+    "q184_feature_drift" /* |sources|x1024 bucket grid + 1-row total */,
     // 2-row epoch / W-row worker tables (the loader family)
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
     "q166_loader_resume", "q171_clean_loader")
