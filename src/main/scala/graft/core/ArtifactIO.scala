@@ -91,10 +91,16 @@ object ArtifactIO {
     * Never touches uncommitted dirs at/after the newest committed id:
     * that is the in-flight batch a retry will overwrite and commit.
     *
-    * Safe `keep`: foreachBatch redelivers only the batch AFTER the
-    * last checkpoint-committed one, whose rebuild reads the newest
-    * committed version — so `keep = 1` already preserves the replay
-    * predecessor; callers wanting manual rollback headroom pass more.
+    * Safe `keep` for REPLAYABLE sink states is **≥ 2**: the crash
+    * window that matters is version v=b committed but the streaming
+    * checkpoint offset NOT — batch b is then redelivered and must
+    * rebuild from the newest committed version STRICTLY BELOW b (its
+    * predecessor). `keep = 1` run inside that window deletes exactly
+    * that predecessor and the replay would silently restart state
+    * from empty. `keep = 1` is admissible only for chains with no
+    * replay-from-predecessor contract (e.g. full-rebuild artifact
+    * refreshes). [[graft.streaming.StreamingJobs.compactVersions]]
+    * enforces the ≥ 2 floor for the sink states.
     * Returns the ids deleted (committed ++ debris), for observability.
     */
   def retainVersions(spark: SparkSession, dir: String, prefix: String,

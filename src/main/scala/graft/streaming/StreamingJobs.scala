@@ -663,9 +663,19 @@ object StreamingJobs {
     * Call it from the maintenance cadence (e.g. every N batches from
     * the foreachBatch body, or a janitor job) — readers always select
     * the newest COMMITTED version, so compaction is invisible to them.
+    *
+    * `keep` is floored at 2 BY CONTRACT, not convention: a batch whose
+    * version committed but whose checkpoint offset didn't is
+    * redelivered and rebuilds from the newest committed version below
+    * its own — keep = 1 run inside that window would delete exactly
+    * that predecessor and the replay would restart state from empty
+    * (see [[graft.core.ArtifactIO.retainVersions]]).
     */
-  def compactVersions(spark: SparkSession, outDir: String, keep: Int = 2): Seq[Long] =
+  def compactVersions(spark: SparkSession, outDir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 2,
+      s"sink-state retention needs keep >= 2 (replay-predecessor window), got $keep")
     graft.core.ArtifactIO.retainVersions(spark, outDir, "v=", keep)
+  }
 
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):

@@ -615,10 +615,13 @@ class StreamingSpec extends SparkSpec {
     // an UNCOMMITTED v=3 (older than the newest committed version — a
     // crashed write whose batch later succeeded elsewhere; no replay can
     // target it again) and an UNCOMMITTED v=9 (newer — the in-flight
-    // batch a retry WILL overwrite; must survive). keep=1 retention must
-    // delete exactly {0, 2 (committed beyond keep), 3 (debris)}, leave
-    // {4, 9}, keep the view bit-identical, and leave the chain usable:
-    // the next batch merges against v=4 as if nothing happened.
+    // batch a retry WILL overwrite; must survive). keep=2 retention must
+    // delete exactly {0 (committed beyond keep), 3 (debris)}, leave
+    // {2, 4, 9}, keep the view bit-identical, and leave the chain
+    // usable in BOTH continuations the contract names: a redelivery of
+    // batch 4 itself (the checkpoint-crash window — rebuilds from the
+    // kept v=2 predecessor) and a genuinely new batch (merges against
+    // v=4 as if nothing happened).
     val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
     val out = java.nio.file.Files.createTempDirectory("graft-boiler-compact").toString
     (0 until 3).foreach { i =>
@@ -631,14 +634,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wantDf = spark.read.parquet(s"$out/v=4/df")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val deleted = StreamingJobs.compactVersions(spark, out, keep = 1)
-    assert(deleted == Seq(0L, 2L, 3L), s"unexpected deletions: $deleted")
-    assert(graft.core.ArtifactIO.committedVersions(spark, out, "v=") == Seq(4L))
+    val deleted = StreamingJobs.compactVersions(spark, out, keep = 2)
+    assert(deleted == Seq(0L, 3L), s"unexpected deletions: $deleted")
+    assert(graft.core.ArtifactIO.committedVersions(spark, out, "v=") == Seq(2L, 4L))
     assert(graft.core.ArtifactIO.exists(spark, s"$out/v=9"),
       "compaction removed the in-flight (uncommitted, newest) version")
+    assert(intercept[IllegalArgumentException] {
+      StreamingJobs.compactVersions(spark, out, keep = 1)
+    }.getMessage.contains("replay-predecessor"),
+      "keep=1 must be rejected for sink states")
     val afterView = StreamingJobs.boilerMaintView(spark, out, minDocs = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(afterView == wantView, "compaction changed the reader-visible view")
+    // the checkpoint-crash window: batch 4 is REDELIVERED after
+    // compaction — it must rebuild from v=2 (kept) and land the same
+    // state it originally produced
+    StreamingJobs.boilerMaintSink(out)(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 4L)
+    val replayed = spark.read.parquet(s"$out/v=4/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == wantDf, "post-compaction replay of the newest batch diverged")
     // chain still live: a later batch merges against the kept predecessor
     val planted = Seq((910001L, "compactprobe")).toDF("doc_id", "text")
     StreamingJobs.boilerMaintSink(out)(planted, 6L)
@@ -647,6 +662,37 @@ class StreamingSpec extends SparkSpec {
     assert(merged.view.filterKeys(wantDf.contains).toMap == wantDf,
       "post-compaction merge lost accumulated frequencies")
     assert(merged.size == wantDf.size + 1, "planted chunk missing after post-compaction batch")
+  }
+
+  test("retention composes with replays: randomized delivery/replay/compaction schedules converge") {
+    // Fixed-seed random schedules over four disjoint document batches:
+    // each step delivers the next batch, MAY immediately redeliver it
+    // (the foreachBatch retry), and MAY run keep=2 compaction at any
+    // point — including between a batch's commit and its redelivery,
+    // the exact window the keep >= 2 floor exists for. Every schedule
+    // must converge to the one-shot distinct-doc frequency table.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val want = graft.dedup.Dedup.chunkOccurrences(docs, 5)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 3).foreach { trial =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft-compact-sched$trial").toString
+      (0 until 4).foreach { b =>
+        val part = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+        StreamingJobs.boilerMaintSink(out)(part, b.toLong)
+        if (rnd.nextBoolean()) StreamingJobs.compactVersions(spark, out, keep = 2)
+        if (rnd.nextBoolean()) { // redelivery of the just-committed batch
+          StreamingJobs.boilerMaintSink(out)(part, b.toLong)
+        }
+        if (rnd.nextBoolean()) StreamingJobs.compactVersions(spark, out, keep = 2)
+      }
+      val got = spark.read.parquet(
+        s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}/df")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"schedule $trial diverged from the one-shot counts")
+    }
   }
 
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
