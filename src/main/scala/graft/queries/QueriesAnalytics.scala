@@ -801,4 +801,69 @@ FROM bk GROUP BY bucket ORDER BY bucket"""
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey < 400
 GROUP BY o.o_orderpriority ORDER BY grp"""
+
+  /** TEMPORAL drift monitor — q184's PSI on the time axis: for every
+    * day, the population-stability index between that day's EVENT-TYPE
+    * mix and the previous calendar day's (add-one smoothing over the
+    * observed type set K, so a type absent on one side still
+    * contributes), with the standard <0.1 / 0.1–0.2 / >0.2 reading.
+    * This is the "did today's traffic composition shift" alarm an event
+    * pipeline pages on — the third drift axis next to q184 (between
+    * sources) and q118 (per-user behavioral drift).
+    *
+    * Scale shape: one events scan into (day, type) counts; the PSI
+    * support is the bounded days×types grid (types is a broadcast
+    * category table); day-over-day pairing is a keyed equi-join of the
+    * grid against itself shifted by one day. Days without a previous
+    * calendar day report nothing (inner join — no fabricated baseline).
+    */
+  def q185_temporal_drift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(daySec(col("ts")).as("day"), col("event_type"))
+    val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val types = cnt.select("event_type").distinct()
+    val kRow = types.agg(count(lit(1)).cast("double").as("k")) // one row
+    val grid = cnt.select("day").distinct().crossJoin(broadcast(types))
+    val tot = cnt.groupBy("day").agg(sum("c").as("n"))
+    val p = grid.join(cnt, Seq("day", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(tot, Seq("day"))
+      .crossJoin(broadcast(kRow))
+      .select(col("day"), col("event_type"), col("n"),
+        ((col("c") + lit(1.0)) / (col("n") + col("k"))).as("p"))
+    val prev = p.select((col("day") + 1).as("day"), col("event_type"), col("p").as("q"))
+    p.join(prev, Seq("day", "event_type"))
+      .groupBy("day")
+      .agg(min("n").cast("long").as("n_events"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") > 0.2, "drift")
+          .when(col("psi") > 0.1, "moderate").otherwise("stable"))
+      .select("day", "n_events", "psi", "verdict")
+      .orderBy("day")
+  }
+
+  /** Oracle: the q67 day arithmetic, the same days×types grid with
+    * c = 0 smoothing, the same shifted self-join and PSI sum.
+    */
+  val q185Sql: String =
+    raw"""WITH ev AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day, event_type FROM events),
+cnt AS (SELECT day, event_type, count(*) AS c FROM ev GROUP BY day, event_type),
+types AS (SELECT DISTINCT event_type FROM cnt),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types),
+grid AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM cnt) d CROSS JOIN types t),
+tot AS (SELECT day, sum(c) AS n FROM cnt GROUP BY day),
+p AS (SELECT g.day, g.event_type, tot.n,
+             (coalesce(cnt.c, 0) + 1.0) / (tot.n + kk.k) AS p
+      FROM grid g LEFT JOIN cnt ON cnt.day = g.day AND cnt.event_type = g.event_type
+      JOIN tot ON tot.day = g.day CROSS JOIN kk),
+pr AS (SELECT day + 1 AS day, event_type, p AS q FROM p),
+j AS (SELECT p.day, p.n, p.p, pr.q FROM p JOIN pr ON pr.day = p.day AND pr.event_type = p.event_type),
+agg AS (SELECT day, CAST(min(n) AS BIGINT) AS n_events,
+               round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM j GROUP BY day)
+SELECT day, n_events, psi,
+       CASE WHEN psi > 0.2 THEN 'drift'
+            WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
+FROM agg ORDER BY day"""
 }

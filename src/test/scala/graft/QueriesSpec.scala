@@ -227,6 +227,7 @@ object QueriesSpec {
     "q182_dsir_select" /* 1-row totals + B-row log-ratio table */,
     "q183_ppl_buckets" /* q114's 1-row |V| table */,
     "q184_feature_drift" /* |sources|x1024 bucket grid + 1-row total */,
+    "q185_temporal_drift" /* days x event-type category grid + 1-row K */,
     // 2-row epoch / W-row worker tables (the loader family)
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
     "q166_loader_resume", "q171_clean_loader")
