@@ -89,4 +89,29 @@ class SqlParitySpec extends SparkSpec {
         GROUP BY word ORDER BY word"""),
       graft.queries.QueriesText.q01_wordcount(spark, sf("sf0.001")))
   }
+  test("q185 temporal drift via spark.sql equals the DataFrame builder") {
+    views
+    same(
+      spark.sql("""
+        WITH ev AS (SELECT CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS LONG) / 86400) AS BIGINT) AS day,
+                           event_type FROM events),
+        cnt AS (SELECT day, event_type, count(*) AS c FROM ev GROUP BY day, event_type),
+        types AS (SELECT DISTINCT event_type FROM cnt),
+        kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types),
+        grid AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM cnt) d CROSS JOIN types t),
+        tot AS (SELECT day, sum(c) AS n FROM cnt GROUP BY day),
+        p AS (SELECT g.day, g.event_type, tot.n, (coalesce(cnt.c, 0) + 1.0) / (tot.n + kk.k) AS p
+              FROM grid g LEFT JOIN cnt ON cnt.day = g.day AND cnt.event_type = g.event_type
+              JOIN tot ON tot.day = g.day CROSS JOIN kk),
+        pr AS (SELECT day + 1 AS day, event_type, p AS q FROM p),
+        j AS (SELECT p.day, p.n, p.p, pr.q
+              FROM p JOIN pr ON pr.day = p.day AND pr.event_type = p.event_type),
+        agg AS (SELECT day, CAST(min(n) AS BIGINT) AS n_events,
+                       round(sum((p - q) * ln(p / q)), 6) AS psi FROM j GROUP BY day)
+        SELECT day, n_events, psi,
+               CASE WHEN psi > 0.2 THEN 'drift'
+                    WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
+        FROM agg ORDER BY day"""),
+      graft.queries.QueriesAnalytics.q185_temporal_drift(spark, sf("sf0.001")))
+  }
 }
