@@ -616,6 +616,18 @@ object StreamingJobs {
     * batch's chunks plus keyed merges into the touched df/ids rows.
     */
   def boilerMaintSink(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): Unit = {
+    boilerMaintIngest(outDir, c)(batch, batchId); ()
+  }
+
+  /** [[boilerMaintSink]]'s body, returning the batch's NOVEL documents
+    * (the rows that survived the served-ids screen) so a composing
+    * pipeline ([[curateStream]]) can keep processing exactly the rows
+    * this state update admitted. The returned frame reads the
+    * PREDECESSOR ids version by path — still on disk after this
+    * version's write (retention keeps ≥ 2), so consuming it after the
+    * state commit is sound.
+    */
+  def boilerMaintIngest(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
       .filter(_ < batchId).lastOption
@@ -642,6 +654,7 @@ object StreamingJobs {
     mergedDf.write.mode("overwrite").parquet(s"$outDir/v=$batchId/df")
     mergedIds.write.mode("overwrite").parquet(s"$outDir/v=$batchId/ids")
     graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+    novel
   }
 
   /** The accumulated boilerplate set: chunk hashes whose document
@@ -676,6 +689,57 @@ object StreamingJobs {
       s"sink-state retention needs keep >= 2 (replay-predecessor window), got $keep")
     graft.core.ArtifactIO.retainVersions(spark, outDir, "v=", keep)
   }
+
+  /** ONLINE CURATION — the streaming composition of the batch cleaning
+    * pipeline, one foreachBatch body:
+    *
+    *   1. exact-ingest dedup + incremental boilerplate-frequency
+    *      maintenance ([[boilerMaintIngest]]: the served-ids screen
+    *      admits each document once across batches and replays, and the
+    *      batch's chunks land in the versioned df state);
+    *   2. the admitted documents are cleaned against the ACCUMULATED
+    *      boilerplate view — which, having just absorbed this batch,
+    *      reflects every document delivered so far;
+    *   3. a caller-supplied quality `gate` (e.g.
+    *      `QueriesText.repetitionBattery`-based filtering) runs over
+    *      the CLEANED text — the q176 ordering: boilerplate inflates
+    *      repetition signals, so gating before cleaning keeps worse
+    *      docs;
+    *   4. survivors append to the curated table through
+    *      [[idempotentParquetSink]] (batch-dir overwrite — a replayed
+    *      batch rewrites its own directory, never duplicates).
+    *
+    * Consistency contract, stated honestly: each document's cleaned
+    * form reflects the boilerplate evidence available AT ADMISSION —
+    * a chunk that only becomes template material in later batches
+    * stays in earlier admissions (production re-cleans periodically
+    * against the final view; the spec pins that the LAST batch's
+    * admissions equal the one-shot batch transform, since by then the
+    * view equals the full-corpus frequency table). Crash anywhere
+    * between the state commit and the curated write replays the whole
+    * body: the state rebuild is predecessor-based and the curated
+    * write overwrites its own batch dir — both idempotent, so no
+    * joint transaction is needed across the two stores.
+    *
+    * The returned count is the batch's admitted-survivor count, for
+    * operator telemetry.
+    */
+  def curateStream(outDir: String, c: Int = 5, minDocs: Int = 3,
+      gate: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val novel = boilerMaintIngest(s"$outDir/boiler", c)(batch, batchId)
+    val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
+    val cleaned = graft.dedup.Dedup.applyBoilerplate(novel, view, c)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("n_tokens"), col("n_removed"))
+    val kept = gate(cleaned)
+    idempotentParquetSink(s"$outDir/curated")(kept, batchId)
+    kept.count()
+  }
+
+  /** The curated table: union of all committed batch directories. */
+  def curatedDocs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/curated")
 
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):

@@ -664,6 +664,54 @@ class StreamingSpec extends SparkSpec {
     assert(merged.size == wantDf.size + 1, "planted chunk missing after post-compaction batch")
   }
 
+  test("curateStream: admission-time curation; replays/redeliveries curate nothing twice; final batch equals one-shot") {
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    // the quality gate: q179's battery verdict over the cleaned text
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
+      d.join(
+        graft.queries.QueriesText.repetitionBattery(d.select("doc_id", "text"))
+          .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val admitted = (0 until 3).map { b =>
+      StreamingJobs.curateStream(out, gate = gate)(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+    }
+    assert(admitted.sum > 0, "degenerate fixture: nothing curated")
+    def table() = StreamingJobs.curatedDocs(spark, out)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("__batch_id"))).toSet
+    val before = table()
+    // no doc curated twice across batches
+    assert(before.groupBy(_._1).forall(_._2.size == 1))
+    // REPLAY of the last batch (the checkpoint-crash window): the state
+    // rebuilds from v=1 and the curated v=2 dir is rewritten — table
+    // unchanged, same admission count
+    val replayCount = StreamingJobs.curateStream(out, gate = gate)(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+    assert(replayCount == admitted(2), "replay admitted a different count")
+    assert(table() == before, "replay changed the curated table")
+    // cross-batch REDELIVERY as a genuinely new batch: the served-ids
+    // screen admits nothing
+    val redeliverCount = StreamingJobs.curateStream(out, gate = gate)(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), 3L)
+    assert(redeliverCount == 0L, "redelivered docs were re-curated")
+    assert(table() == before, "redelivery changed the curated table")
+    // the LAST real batch's admissions equal the one-shot transform:
+    // after batch 2 the accumulated view is the full-corpus frequency
+    // table, so cleaning + gating batch-2 docs matches the batch
+    // pipeline exactly (text for text)
+    val oneShotCleaned = graft.dedup.Dedup.removeBoilerplate(docs, 5, 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val oneShotKept = gate(oneShotCleaned)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamedB2 = before.filter(_._3 == 2).map(t => (t._1, t._2))
+    assert(streamedB2 == oneShotKept,
+      "final-batch admissions diverge from the one-shot clean+gate")
+  }
+
   test("retention composes with replays: randomized delivery/replay/compaction schedules converge") {
     // Fixed-seed random schedules over four disjoint document batches:
     // each step delivers the next batch, MAY immediately redeliver it
