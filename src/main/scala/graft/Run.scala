@@ -119,6 +119,38 @@ object Run {
           opqIters = 1, pqIters = 1)
         println(f"[opqdist] sample-2048: 1 alternation in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } finally spark.stop()
+    case "curate" :: dir :: rest =>
+      // End-to-end ONLINE CURATION demo: the documents table delivered
+      // as N batches through StreamingJobs.curateStream (served-ids
+      // dedup -> incremental boilerplate clean -> repetition-battery
+      // gate -> exactly-once curated append), then the per-batch
+      // admission funnel and the final curated-table summary.
+      import org.apache.spark.sql.functions._
+      val nBatches = rest.headOption.map(_.toInt).getOrElse(3)
+      val spark = Sessions.local("graft-curate")
+      try {
+        val out = java.nio.file.Files.createTempDirectory("graft-curate-run").toString
+        val docs = graft.core.Tables(spark, dir, "documents").select("doc_id", "text")
+        val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
+          d.join(
+            graft.queries.QueriesText.repetitionBattery(d.select("doc_id", "text"))
+              .filter(col("verdict") === "keep").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        (0 until nBatches).foreach { b =>
+          val part = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+          val n = part.count()
+          val t0 = System.nanoTime()
+          val kept = graft.streaming.StreamingJobs.curateStream(out, gate = gate)(part, b.toLong)
+          println(f"[curate] batch $b: $n%d delivered -> $kept%d curated " +
+            f"in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        val cur = graft.streaming.StreamingJobs.curatedDocs(spark, out)
+        val s = cur.agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens") - col("n_removed")).as("toks"),
+          sum("n_removed").as("removed")).head
+        println(s"[curate] curated table: ${s.getLong(0)} docs, " +
+          s"${s.getLong(1)} surviving tokens, ${s.getLong(2)} boilerplate tokens removed")
+      } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query
       // local verification without a full graft.Verify pass.
