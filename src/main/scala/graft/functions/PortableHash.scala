@@ -34,6 +34,14 @@ object PortableHash {
       lit(0L),
       (acc, x) => (acc * 31 + x) % Mod)
 
+  /** Driver-side twin of [[asciiPolyHash]] — same fold, same modulus —
+    * for the bounded literals (query panels, seed texts) a composition
+    * embeds without a Spark job. Equality with the Column form is
+    * pinned in PropertySpec.
+    */
+  def asciiPolyHashScala(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Mod)
+
   /** MinHash permutation family: h_k(x) = (a_k * x + b_k) mod p with
     * p = 2^31 - 1 and deterministic (seed-free) coefficient derivation, so
     * signatures are reproducible across runs and engines. a_k is forced odd

@@ -1798,4 +1798,144 @@ slot AS (SELECT dim, m, row_number() OVER (PARTITION BY m ORDER BY r) - 1 AS j F
 pmt AS (SELECT m * 8 + j + 1 AS p, dim FROM slot),
 e AS (SELECT f.vec_id, list(f.v[pmt.dim] ORDER BY pmt.p) AS v FROM e0 f, pmt GROUP BY f.vec_id),
 $residualIvfPqBodySql"""
+
+  /** SEMANTIC SEARCH OVER TEXT, end to end — the retrieval-indexing
+    * composition every RAG stack runs, built entirely from this
+    * engine's own pieces: documents are cut into overlapping 64-token
+    * chunks (q133's cut), each chunk becomes a hashed term-frequency
+    * vector (q113's feature-hashing domain, D = 64 buckets), projected
+    * to 16 dims by the q135 Achlioptas ±1 sign matrix, partitioned
+    * into 4 IVF cells around first-4-chunk seed centroids (the q146
+    * seed convention), and a TEXT query — embedded by the identical
+    * tokenize → hash → project path — probes its 2 nearest cells for
+    * the exact top-10 chunks. Until now only the synthetic embeddings
+    * table was indexed; this is the text→vector→index→serve path in
+    * one entry.
+    *
+    * Exactness by construction: counts are integers and the JL signs
+    * are ±1, so every projected coordinate is an exact INTEGER (the
+    * 1/√16 Achlioptas scale cancels from every comparison and is
+    * dropped), distances are integer sums of squares, and every
+    * argmin/top-k has an exact total order — no float rounds anywhere,
+    * both engines bit-agree by arithmetic, not by tolerance.
+    *
+    * Scale shape: chunking/hashing are per-row; TF counts and the
+    * sparse projection are keyed aggregations (the sign matrix is a
+    * 1024-row broadcast); centroids are a 4-row driver collect (the
+    * k×dim convention); assignment is a bounded broadcast panel
+    * (whitelisted) with a min-struct argmin; serving filters to the
+    * probed cells before the bounded top-k (TakeOrderedAndProject).
+    */
+  def q186_text_index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.PortableHash
+    import graft.text.Text
+    val W = 64; val S = 48; val D = 64L; val K = 16; val NP = 2
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    val n = size(col("tk"))
+    val nChunks = lit(1) +
+      greatest(lit(0L), ceil((n - lit(W)).cast("double") / S).cast("long"))
+    val chunks = t
+      .select(col("doc_id"), explode(transform(sequence(lit(0L), nChunks - 1), i =>
+        struct(i.as("ci"),
+          slice(col("tk"), i * S + 1, least(lit(W.toLong), n - i * S)).as("ctoks")))).as("c"))
+      .select(col("doc_id"), col("c.ci").as("ci"), col("c.ctoks").as("ctoks"))
+      .filter(size(col("ctoks")) > 0)
+    val cnt = chunks.select(col("doc_id"), col("ci"), explode(col("ctoks")).as("tok"))
+      .select(col("doc_id"), col("ci"),
+        pmod(PortableHash.asciiPolyHash(col("tok")), lit(D)).as("f"))
+      .groupBy("doc_id", "ci", "f").agg(count(lit(1)).as("c"))
+    val signsDf = broadcast((for { j <- 0 until K; f <- 0 until D.toInt } yield
+      (j, f.toLong, jlSign(j, f).toLong)).toDF("j", "f", "sgn"))
+    // Persisted: the chunk-vector table has two consumers (the seed
+    // collect and the assignment scan) — without the persist the whole
+    // tokenize→hash→project chain executes twice (measured 16.4 s →
+    // 9.3 s at the 8× probe). 16 longs per chunk — far smaller than
+    // the text it derives from; at production scale this is the
+    // materialized embedding table every index build starts from.
+    val vec = cnt.join(signsDf, Seq("f"))
+      .groupBy("doc_id", "ci", "j").agg(sum(col("c") * col("sgn")).as("pj"))
+      .groupBy("doc_id", "ci")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("pj")))),
+        x => x.getField("pj")).as("v"))
+      .persist()
+    // seed centroids: the 4 first chunks by (doc_id, ci) — 4×16 ints
+    val cents = vec.orderBy("doc_id", "ci").limit(4).collect()
+      .map(_.getSeq[Long](2).toArray)
+    val centDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("cell", "cv"))
+    val d2To = (other: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(col("v"), other, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val assigned = vec.crossJoin(centDf)
+      .select(col("doc_id"), col("ci"), col("v"), col("cell"), d2To(col("cv")).as("d2"))
+      .groupBy("doc_id", "ci")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"), first("v").as("v"))
+      .select(col("doc_id"), col("ci"), col("v"), col("m.cell").as("cell"))
+    // the query, embedded by the identical driver-side arithmetic
+    val qToks = "join stream window group data table".split(" ").toSeq
+    val qCnt = qToks.groupBy(tok =>
+      PortableHash.asciiPolyHashScala(tok) % D).view.mapValues(_.size.toLong)
+    val qv = Array.tabulate(K)(j =>
+      qCnt.map { case (f, c) => c * jlSign(j, f.toInt).toLong }.sum)
+    val probed = cents.zipWithIndex
+      .map { case (c, i) =>
+        (i.toLong, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy { case (i, d) => (d, i) }.take(NP).map(_._1)
+    val qvLit = array(qv.map(lit).toIndexedSeq: _*)
+    assigned.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        aggregate(zip_with(col("v"), qvLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        col("cell"))
+      .orderBy(col("d2"), col("doc_id"), col("chunk_idx"))
+      .limit(10)
+  }
+
+  /** Oracle: the full pipeline restated — q133 chunk cut, hashed TF,
+    * the q135 sign-matrix CTE, integer projection sums, first-4 seeds,
+    * window-argmin assignment, the query embedded from the same
+    * literal through the same tokenizer fragment, 2-cell probe, exact
+    * top-10 with the (d2, doc_id, chunk_idx) total order.
+    */
+  val q186Sql: String = {
+    val toks = QueriesText.ToksSql
+    val qlit = raw"""list_filter(regexp_split_to_array(regexp_replace('join stream window group data table', '[^A-Za-z]', ' ', 'g'), '\s+'), x -> x <> '')"""
+    raw"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+c AS (SELECT doc_id, tk,
+             unnest(range(0, 1 + greatest(0, CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT)))) AS ci
+      FROM t),
+ch AS (SELECT doc_id, ci, list_slice(tk, ci * 48 + 1, ci * 48 + least(64, len(tk) - ci * 48)) AS ctoks
+       FROM c WHERE least(64, len(tk) - ci * 48) > 0),
+tok AS (SELECT doc_id, ci, unnest(ctoks) AS tok FROM ch),
+cnt AS (SELECT doc_id, ci, ${QueriesDedup.polyHashSql("tok")} % 64 AS f, count(*) AS c
+        FROM tok GROUP BY doc_id, ci, f),
+sg AS (SELECT j, f,
+              CASE WHEN ((j * 2654435761 + f * 1103515245 + 12345) % 97) % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+       FROM (SELECT unnest(range(0, 16)) AS j) jj CROSS JOIN (SELECT unnest(range(0, 64)) AS f) ff),
+pr AS (SELECT doc_id, ci, j, sum(c * sgn) AS pj FROM cnt JOIN sg USING (f) GROUP BY doc_id, ci, j),
+vec AS (SELECT doc_id, ci, list(pj ORDER BY j) AS v FROM pr GROUP BY doc_id, ci),
+seed AS (SELECT row_number() OVER (ORDER BY doc_id, ci) - 1 AS cell, v AS cv
+         FROM vec ORDER BY doc_id, ci LIMIT 4),
+asg AS (SELECT doc_id, ci, v, cell FROM (
+  SELECT vec.doc_id, vec.ci, vec.v, seed.cell,
+         row_number() OVER (PARTITION BY vec.doc_id, vec.ci
+           ORDER BY list_sum(list_transform(range(1, 17), i -> (vec.v[i] - seed.cv[i]) * (vec.v[i] - seed.cv[i]))),
+                    seed.cell) AS rn
+  FROM vec CROSS JOIN seed) WHERE rn = 1),
+qtok AS (SELECT unnest($qlit) AS tok),
+qcnt AS (SELECT ${QueriesDedup.polyHashSql("tok")} % 64 AS f, count(*) AS c FROM qtok GROUP BY f),
+qpr AS (SELECT sg.j, sum(qcnt.c * sg.sgn) AS pj FROM qcnt JOIN sg USING (f) GROUP BY sg.j),
+qvv AS (SELECT list(pj ORDER BY j) AS qv FROM qpr),
+pc AS (SELECT cell FROM seed CROSS JOIN qvv
+       ORDER BY list_sum(list_transform(range(1, 17), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))), cell
+       LIMIT 2)
+SELECT a.doc_id, CAST(a.ci AS BIGINT) AS chunk_idx,
+       CAST(list_sum(list_transform(range(1, 17), i -> (a.v[i] - qvv.qv[i]) * (a.v[i] - qvv.qv[i]))) AS BIGINT) AS d2,
+       CAST(a.cell AS BIGINT) AS cell
+FROM asg a JOIN pc USING (cell) CROSS JOIN qvv
+ORDER BY d2, a.doc_id, chunk_idx LIMIT 10"""
+  }
 }

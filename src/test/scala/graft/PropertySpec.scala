@@ -90,9 +90,12 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  /** Scala reimplementation of PortableHash.asciiPolyHash. */
+  /** The shipped driver-side fold — the same function compositions use
+    * for bounded literals (PortableHash.asciiPolyHashScala), so this
+    * test pins production code, not a test-local reimplementation.
+    */
   private def polyHash(s: String): Long =
-    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    graft.functions.PortableHash.asciiPolyHashScala(s)
 
   test("PortableHash on Spark equals the driver-side fold bit-for-bit") {
     import org.apache.spark.sql.functions.col

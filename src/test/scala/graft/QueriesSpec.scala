@@ -228,6 +228,7 @@ object QueriesSpec {
     "q183_ppl_buckets" /* q114's 1-row |V| table */,
     "q184_feature_drift" /* |sources|x1024 bucket grid + 1-row total */,
     "q185_temporal_drift" /* days x event-type category grid + 1-row K */,
+    "q186_text_index" /* 4-row seed-centroid panel */,
     // 2-row epoch / W-row worker tables (the loader family)
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
     "q166_loader_resume", "q171_clean_loader")
