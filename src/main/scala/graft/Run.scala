@@ -131,11 +131,7 @@ object Run {
       try {
         val out = java.nio.file.Files.createTempDirectory("graft-curate-run").toString
         val docs = graft.core.Tables(spark, dir, "documents").select("doc_id", "text")
-        val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
-          d.join(
-            graft.queries.QueriesText.repetitionBattery(d.select("doc_id", "text"))
-              .filter(col("verdict") === "keep").select("doc_id"),
-            Seq("doc_id"), "left_semi")
+        val gate = graft.queries.QueriesText.repetitionKeep _
         (0 until nBatches).foreach { b =>
           val part = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
           val n = part.count()
@@ -144,12 +140,19 @@ object Run {
           println(f"[curate] batch $b: $n%d delivered -> $kept%d curated " +
             f"in ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
-        val cur = graft.streaming.StreamingJobs.curatedDocs(spark, out)
-        val s = cur.agg(count(lit(1)).as("docs"),
-          sum(col("n_tokens") - col("n_removed")).as("toks"),
-          sum("n_removed").as("removed")).head
-        println(s"[curate] curated table: ${s.getLong(0)} docs, " +
-          s"${s.getLong(1)} surviving tokens, ${s.getLong(2)} boilerplate tokens removed")
+        // A corpus whose docs all fail the gate (or arrive pre-served)
+        // writes no partitions — the read then fails schema inference
+        // and empty aggregates return null; guard both.
+        scala.util.Try(graft.streaming.StreamingJobs.curatedDocs(spark, out)) match {
+          case scala.util.Success(cur) =>
+            val s = cur.agg(count(lit(1)).as("docs"),
+              coalesce(sum(col("n_tokens") - col("n_removed")), lit(0L)).as("toks"),
+              coalesce(sum("n_removed"), lit(0L)).as("removed")).head
+            println(s"[curate] curated table: ${s.getLong(0)} docs, " +
+              s"${s.getLong(1)} surviving tokens, ${s.getLong(2)} boilerplate tokens removed")
+          case scala.util.Failure(_) =>
+            println("[curate] curated table: empty (no batch admitted any document)")
+        }
       } finally spark.stop()
     case "oracle" :: q :: Nil if Queries.oracles.contains(q) =>
       // Print the DuckDB oracle SQL — pipe into duckdb for one-query

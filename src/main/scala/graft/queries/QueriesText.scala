@@ -1026,6 +1026,17 @@ FROM a JOIN r ON r.lang = a.lang AND r.rn = 1 ORDER BY a.lang"""
   def q179_repetition_battery(s: SparkSession, dir: String): DataFrame =
     repetitionBattery(docs(s, dir)).orderBy("doc_id")
 
+  /** The canonical battery GATE: keep exactly the rows whose document
+    * passes all three rules — the one definition the curation demo,
+    * the streaming spec, and production callers share (a semi-join so
+    * the caller's columns pass through untouched).
+    */
+  def repetitionKeep(d: DataFrame): DataFrame =
+    d.join(
+      repetitionBattery(d.select("doc_id", "text"))
+        .filter(col("verdict") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** The battery over any (doc_id, text) frame — factored out so specs
     * can drive planted documents through the exact production rule set.
     */

@@ -627,7 +627,14 @@ object StreamingJobs {
     * version's write (retention keeps ≥ 2), so consuming it after the
     * state commit is sound.
     */
-  def boilerMaintIngest(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): DataFrame = {
+  def boilerMaintIngest(outDir: String, c: Int = 5)(batch0: DataFrame, batchId: Long): DataFrame = {
+    // WITHIN-batch duplicate hardening: the state tables below are
+    // distinct()-protected, but the returned novel frame feeds the
+    // curation gate, where a doc delivered twice in ONE microbatch
+    // would double every repetition count (flagging a clean doc) while
+    // the ids table still records it served — losing it forever. One
+    // row per doc_id before anything else.
+    val batch = batch0.dropDuplicates("doc_id")
     val spark = batch.sparkSession
     val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
       .filter(_ < batchId).lastOption
@@ -732,9 +739,14 @@ object StreamingJobs {
     val cleaned = graft.dedup.Dedup.applyBoilerplate(novel, view, c)
       .select(col("doc_id"), col("clean_text").as("text"),
         col("n_tokens"), col("n_removed"))
-    val kept = gate(cleaned)
-    idempotentParquetSink(s"$outDir/curated")(kept, batchId)
-    kept.count()
+    // Persisted across the write and the telemetry count — without it
+    // the whole admission DAG (anti-join, chunk hashing, cleaning,
+    // gate) executes twice per batch.
+    val kept = gate(cleaned).persist()
+    try {
+      idempotentParquetSink(s"$outDir/curated")(kept, batchId)
+      kept.count()
+    } finally kept.unpersist()
   }
 
   /** The curated table: union of all committed batch directories. */

@@ -668,17 +668,24 @@ class StreamingSpec extends SparkSpec {
     val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
       .select("doc_id", "text")
     val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
-    // the quality gate: q179's battery verdict over the cleaned text
-    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
-      d.join(
-        graft.queries.QueriesText.repetitionBattery(d.select("doc_id", "text"))
-          .filter(col("verdict") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    // the quality gate: the canonical battery gate over the cleaned text
+    val gate = graft.queries.QueriesText.repetitionKeep _
     val admitted = (0 until 3).map { b =>
-      StreamingJobs.curateStream(out, gate = gate)(
-        docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+      val part = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      // batch 1 arrives with every row duplicated WITHIN the microbatch
+      // (at-least-once inside one batch): the served-ids screen is
+      // cross-batch only, so without the ingest-side doc_id dedup the
+      // gate would see doubled repetition counts, flag clean docs, and
+      // lose them forever (ids would still record them as served).
+      val delivered = if (b == 1) part.unionByName(part) else part
+      StreamingJobs.curateStream(out, gate = gate)(delivered, b.toLong)
     }
     assert(admitted.sum > 0, "degenerate fixture: nothing curated")
+    // the duplicated batch admits like a clean one — a double-count
+    // regression collapses this toward zero
+    val batch1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1).count()
+    assert(admitted(1) * 10 >= batch1 * 9,
+      s"within-batch duplicates depressed admissions: ${admitted(1)} of $batch1")
     def table() = StreamingJobs.curatedDocs(spark, out)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
         r.getAs[Int]("__batch_id"))).toSet
