@@ -123,15 +123,20 @@ FROM part ORDER BY p_brand, price_rank, p_partkey"""
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .withColumn("running_spend", sum("o_totalprice").over(w))
+      // round-6 per the catalog convention: engines associate running
+      // float sums differently (Spark accumulates sequentially, DuckDB
+      // uses a segment tree), and on long-enough partitions the ulp
+      // drift becomes visible in unrounded output — seen at the 8×
+      // perf corpus, where customers carry 8× the orders.
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 6))
       .drop("o_totalprice")
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   val q12Sql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
 FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
   /** Set operations. Spark `union` is UNION ALL; `.distinct()` restores

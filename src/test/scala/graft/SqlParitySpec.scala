@@ -69,8 +69,8 @@ class SqlParitySpec extends SparkSpec {
     same(
       spark.sql("""
         SELECT o_custkey, o_orderkey, o_orderdate,
-               sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""),
       graft.queries.QueriesRelational.q12_running_total(spark, sf("sf0.001")))
   }
