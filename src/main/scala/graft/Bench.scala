@@ -104,20 +104,26 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, l) => "\"" + k + "\":" + f"$l%.1f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val subset = only.map(_ => s""","subset":true""").getOrElse("") +
-      (if (contended.nonEmpty)
+    val subsetFlag = only.map(_ => s""","subset":true""").getOrElse("")
+    val contendedFull =
+      if (contended.nonEmpty)
         s""","contended":[${contended.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-      else "")
+      else ""
     // Full JSON first; the capture downstream keeps only the LAST ~2000
-    // chars of output, and the full line (96 times + 96 loads) exceeds
-    // that — round 6 lost its entire times map this way. The final line is
-    // a compact summary that always survives: total, n, slowest-5, peak
-    // load1m, and the subset marker.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir","n_queries":${results.size}$subset}""")
+    // chars of output, and the full line (96 times + 96 loads + the
+    // contended name array) exceeds that — round 6 lost its entire times
+    // map this way, and rounds 8/9 lost the TOTAL because the contended
+    // array was appended to the final line too. The final line is a
+    // compact summary that must ALWAYS survive the tail capture, so it
+    // carries only fixed-size fields: total, n, slowest-5, peak load1m,
+    // the subset marker, and the contended COUNT (the full name list
+    // lives on the full line above and in stderr). At 5 query names of
+    // ≤40 chars the line stays well under 500 chars at any catalog size.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir","n_queries":${results.size}$subsetFlag$contendedFull}""")
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val maxLoad = f"${if (results.nonEmpty) results.map(_._3).max else 0.0}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest5":$slowest,"max_load1m":$maxLoad$subset}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest5":$slowest,"max_load1m":$maxLoad$subsetFlag,"contended_n":${contended.size}}""")
     spark.stop()
   }
 }

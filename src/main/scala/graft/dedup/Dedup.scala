@@ -549,27 +549,45 @@ object Dedup {
     * paragraphs) that no corpus-frequency threshold can see, because
     * the repetition is local to one document.
     *
-    * Scale shape: the ENTIRE operator is per-row projections — chunk
-    * hashes are the one-pass native [[org.apache.spark.sql.graft.ChunkHashes]]
-    * and the first-occurrence mask is an index-lambda over that array —
-    * so the plan has ZERO shuffles at any corpus size; it composes into
-    * any pipeline stage for free. The mask is O(nch²) hash compares per
-    * document (array_position over a growing prefix); documents are
-    * length-bounded in every real corpus (a 20k-token doc is 4k chunks),
-    * and if that bound ever moves, the same rule respells as a
-    * (doc_id, h) → min(ci) keyed aggregation — still never shuffling
-    * text, just no longer shuffle-free.
+    * Scale shape: for ordinary documents the ENTIRE operator is per-row
+    * projections — chunk hashes are the one-pass native
+    * [[org.apache.spark.sql.graft.ChunkHashes]] and the first-occurrence
+    * mask is an index-lambda over that array — so the bulk of the plan
+    * has ZERO shuffles at any corpus size. The mask is O(nch²) hash
+    * compares per document (array_position over a growing prefix), which
+    * is quadratic IN ONE ROW: a single pathological multi-million-token
+    * document would stall its executor with no recourse. The guard is
+    * built in: documents above `maxInlineChunks` chunks (default 4096 ≈
+    * a 20k-token doc at c = 5 — past the length bound of every real
+    * corpus) are split off and run through the keyed
+    * (doc_id, h) → min(ci) respelling instead — O(nch log nch) via one
+    * aggregation over ONLY the pathological rows' chunks (text still
+    * never shuffles; the exploded rows are (doc_id, ci, h) longs). Both
+    * paths are spec-pinned equal, so the split is invisible in the
+    * output.
     */
-  def dedupChunksWithin(docs: DataFrame, c: Int): DataFrame = {
+  def dedupChunksWithin(docs: DataFrame, c: Int, maxInlineChunks: Int = 4096): DataFrame = {
     val base = chunkBase(docs, c)
+    val small = base.filter(size(col("chs")) <= maxInlineChunks)
+    val big = base.filter(size(col("chs")) > maxInlineChunks)
     // rem = chunk indices whose hash already appeared at a smaller index
     // of the SAME doc. slice(chs, 1, i) is the strict prefix (i elements);
     // array_position is 1-based, 0 = absent.
-    val rem = filter(
+    val remInline = filter(
       transform(col("chs"), (h, i) =>
         when(array_position(slice(col("chs"), lit(1), i), h) > 0, i).otherwise(lit(-1))),
       x => x >= 0)
-    base.withColumn("rem", rem)
+    val smallMasked = small.withColumn("rem", remInline)
+    // pathological-length path: first-occurrence via keyed min-index —
+    // linear rows, one bounded shuffle over the big docs' chunk ids only
+    val occ = big.select(col("doc_id"), posexplode(col("chs")).as(Seq("ci", "h")))
+    val dup = occ
+      .join(occ.groupBy("doc_id", "h").agg(min("ci").as("__mn")), Seq("doc_id", "h"))
+      .filter(col("ci") > col("__mn"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("ci"))).as("rem"))
+    val bigMasked = big.join(dup, Seq("doc_id"), "left")
+      .withColumn("rem", coalesce(col("rem"), array().cast("array<int>")))
+    smallMasked.unionByName(bigMasked)
       .withColumn("kept", filter(col("toks"), (_, j) =>
         !array_contains(col("rem"), floor(j.cast("double") / c).cast("int"))))
       .select(col("doc_id"),

@@ -59,12 +59,36 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, feature: Array[Float])
 
-  /** STUB decoder: a real implementation would decode image/audio bytes
-    * and run feature extraction (per-batch model init). This deterministic
-    * fake derives a checksum and a tiny "feature vector" from the raw
-    * bytes so tests can assert the plumbing end-to-end.
+  /** THE DECODER BOUNDARY — the one seam between this library's plumbing
+    * and a real media codec/model, defined so the production swap is a
+    * one-liner (`extractFeatures(media, MyJpegClipDecoder)`).
+    *
+    * Contract:
+    *  - the object must be [[Serializable]] (it ships to executors);
+    *  - [[MediaDecoder.open]] is called ONCE PER PARTITION, on the
+    *    executor, before any row of that partition is decoded — codec
+    *    contexts, model weights, GPU handles go here (the amortization
+    *    `mapInPandas` gives PySpark); the returned closure is then
+    *    applied per row and may carry that per-task state;
+    *  - the closure maps (kind, payload bytes) → (checksum, feature
+    *    vector) deterministically for a given payload — replay and
+    *    speculative re-execution of a task must reproduce the same rows.
+    * MultimodalSpec's contract test drives a custom implementation
+    * through the pipeline and pins both the injection and the
+    * once-per-partition open() semantics.
     */
-  object FakeDecoder {
+  trait MediaDecoder extends Serializable {
+    def open(): (String, Array[Byte]) => (Long, Array[Float])
+  }
+
+  /** STUB decoder (the default): a real implementation would decode
+    * image/audio bytes and run feature extraction. This deterministic
+    * fake derives a checksum and a tiny "feature vector" from the raw
+    * bytes so tests can assert the plumbing end-to-end — the sandbox
+    * has no media codecs, which is exactly why the boundary above is a
+    * trait and not this object.
+    */
+  object FakeDecoder extends MediaDecoder {
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
 
@@ -74,21 +98,28 @@ object Multimodal {
       while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
       f
     }
+
+    override def open(): (String, Array[Byte]) => (Long, Array[Float]) =
+      (_, bytes) => (checksum(bytes), features(bytes))
   }
 
   /** Batched per-partition decode — the Scala analog of mapInPandas: one
-    * iterator per partition, so per-partition setup (codec, model) runs
-    * once per task, not once per row.
+    * iterator per partition, so per-partition setup (codec, model —
+    * [[MediaDecoder.open]]) runs once per task, not once per row. The
+    * decoder defaults to the sandbox stub; production passes its own.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("media_id", "media", "meta.kind", "meta.n_bytes")
       .mapPartitions { rows: Iterator[Row] =>
-        // per-partition decoder setup would go here (once per task)
+        val decode = decoder.open() // once per task — codec/model setup
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("media")
-          MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            r.getAs[Long]("n_bytes"), FakeDecoder.checksum(bytes), FakeDecoder.features(bytes))
+          val kind = r.getAs[String]("kind")
+          val (cs, feat) = decode(kind, bytes)
+          MediaFeatures(r.getAs[Long]("media_id"), kind,
+            r.getAs[Long]("n_bytes"), cs, feat)
         }
       }
   }

@@ -976,8 +976,11 @@ SELECT doc_id, cluster, n_members, z FROM k WHERE rn = 1 ORDER BY doc_id"""
     * lines in a page" half of the CCNet recipe (q173 is the cross-doc
     * half): a 5-token chunk repeating an EARLIER chunk of the same
     * document is dropped, first occurrence kept, and the output carries
-    * the reconstructed text so the gate hashes the transform. The
-    * whole plan is per-row projections — zero shuffles at any scale
+    * the reconstructed text so the gate hashes the transform. For
+    * corpus-typical documents the plan is per-row projections (zero
+    * shuffles); documents past the inline-chunk bound divert to the
+    * keyed min-index respelling so one pathological multi-million-token
+    * row can't stall an executor
     * (see [[graft.dedup.Dedup.dedupChunksWithin]]).
     */
   def q178_intra_dedup(s: SparkSession, dir: String): DataFrame =

@@ -1938,4 +1938,115 @@ SELECT a.doc_id, CAST(a.ci AS BIGINT) AS chunk_idx,
 FROM asg a JOIN pc USING (cell) CROSS JOIN qvv
 ORDER BY d2, a.doc_id, chunk_idx LIMIT 10"""
   }
+
+  /** PRODUCTION hierarchical routing through the gate — the
+    * configuration q159 left spec-only: `assignHierarchical` at k = 64
+    * with nProbe = 4 < coarseK = 8, the sublinear-in-k shape every
+    * occupancy-scaled deployment actually runs (per-row cost
+    * (√k + nProbe·k/√k)·dim instead of k·dim). The entry audits the
+    * routed partition per cell against the flat argmin: n_flat /
+    * n_routed member counts and n_same (rows both assign to the
+    * cell) — the boundary-vector disagreement is REAL and bounded, and
+    * the oracle replays every stage of the routing deterministically:
+    * the 5-round coarse Lloyd over the 64 fine centroids (full double
+    * distances, the driver loop's exact arithmetic), the fine→coarse
+    * group map, each row's top-4 coarse probes by the float-cast
+    * (|c|² − 2·e·c, id) order, the probed-cells-only fine argmin, and
+    * the q41-form flat argmin — all ordered-aggregate SQL, so the
+    * hash match certifies the production probe path end to end, not
+    * just its exhaustive-routing degenerate.
+    */
+  def q187_hier_route(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.initFirst(e, 64)
+    val routed = IvfIndex.assignHierarchical(e, model, nProbe = 4)
+      .select(col("vec_id"), col("cluster").as("rc"))
+    val flat = IvfIndex.assign(e, model)
+      .select(col("vec_id"), col("cluster").as("fcell"))
+    val j = routed.join(flat, Seq("vec_id"))
+    val cells = s.range(64).select(col("id").cast("int").as("cell"))
+    val perR = j.groupBy(col("rc"))
+      .agg(count(lit(1)).as("n_routed"),
+        sum(when(col("rc") === col("fcell"), 1L).otherwise(0L)).as("n_same"))
+    val perF = j.groupBy(col("fcell")).agg(count(lit(1)).as("n_flat"))
+    cells
+      .join(perF, cells("cell") === perF("fcell"), "left")
+      .join(perR, cells("cell") === perR("rc"), "left")
+      .select(col("cell"),
+        coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+        coalesce(col("n_routed"), lit(0L)).as("n_routed"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"))
+      .orderBy("cell")
+  }
+
+  /** One coarse-Lloyd round over the 64 fine centroids (assignment by
+    * FULL double squared distance — the driver loop's form, not the
+    * float-cast index score — then per-component means in fine-id
+    * order, empty coarse cells keeping their previous entry).
+    */
+  private def coarseIterSql(n: Int, prev: String): String =
+    raw"""cd$n AS (SELECT fcb.fid, p.kid,
+          list_sum(list_transform(range(1, 65), i -> (fcb.c[i] - p.c[i]) * (fcb.c[i] - p.c[i]))) AS d
+        FROM fcb, $prev p),
+ca$n AS (SELECT fid, kid FROM (
+          SELECT fid, kid, row_number() OVER (PARTITION BY fid ORDER BY d, kid) AS rn FROM cd$n)
+        WHERE rn = 1),
+cm$n AS (SELECT a.kid, idx.ii, list_sum(list(fcb.c[idx.ii] ORDER BY fcb.fid)) / count(*) AS mi
+        FROM fcb JOIN ca$n a ON a.fid = fcb.fid, idx
+        GROUP BY a.kid, idx.ii),
+cnl$n AS (SELECT kid, list(mi ORDER BY ii) AS c FROM cm$n GROUP BY kid),
+k$n AS (SELECT p.kid, coalesce(cnl$n.c, p.c) AS c FROM $prev p LEFT JOIN cnl$n ON cnl$n.kid = p.kid)"""
+
+  val q187Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS ii),
+fcb AS (SELECT vec_id AS fid, v AS c FROM e WHERE vec_id < 64),
+k0 AS (SELECT fid AS kid, c FROM fcb WHERE fid < 8),
+${coarseIterSql(1, "k0")},
+${coarseIterSql(2, "k1")},
+${coarseIterSql(3, "k2")},
+${coarseIterSql(4, "k3")},
+${coarseIterSql(5, "k4")},
+gd AS (SELECT fcb.fid, k5.kid,
+         list_sum(list_transform(range(1, 65), i -> (fcb.c[i] - k5.c[i]) * (fcb.c[i] - k5.c[i]))) AS d
+       FROM fcb, k5),
+grp AS (SELECT fid, kid FROM (
+         SELECT fid, kid, row_number() OVER (PARTITION BY fid ORDER BY d, kid) AS rn FROM gd)
+       WHERE rn = 1),
+kf AS (SELECT kid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+         list_sum(list_transform(c, x -> x * x)) AS cn FROM k5),
+cs AS (SELECT e.vec_id, kf.kid,
+         kf.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * kf.f[i])) AS s
+       FROM e, kf),
+pr AS (SELECT vec_id, kid FROM (
+         SELECT vec_id, kid, row_number() OVER (PARTITION BY vec_id ORDER BY s, kid) AS rn FROM cs)
+       WHERE rn <= 4),
+ff AS (SELECT fid, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS f,
+         list_sum(list_transform(c, x -> x * x)) AS cn FROM fcb),
+fs AS (SELECT pr.vec_id, g.fid,
+         ff.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * ff.f[i])) AS s
+       FROM pr JOIN grp g ON g.kid = pr.kid
+       JOIN ff ON ff.fid = g.fid
+       JOIN e ON e.vec_id = pr.vec_id),
+routed AS (SELECT vec_id, fid AS rc FROM (
+            SELECT vec_id, fid, row_number() OVER (PARTITION BY vec_id ORDER BY s, fid) AS rn FROM fs)
+           WHERE rn = 1),
+fsall AS (SELECT e.vec_id, ff.fid,
+            ff.cn - 2.0 * list_sum(list_transform(range(1, 65), i -> e.v[i] * ff.f[i])) AS s
+          FROM e, ff),
+flat AS (SELECT vec_id, fid AS fcell FROM (
+           SELECT vec_id, fid, row_number() OVER (PARTITION BY vec_id ORDER BY s, fid) AS rn FROM fsall)
+         WHERE rn = 1),
+jn AS (SELECT r.vec_id, r.rc, f.fcell FROM routed r JOIN flat f USING (vec_id)),
+pa AS (SELECT rc AS cell, count(*) AS n_routed,
+              sum(CASE WHEN rc = fcell THEN 1 ELSE 0 END) AS n_same
+       FROM jn GROUP BY rc),
+pb AS (SELECT fcell AS cell, count(*) AS n_flat FROM jn GROUP BY fcell),
+cells AS (SELECT unnest(range(0, 64)) AS cell)
+SELECT CAST(cells.cell AS INTEGER) AS cell,
+       CAST(coalesce(pb.n_flat, 0) AS BIGINT) AS n_flat,
+       CAST(coalesce(pa.n_routed, 0) AS BIGINT) AS n_routed,
+       CAST(coalesce(pa.n_same, 0) AS BIGINT) AS n_same
+FROM cells LEFT JOIN pa ON pa.cell = cells.cell LEFT JOIN pb ON pb.cell = cells.cell
+ORDER BY cell"""
 }

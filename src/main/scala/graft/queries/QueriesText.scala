@@ -847,21 +847,45 @@ FROM b GROUP BY bucket ORDER BY bucket"""
     * 0 flags boilerplate/template pollution, R² falloff flags a mixed
     * or truncated distribution.
     *
-    * Scale shape: the fit runs on the VOCABULARY table (metadata-scale
-    * after the word-count aggregation — the corpus shuffle is q01's,
-    * with map-side combine), so the rank window and the five-sum OLS
-    * reduce over |vocab| rows, not corpus rows. Double reorder error on
-    * the unordered sums is ~1e-13 against a 6-decimal rounding floor —
-    * 7 orders of headroom (the q53 argument).
+    * Scale shape: the fit runs on the VOCABULARY table (the corpus
+    * shuffle is q01's, with map-side combine) — but a web-scale
+    * letters-only vocabulary is tens of millions of rows, so the
+    * global rank is NOT a corpus-wide `row_number()` window (a
+    * one-partition sort — the round-9 verdict's scale finding). It is
+    * the two-phase distributed-rank shape instead: range-repartition
+    * on the sort key (cnt DESC, word — sampling balances the
+    * partitions whatever the frequency distribution; the huge cnt=1
+    * tie class splits across partitions by word), rank WITHIN each
+    * range partition by window, and add a prefix-summed per-partition
+    * offset — an offsets table of ≤ `shuffle.partitions` rows, the
+    * only unpartitioned window left. The range input is persisted so
+    * the local-rank and offset branches read the SAME materialized
+    * partitioning (range bounds are sampled per materialization; two
+    * independent recomputes could disagree on the cut points).
+    * Double reorder error on the unordered OLS sums is ~1e-13 against
+    * a 6-decimal rounding floor — 7 orders of headroom (the q53
+    * argument).
     */
   def q141_zipf_fit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = docs(s, dir)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    // vocabulary-sized global window — metadata scale by construction
-    val ranked = wc.withColumn("rnk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+    val parted = wc
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("cnt").desc, col("word"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val local = parted.withColumn("lrn",
+      row_number().over(Window.partitionBy("__pid")
+        .orderBy(col("cnt").desc, col("word"))).cast("long"))
+    val offs = parted.groupBy("__pid").agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(
+        sum("pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "off") // ≤ shuffle.partitions rows — bounded
+    val ranked = local.join(broadcast(offs), Seq("__pid"))
+      .withColumn("rnk", col("lrn") + col("off"))
     val pts = ranked.select(log(col("rnk").cast("double")).as("x"),
       log(col("cnt").cast("double")).as("y"))
     val mom = pts.agg(count(lit(1)).cast("double").as("n"),

@@ -473,21 +473,29 @@ object StreamingJobs {
     * Deletes are out of scope (upsert-only stream); a delete op would
     * add a −contribution with no +side.
     *
+    * STORAGE is delta-log ([[DeltaState]]): each batch writes only its
+    * delta — the new key rows and the touched groups' ± contributions —
+    * so per-batch IO is O(batch + touched groups), never O(state); the
+    * view and the next batch's predecessor lookup merge base + deltas
+    * at read time, and [[compactVersions]] folds old deltas into a
+    * base so the merge fan-in stays bounded.
+    *
     * FP note: total_value is maintained by ± deltas, so it can differ
     * from a from-scratch recompute in the last ulps (different
     * association order) — the documented cost of O(delta) maintenance;
     * the spec compares with a 1e-6 tolerance. Counts are exact.
     */
+  private val aggMaintLayout = Seq(
+    DeltaState.Table("keys", DeltaState.Lww(Seq("user_id"))),
+    DeltaState.Table("agg", DeltaState.Sum(Seq("event_type"))))
+
   def aggMaintSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
     val spark = batch0.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     val bCand = batch0.select("user_id", "event_id", "ts", "event_type", "value")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
-      .filter(_ < batchId).lastOption
-    val prevKeys = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/keys"))
-    val prevAgg = prevV.map(v => spark.read.parquet(s"$outDir/v=$v/agg"))
+    val prevKeys = DeltaState.asOf(spark, outDir, aggMaintLayout(0), Some(batchId))
     // LATE-ARRIVAL guard: a batch row older than the key's snapshot row
     // (by (ts, event_id)) must not regress the key — drop it before the
     // delta, so the view converges to latest-per-key even when upserts
@@ -513,34 +521,24 @@ object StreamingJobs {
           .agg(sum("d_value").as("d_value"), sum("d_users").as("d_users"))
       case None => plus
     }
-    val agg = prevAgg match {
-      case Some(pa) => pa.join(deltas, Seq("event_type"), "full_outer")
-        .select(col("event_type"),
-          (coalesce(col("total_value"), lit(0.0)) + coalesce(col("d_value"), lit(0.0)))
-            .as("total_value"),
-          (coalesce(col("n_users"), lit(0L)) + coalesce(col("d_users"), lit(0L)))
-            .as("n_users"))
-      case None => deltas.select(col("event_type"),
-        col("d_value").as("total_value"), col("d_users").as("n_users"))
-    }
-    val keys = prevKeys match {
-      case Some(pk) => b.unionByName(pk.join(b, Seq("user_id"), "left_anti"))
-      case None => b
-    }
-    // materialize into the NEW version before anything overwrites prev;
-    // keys/ and agg/ are two writes, so the version is published by the
-    // commit marker only after BOTH land — readers (aggMaintView) and
-    // the next batch's predecessor lookup gate on it, closing the
-    // crash-between-writes window.
-    keys.write.mode("overwrite").parquet(s"$outDir/v=$batchId/keys")
-    agg.filter(col("n_users") > 0)
-      .write.mode("overwrite").parquet(s"$outDir/v=$batchId/agg")
-    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+    // the DELTAS are the version's content: the keys delta is just the
+    // batch's winning rows (the LWW merge reconstructs the snapshot),
+    // and the agg delta is the touched groups' ± contributions (the
+    // Sum merge folds them) — O(batch) bytes, never a state copy
+    DeltaState.writeDelta(spark, outDir, batchId, aggMaintLayout, Seq(
+      "keys" -> b,
+      "agg" -> deltas.select(col("event_type"),
+        col("d_value").as("total_value"), col("d_users").as("n_users"))))
   }
 
-  /** The maintained aggregate view: highest COMMITTED version's agg table. */
+  /** The maintained aggregate view: base + deltas merged; groups whose
+    * user count folded to zero are gone (the old write-time filter,
+    * applied at merge time).
+    */
   def aggMaintView(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
+    DeltaState.asOf(spark, outDir, aggMaintLayout(1))
+      .getOrElse(sys.error(s"no committed agg state under $outDir"))
+      .filter(col("n_users") > 0)
 
   /** Streaming HLL maintenance — per-group distinct-user register
     * sketches ([[org.apache.spark.sql.graft.HllAgg]]) maintained under
@@ -558,28 +556,18 @@ object StreamingJobs {
     * state, vs exact streaming countDistinct whose state is the
     * distinct set itself.
     */
+  private val hllMaintLayout = Seq(
+    DeltaState.Table("sketch", DeltaState.HllMax(Seq("event_type"), "regs")))
+
   def hllMaintSink(outDir: String, p: Int = 9)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // the batch's own sketch IS the delta — register max folds it into
+    // the state at read time, so the write is O(groups-in-batch × m)
     val bregs = batch.select(col("event_type"),
         graft.functions.PortableHash.asciiPolyHash(col("user_id").cast("string")).as("h"))
       .groupBy("event_type")
       .agg(org.apache.spark.sql.graft.HllAgg.hll(col("h"), p).as("regs"))
-    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
-      .filter(_ < batchId).lastOption
-    val merged = prevV match {
-      case Some(v) =>
-        spark.read.parquet(s"$outDir/v=$v")
-          .select(col("event_type"), col("regs").as("__pregs"))
-          .join(bregs, Seq("event_type"), "full_outer")
-          .select(col("event_type"),
-            when(col("__pregs").isNull, col("regs"))
-              .when(col("regs").isNull, col("__pregs"))
-              .otherwise(zip_with(col("__pregs"), col("regs"),
-                (a, b) => greatest(a, b))).as("regs"))
-      case None => bregs
-    }
-    merged.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
-    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+    DeltaState.writeDelta(spark, outDir, batchId, hllMaintLayout, Seq("sketch" -> bregs))
   }
 
   /** The maintained sketch view: per group, the current distinct
@@ -587,7 +575,8 @@ object StreamingJobs {
     * the registers themselves (for further rollup).
     */
   def hllMaintView(spark: SparkSession, outDir: String, p: Int = 9): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}")
+    DeltaState.asOf(spark, outDir, hllMaintLayout(0))
+      .getOrElse(sys.error(s"no committed sketch state under $outDir"))
       .select(col("event_type"), col("regs"),
         round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), p), 6)
           .as("est_distinct"))
@@ -602,12 +591,15 @@ object StreamingJobs {
     * in a LATER batch contributes nothing (the q100 exact-ingest
     * machinery; at scale both state tables are doc_id-/h-keyed narrow
     * longs, bucketed so the anti-join is a pruned keyed probe). The
-    * two tables are version-chained as `v=<batchId>/{df, ids}` behind
+    * two tables are delta-chained as `v=<batchId>/{df, ids}` behind
     * the [[graft.core.ArtifactIO]] commit marker (written AFTER both —
     * a crash between the writes leaves an uncommitted version no
-    * reader selects), with the standard replay contract: a REDELIVERED
-    * batch rebuilds from its predecessor version and overwrites its
-    * own — a crash/retry never double-counts either table.
+    * reader selects; on a REPLAY [[DeltaState.writeDelta]] deletes the
+    * pre-existing marker before overwriting, so the invariant holds in
+    * the replay window too), with the standard replay contract: a
+    * REDELIVERED batch recomputes its delta against the predecessor
+    * state and overwrites its own version — a crash/retry never
+    * double-counts either table.
     *
     * The view at `minDocs` is the accumulated boilerplate set; cleaning
     * any batch against it via [[graft.dedup.Dedup.applyBoilerplate]]
@@ -623,10 +615,23 @@ object StreamingJobs {
     * (the rows that survived the served-ids screen) so a composing
     * pipeline ([[curateStream]]) can keep processing exactly the rows
     * this state update admitted. The returned frame reads the
-    * PREDECESSOR ids version by path — still on disk after this
-    * version's write (retention keeps ≥ 2), so consuming it after the
-    * state commit is sound.
+    * PREDECESSOR state (versions < batchId) by path — those pieces stay
+    * on disk after this version's write (compaction never folds past
+    * the replay predecessor), so consuming it after the state commit
+    * is sound.
+    *
+    * Delta storage ([[DeltaState]]): the version holds only the batch's
+    * df INCREMENTS and its novel ids — O(batch) bytes. The served-ids
+    * screen reads the merged id set; the df table merges by sum. This
+    * also bounds the served-ids chain on disk (the round-9 NOTES item):
+    * the old full-copy layout rewrote the whole id set every batch —
+    * O(batches × ids) — where the delta chain totals O(ids) between
+    * compactions.
     */
+  private val boilerMaintLayoutT = Seq(
+    DeltaState.Table("df", DeltaState.Sum(Seq("h"))),
+    DeltaState.Table("ids", DeltaState.SetU(Seq("doc_id"))))
+
   def boilerMaintIngest(outDir: String, c: Int = 5)(batch0: DataFrame, batchId: Long): DataFrame = {
     // WITHIN-batch duplicate hardening: the state tables below are
     // distinct()-protected, but the returned novel frame feeds the
@@ -636,31 +641,17 @@ object StreamingJobs {
     // row per doc_id before anything else.
     val batch = batch0.dropDuplicates("doc_id")
     val spark = batch.sparkSession
-    val prevV = graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
-      .filter(_ < batchId).lastOption
-    val novel = prevV match {
-      case Some(v) =>
-        batch.join(spark.read.parquet(s"$outDir/v=$v/ids"), Seq("doc_id"), "left_anti")
+    val prevIds = DeltaState.asOf(spark, outDir, boilerMaintLayoutT(1), Some(batchId))
+    val novel = prevIds match {
+      case Some(pi) => batch.join(pi, Seq("doc_id"), "left_anti")
       case None => batch
     }
     val bdf = graft.dedup.Dedup.chunkOccurrences(novel, c)
       .select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val (mergedDf, mergedIds) = prevV match {
-      case Some(v) =>
-        val df = spark.read.parquet(s"$outDir/v=$v/df")
-          .select(col("h"), col("df").as("__pdf"))
-          .join(bdf, Seq("h"), "full_outer")
-          .select(col("h"),
-            (coalesce(col("__pdf"), lit(0L)) + coalesce(col("df"), lit(0L))).as("df"))
-        val ids = spark.read.parquet(s"$outDir/v=$v/ids")
-          .unionByName(novel.select("doc_id")).distinct()
-        (df, ids)
-      case None => (bdf, batch.select("doc_id").distinct())
-    }
-    mergedDf.write.mode("overwrite").parquet(s"$outDir/v=$batchId/df")
-    mergedIds.write.mode("overwrite").parquet(s"$outDir/v=$batchId/ids")
-    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
+    DeltaState.writeDelta(spark, outDir, batchId, boilerMaintLayoutT, Seq(
+      "df" -> bdf,
+      "ids" -> novel.select("doc_id")))
     novel
   }
 
@@ -669,32 +660,36 @@ object StreamingJobs {
     * [[graft.dedup.Dedup.applyBoilerplate]] expects.
     */
   def boilerMaintView(spark: SparkSession, outDir: String, minDocs: Int): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/df")
+    boilerMaintDf(spark, outDir)
       .filter(col("df") >= minDocs)
       .select("h", "df")
 
+  /** The full maintained (h, df) frequency table — base + deltas summed. */
+  def boilerMaintDf(spark: SparkSession, outDir: String): DataFrame =
+    DeltaState.asOf(spark, outDir, boilerMaintLayoutT(0))
+      .getOrElse(sys.error(s"no committed df state under $outDir"))
+
   /** Retention for the version-chained sink states ([[boilerMaintSink]],
     * [[aggMaintSink]], [[joinMaintLeftSink]]/[[joinMaintRightSink]] —
-    * all share the `v=<batchId>` + commit-marker layout): each batch
-    * writes a FULL state copy, so an unbounded chain's storage is
-    * O(batches × state), dominating the state itself. Delegates to
-    * [[graft.core.ArtifactIO.retainVersions]]; `keep = 2` (the default)
-    * preserves the replay predecessor plus one manual-rollback step.
-    * Call it from the maintenance cadence (e.g. every N batches from
-    * the foreachBatch body, or a janitor job) — readers always select
-    * the newest COMMITTED version, so compaction is invisible to them.
+    * all share the [[DeltaState]] delta-log layout): folds the delta
+    * chain below the newest `keep` reconstruction points into a base
+    * snapshot and deletes the superseded pieces, bounding both the
+    * read-merge fan-in and the on-disk total (O(state) + the recent
+    * deltas, instead of an unbounded delta tail). Call it from the
+    * maintenance cadence (e.g. every N batches from the foreachBatch
+    * body, or a janitor job) — the base is published by its commit
+    * marker BEFORE any delete, so compaction is invisible to readers.
     *
     * `keep` is floored at 2 BY CONTRACT, not convention: a batch whose
     * version committed but whose checkpoint offset didn't is
-    * redelivered and rebuilds from the newest committed version below
-    * its own — keep = 1 run inside that window would delete exactly
-    * that predecessor and the replay would restart state from empty
-    * (see [[graft.core.ArtifactIO.retainVersions]]).
+    * redelivered and recomputes its delta from the state below its own
+    * id — keep = 1 run inside that window would fold/delete exactly
+    * that predecessor state (see [[DeltaState.compact]]).
     */
   def compactVersions(spark: SparkSession, outDir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 2,
       s"sink-state retention needs keep >= 2 (replay-predecessor window), got $keep")
-    graft.core.ArtifactIO.retainVersions(spark, outDir, "v=", keep)
+    DeltaState.compact(spark, outDir, keep)
   }
 
   /** ONLINE CURATION — the streaming composition of the batch cleaning
@@ -714,19 +709,23 @@ object StreamingJobs {
     *      docs;
     *   4. survivors append to the curated table through
     *      [[idempotentParquetSink]] (batch-dir overwrite — a replayed
-    *      batch rewrites its own directory, never duplicates).
+    *      batch rewrites its own directory, never duplicates); the
+    *      admitted documents' RAW text is archived the same way under
+    *      `raw/` — the input [[recleanCurated]] needs (cleaning is
+    *      destructive, so a re-clean must start from the original).
     *
     * Consistency contract, stated honestly: each document's cleaned
     * form reflects the boilerplate evidence available AT ADMISSION —
     * a chunk that only becomes template material in later batches
-    * stays in earlier admissions (production re-cleans periodically
-    * against the final view; the spec pins that the LAST batch's
-    * admissions equal the one-shot batch transform, since by then the
-    * view equals the full-corpus frequency table). Crash anywhere
-    * between the state commit and the curated write replays the whole
-    * body: the state rebuild is predecessor-based and the curated
-    * write overwrites its own batch dir — both idempotent, so no
-    * joint transaction is needed across the two stores.
+    * stays in earlier admissions. Production runs [[recleanCurated]]
+    * periodically: it replays clean+gate over the raw archive against
+    * the CURRENT accumulated view, after which EVERY batch's curated
+    * text equals the one-shot batch transform (spec'd), not just the
+    * last batch's. Crash anywhere between the state commit and the
+    * curated write replays the whole body: the state rebuild is
+    * predecessor-based and the curated/raw writes overwrite their own
+    * batch dirs — all idempotent, so no joint transaction is needed
+    * across the stores.
     *
     * The returned count is the batch's admitted-survivor count, for
     * operator telemetry.
@@ -735,23 +734,65 @@ object StreamingJobs {
       gate: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Long = {
     val spark = batch.sparkSession
     val novel = boilerMaintIngest(s"$outDir/boiler", c)(batch, batchId)
-    val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
-    val cleaned = graft.dedup.Dedup.applyBoilerplate(novel, view, c)
-      .select(col("doc_id"), col("clean_text").as("text"),
-        col("n_tokens"), col("n_removed"))
-    // Persisted across the write and the telemetry count — without it
-    // the whole admission DAG (anti-join, chunk hashing, cleaning,
-    // gate) executes twice per batch.
-    val kept = gate(cleaned).persist()
+      .select("doc_id", "text").persist()
     try {
-      idempotentParquetSink(s"$outDir/curated")(kept, batchId)
-      kept.count()
-    } finally kept.unpersist()
+      idempotentParquetSink(s"$outDir/raw")(novel, batchId)
+      val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
+      val cleaned = graft.dedup.Dedup.applyBoilerplate(novel, view, c)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("n_tokens"), col("n_removed"))
+      // Persisted across the write and the telemetry count — without it
+      // the whole admission DAG (anti-join, chunk hashing, cleaning,
+      // gate) executes twice per batch.
+      val kept = gate(cleaned).persist()
+      try {
+        idempotentParquetSink(s"$outDir/curated")(kept, batchId)
+        kept.count()
+      } finally kept.unpersist()
+    } finally novel.unpersist()
   }
 
   /** The curated table: union of all committed batch directories. */
   def curatedDocs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/curated")
+
+  /** PERIODIC RE-CLEAN over the accumulated curation state — the batch
+    * job that closes [[curateStream]]'s admission-time gap: replays
+    * clean + gate over the RAW archive (every document ever admitted,
+    * pre-gate) against the CURRENT accumulated boilerplate view, and
+    * rewrites each batch directory of the curated table in place. After
+    * it runs, every batch's curated content — including documents whose
+    * chunks only became template material in later batches, and
+    * documents the gate mis-judged on partially-cleaned text — equals
+    * the one-shot batch clean+gate over the full delivered corpus
+    * (spec'd per batch, text for text). Cost is O(admitted corpus),
+    * which is what "periodic" means: run it on a maintenance cadence
+    * (nightly / every N batches), not per batch. The rewrite is a FULL
+    * overwrite of the curated table (not per-batch dynamic overwrite:
+    * a batch whose documents now ALL fail the gate must end up empty,
+    * and dynamic mode would leave its old directory untouched); rerun
+    * after a crash converges. Returns the number of curated documents
+    * after the re-clean.
+    */
+  def recleanCurated(spark: SparkSession, outDir: String, c: Int = 5,
+      minDocs: Int = 3, gate: DataFrame => DataFrame): Long = {
+    val raw = spark.read.parquet(s"$outDir/raw")
+    val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
+    val cleaned = graft.dedup.Dedup.applyBoilerplate(raw.select("doc_id", "text"), view, c)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("n_tokens"), col("n_removed"))
+    // the gate is column-preserving (a semi-join filter), so batch
+    // attribution re-joins by doc_id — unique across batches by the
+    // served-ids admission contract
+    val kept = gate(cleaned)
+      .join(raw.select("doc_id", "__batch_id"), Seq("doc_id"))
+      .persist()
+    try {
+      kept.write.mode("overwrite").partitionBy("__batch_id")
+        .parquet(s"$outDir/curated")
+      kept.count()
+    } finally kept.unpersist()
+  }
 
   /** MULTI-TABLE incremental view maintenance — the JOIN-view extension
     * of [[aggMaintSink]] (which maintains a single-table aggregate):
@@ -766,12 +807,13 @@ object StreamingJobs {
     * current row per join key, owning the group attribute; right
     * upserts carry (rk, k, ts, v) — many detail rows per k, keyed by
     * rk, each contributing value v. The state is the pair of keyed
-    * snapshots plus the view, version-chained as
-    * `v=<batchId>/{left, right, agg}` with [[graft.core.ArtifactIO]]'s
-    * commit marker (three writes — the marker is what makes a crash
-    * between them invisible), and the same replay contract as
-    * aggMaintSink: a redelivered batch rebuilds from its predecessor
-    * and overwrites its own version.
+    * snapshots plus the view, delta-chained ([[DeltaState]]) as
+    * `v=<batchId>/{left|right, agg}` (each version carries only its
+    * side's rows) behind [[graft.core.ArtifactIO]]'s commit marker
+    * (the marker is what makes a crash between the writes invisible),
+    * and the same replay contract as aggMaintSink: a redelivered batch
+    * recomputes its delta against the predecessor state and overwrites
+    * its own version.
     *
     * Delta math — O(|batch| + touched keys' detail rows + touched
     * groups), never a recompute:
@@ -795,7 +837,19 @@ object StreamingJobs {
     * FP note: total_v is maintained by ± deltas — last-ulp drift vs a
     * from-scratch recompute is the documented cost (spec tolerance
     * 1e-6); n_items is exact.
+    *
+    * STORAGE is delta-log ([[DeltaState]]): a left batch's version
+    * holds only its winning left rows and the touched groups' ±
+    * contributions (a right batch symmetrically) — per-batch IO is
+    * O(batch + touched groups), never the three full snapshots the
+    * old layout copied. Snapshots and the view are merged at read
+    * time; [[compactVersions]] folds old deltas into a base.
     */
+  private val joinMaintLayout = Seq(
+    DeltaState.Table("left", DeltaState.Lww(Seq("k"))),
+    DeltaState.Table("right", DeltaState.Lww(Seq("rk"))),
+    DeltaState.Table("agg", DeltaState.Sum(Seq("grp"))))
+
   def joinMaintLeftSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
     val spark = batch0.sparkSession
     // grp as the secondary key: equal-ts upserts for one join key must
@@ -829,12 +883,10 @@ object StreamingJobs {
           .agg(sum("d_v").as("d_v"), sum("d_n").as("d_n"))
       case None => plus
     }
-    val newLeft = st.left match {
-      case Some(pl) => b.unionByName(pl.join(b, Seq("k"), "left_anti"))
-      case None => b
-    }
-    joinMaintWrite(outDir, batchId, newLeft,
-      st.right.getOrElse(emptyRight(spark)), applyDeltas(st.agg, deltas))
+    DeltaState.writeDelta(spark, outDir, batchId, joinMaintLayout, Seq(
+      "left" -> b,
+      "agg" -> deltas.select(col("grp"),
+        col("d_v").as("total_v"), col("d_n").as("n_items"))))
   }
 
   def joinMaintRightSink(outDir: String)(batch0: DataFrame, batchId: Long): Unit = {
@@ -870,58 +922,26 @@ object StreamingJobs {
       case None => spark.emptyDataFrame
         .withColumn("grp", lit("")).withColumn("d_v", lit(0.0)).withColumn("d_n", lit(0L)).limit(0)
     }
-    val newRight = st.right match {
-      case Some(pr) => b.unionByName(pr.join(b, Seq("rk"), "left_anti"))
-      case None => b
-    }
-    joinMaintWrite(outDir, batchId, st.left.getOrElse(emptyLeft(spark)),
-      newRight, applyDeltas(st.agg, deltas))
+    DeltaState.writeDelta(spark, outDir, batchId, joinMaintLayout, Seq(
+      "right" -> b,
+      "agg" -> deltas.select(col("grp"),
+        col("d_v").as("total_v"), col("d_n").as("n_items"))))
   }
 
-  private case class JoinMaintState(left: Option[DataFrame], right: Option[DataFrame],
-    agg: Option[DataFrame])
+  private case class JoinMaintState(left: Option[DataFrame], right: Option[DataFrame])
 
   private def joinMaintState(spark: SparkSession, outDir: String,
-      batchId: Long): JoinMaintState =
-    graft.core.ArtifactIO.committedVersions(spark, outDir, "v=")
-      .filter(_ < batchId).lastOption match {
-      case Some(v) => JoinMaintState(
-        Some(spark.read.parquet(s"$outDir/v=$v/left")),
-        Some(spark.read.parquet(s"$outDir/v=$v/right")),
-        Some(spark.read.parquet(s"$outDir/v=$v/agg")))
-      case None => JoinMaintState(None, None, None)
-    }
+      batchId: Long): JoinMaintState = JoinMaintState(
+    DeltaState.asOf(spark, outDir, joinMaintLayout(0), Some(batchId)),
+    DeltaState.asOf(spark, outDir, joinMaintLayout(1), Some(batchId)))
 
-  private def applyDeltas(prevAgg: Option[DataFrame], deltas: DataFrame): DataFrame =
-    prevAgg match {
-      case Some(pa) => pa.join(deltas, Seq("grp"), "full_outer")
-        .select(col("grp"),
-          (coalesce(col("total_v"), lit(0.0)) + coalesce(col("d_v"), lit(0.0))).as("total_v"),
-          (coalesce(col("n_items"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_items"))
-      case None => deltas.select(col("grp"), col("d_v").as("total_v"), col("d_n").as("n_items"))
-    }
-
-  private def emptyLeft(spark: SparkSession): DataFrame =
-    spark.emptyDataFrame.withColumn("k", lit(0L))
-      .withColumn("ts", lit(null).cast("timestamp")).withColumn("grp", lit("")).limit(0)
-
-  private def emptyRight(spark: SparkSession): DataFrame =
-    spark.emptyDataFrame.withColumn("rk", lit(0L)).withColumn("k", lit(0L))
-      .withColumn("ts", lit(null).cast("timestamp")).withColumn("v", lit(0.0)).limit(0)
-
-  private def joinMaintWrite(outDir: String, batchId: Long,
-      left: DataFrame, right: DataFrame, agg: DataFrame): Unit = {
-    val spark = left.sparkSession
-    left.write.mode("overwrite").parquet(s"$outDir/v=$batchId/left")
-    right.write.mode("overwrite").parquet(s"$outDir/v=$batchId/right")
-    agg.filter(col("n_items") > 0)
-      .write.mode("overwrite").parquet(s"$outDir/v=$batchId/agg")
-    graft.core.ArtifactIO.commit(spark, s"$outDir/v=$batchId")
-  }
-
-  /** The maintained join view: highest COMMITTED version's agg table. */
+  /** The maintained join view: base + deltas merged; groups folded to
+    * zero items are gone (the old write-time filter at merge time).
+    */
   def joinMaintView(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/v=${latestVersion(spark, outDir)}/agg")
+    DeltaState.asOf(spark, outDir, joinMaintLayout(2))
+      .getOrElse(sys.error(s"no committed join-view state under $outDir"))
+      .filter(col("n_items") > 0)
 
   /** The join-IVM sinks as ONE foreachBatch over a single TAGGED upsert
     * stream — the shape a production deployment actually needs: two

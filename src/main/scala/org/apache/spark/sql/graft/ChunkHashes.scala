@@ -10,9 +10,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
 /** Non-overlapping chunk hashes in one pass: token array → array of
   * ⌈n/c⌉ chunk keys, chunk i covering tokens [i·c, min((i+1)·c, n)),
   * each key the portable polynomial hash of the SPACE-JOINED chunk
-  * string (fold of `h*31 + code mod 1e9+7` over its ASCII codes —
-  * identical to `PortableHash.asciiPolyHash(concat_ws(" ", slice))`,
-  * the form the DuckDB oracle replays on `array_to_string`).
+  * string — fold of `h*31 + codePoint mod 1e9+7` over the chunk's
+  * Unicode CODE POINTS, decoded from the UTF-8 bytes in place, so it
+  * is identical to `PortableHash.asciiPolyHash(concat_ws(" ", slice))`
+  * (whose per-character `ascii()` yields code points) for ANY string
+  * input — ASCII from the `[A-Za-z]` tokenizer and the full-Unicode
+  * output of `Text.unicodeTokens` alike (the round-9 ADVICE finding:
+  * a raw byte fold agreed with the HOF spelling only on ASCII).
   *
   * Semantically identical to the HOF chain
   * `transform(sequence(0, nch-1), i -> asciiPolyHash(concat_ws(" ",
@@ -43,9 +47,11 @@ case class ChunkHashes(child: Expression, c: Int)
 object ChunkHashes {
   private val Mod = 1000000007L
 
-  /** One pass per chunk: fold the chunk's token bytes with a single
-    * 0x20 folded between tokens (exactly what hashing the concat_ws
-    * string yields). Static so generated Java calls it directly.
+  /** One pass per chunk: fold the chunk's token CODE POINTS (decoded
+    * from the UTF-8 bytes without materializing a String) with a single
+    * 0x20 folded between tokens — exactly what hashing the concat_ws
+    * string char-by-char yields. Static so generated Java calls it
+    * directly.
     */
   def chunkHashes(toks: ArrayData, c: Int): ArrayData = {
     val n = toks.numElements()
@@ -62,8 +68,22 @@ object ChunkHashes {
         val bytes = toks.getUTF8String(i).getBytes
         var j = 0
         while (j < bytes.length) {
-          h = (h * 31 + (bytes(j) & 0xff)) % Mod
-          j += 1
+          // inline UTF-8 decode (parquet guarantees valid UTF-8): the
+          // byte count is determined by the lead byte, the code point
+          // assembled from the continuation payloads
+          val b0 = bytes(j) & 0xff
+          var cp = 0
+          if (b0 < 0x80) { cp = b0; j += 1 }
+          else if (b0 < 0xe0) {
+            cp = ((b0 & 0x1f) << 6) | (bytes(j + 1) & 0x3f); j += 2
+          } else if (b0 < 0xf0) {
+            cp = ((b0 & 0x0f) << 12) | ((bytes(j + 1) & 0x3f) << 6) |
+              (bytes(j + 2) & 0x3f); j += 3
+          } else {
+            cp = ((b0 & 0x07) << 18) | ((bytes(j + 1) & 0x3f) << 12) |
+              ((bytes(j + 2) & 0x3f) << 6) | (bytes(j + 3) & 0x3f); j += 4
+          }
+          h = (h * 31 + cp) % Mod
         }
         i += 1
       }

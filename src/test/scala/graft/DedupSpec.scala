@@ -265,6 +265,25 @@ class DedupSpec extends SparkSpec {
         .count()
       assert(bad == 0L, s"native/HOF chunk hashes diverge at c=$c on $bad docs")
     }
+    // NON-ASCII agreement (the round-9 ADVICE finding): the native
+    // expression must fold CODE POINTS, not raw UTF-8 bytes, or any
+    // unicodeTokens-fed pipeline silently hashes differently from the
+    // HOF spelling. 2-/3-/4-byte encodings all represented.
+    val uni = Seq(
+      (1L, Seq("héllo", "wörld", "naïve")),
+      (2L, Seq("日本語", "中文", "한국어", "ascii")),
+      (3L, Seq("emoji", "😀🍕", "mixéd日本")))
+      .toDF("doc_id", "toks")
+    for (c <- Seq(1, 2)) {
+      val nch = expr(s"(size(toks) + ${c - 1}) div $c").cast("int")
+      val hof = transform(sequence(lit(0), nch - 1), i =>
+        PortableHash.asciiPolyHash(concat_ws(" ", slice(col("toks"), i * c + 1, lit(c)))))
+      val bad = uni.select(
+          org.apache.spark.sql.graft.ChunkHashes.chunkHashes(col("toks"), c).as("native"),
+          hof.as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(bad == 0L, s"native/HOF chunk hashes diverge on non-ASCII tokens at c=$c")
+    }
   }
 
   test("bestExemplar: each cluster keeps its max-quality member, ties to smaller id") {
@@ -335,5 +354,26 @@ class DedupSpec extends SparkSpec {
     val second = Dedup.dedupChunksWithin(
       perRow.select(col("doc_id"), col("clean_text").as("text")), c = 5)
     assert(second.agg(sum("n_removed")).head.getLong(0) == 0L)
+  }
+
+  test("dedupChunksWithin: the pathological-length guard path equals the inline mask") {
+    // The O(nch²) prefix-scan is quadratic IN ONE ROW, so documents past
+    // maxInlineChunks divert to the keyed min-ci path (the ADVICE-r9
+    // guard). Force the split low so BOTH paths run on the real corpus
+    // and assert the output is row-identical to the all-inline run —
+    // the guard must be invisible in the result.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val allInline = rows(Dedup.dedupChunksWithin(docs, c = 5))
+    val hybrid = rows(Dedup.dedupChunksWithin(docs, c = 5, maxInlineChunks = 8))
+    assert(hybrid == allInline, "guard path diverges from the inline mask")
+    // sanity: the low threshold actually diverted a non-trivial share
+    val nBig = Dedup.chunkOccurrences(docs, 5)
+      .groupBy("doc_id").agg(count(lit(1)).as("nch"))
+      .filter(col("nch") > 8).count()
+    assert(nBig > 0, "degenerate fixture: no doc exceeded the forced threshold")
   }
 }

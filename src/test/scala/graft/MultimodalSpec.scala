@@ -77,4 +77,50 @@ class MultimodalSpec extends SparkSpec {
     assert(row.checksum == Multimodal.FakeDecoder.checksum(text.getBytes("UTF-8")))
     assert(row.feature.length == 4)
   }
+
+  test("MediaDecoder contract: an injected decoder replaces the stub; open() runs once per partition") {
+    import org.apache.spark.sql.functions._
+    // A custom decoder proving BOTH halves of the boundary contract:
+    //  - injection: checksum = payload length, feature[1] = kind length
+    //    (values the stub cannot produce), flowing through the standard
+    //    pipeline unchanged — the "production swap is a one-liner" claim;
+    //  - amortization: open() creates a per-task counter and each row
+    //    records how many rows THIS opened closure has decoded
+    //    (feature[0]). If open() ran per row, every row would read 1;
+    //    once per partition, the per-partition max equals that
+    //    partition's row count.
+    object CountingDecoder extends Multimodal.MediaDecoder {
+      override def open(): (String, Array[Byte]) => (Long, Array[Float]) = {
+        var seen = 0f // per-task state created by open()
+        (kind, bytes) => {
+          seen += 1
+          (bytes.length.toLong, Array(seen, kind.length.toFloat))
+        }
+      }
+    }
+    val m = Multimodal.attachBinary(docs.limit(40)).repartition(4).persist()
+    try {
+      val out = Multimodal.extractFeatures(m, CountingDecoder)
+      val rows = out.collect()
+      assert(rows.length == 40)
+      // injection: the custom semantics, not the stub's
+      assert(rows.forall(r => r.checksum == r.n_bytes),
+        "injected checksum rule (payload length) not in effect")
+      assert(rows.forall(_.feature(1) == "text/plain".length.toFloat),
+        "decoder closure did not receive the metadata kind")
+      // once-per-partition: with 40 rows over 4 partitions, SOME row must
+      // see a counter > 1 (per-row open() pins every value at 1); there
+      // is exactly one "first row after open()" per non-empty partition;
+      // and the largest counter equals the largest partition's row count
+      // (that closure counted all its rows)
+      val partCounts = m.select(spark_partition_id().as("p"))
+        .groupBy("p").count().collect().map(_.getLong(1))
+      assert(rows.map(_.feature(0)).max > 1f,
+        "open() appears to run per row, not per partition")
+      assert(rows.map(_.feature(0)).count(_ == 1f) == partCounts.length,
+        "exactly one 'first row after open()' per partition expected")
+      assert(rows.map(_.feature(0).toLong).max == partCounts.max,
+        "largest partition's closure must have counted all its rows")
+    } finally m.unpersist()
+  }
 }

@@ -29,6 +29,30 @@ class QueriesSpec extends SparkSpec {
           !plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unkeyed pair join (not on the bounded whitelist)")
       }
+      // Catalog-wide WINDOW lint (the round-9 q141 finding): an
+      // UNPARTITIONED Window single-partitions its whole input — the
+      // classic scale-killer when the input is data-scale. Every query
+      // must either partition its windows or sit on the audited
+      // whitelist of bounded frames (shard manifests, stage funnels,
+      // ≤shuffle.partitions offset tables, fixture-bounded replays,
+      // post-limit panels).
+      if (!QueriesSpec.BoundedGlobalWindowAllowed(name)) {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.window.WindowExec
+        def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => p.children
+        }
+        def globalWindow(p: SparkPlan): Boolean =
+          (p match {
+            case w: WindowExec => w.partitionSpec.isEmpty
+            case _ => false
+          }) || kids(p).exists(globalWindow)
+        assert(!globalWindow(df.queryExecution.executedPlan),
+          s"$name plans an unpartitioned Window (not on the bounded-frame whitelist)")
+      }
     }
   }
 
@@ -232,4 +256,22 @@ object QueriesSpec {
     // 2-row epoch / W-row worker tables (the loader family)
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
     "q166_loader_resume", "q171_clean_loader")
+
+  /** Queries allowed to plan an UNPARTITIONED Window — each frame runs
+    * over a table bounded by construction (named per entry), never over
+    * corpus-/fact-scale rows. Everything else must partition its
+    * windows; see the per-query lint above. Populated by auditing the
+    * catalog's executed plans at sf0.001 and checking each offender's
+    * frame input in source.
+    */
+  val BoundedGlobalWindowAllowed: Set[String] = Set(
+    "q104_skyline" /* per-price-bucket minima: |price domain / 100| rows */,
+    "q118_user_drift" /* lag over the ~30-row daily table (calendar-bounded) */,
+    "q136_curriculum_order" /* order_idx over 60 rows post-limit */,
+    "q137_negative_sampling" /* 52-row first-letter offset table */,
+    "q141_zipf_fit" /* <= shuffle.partitions range-partition offset table */,
+    "q156_shard_manifest" /* running offsets over the |shards| manifest */,
+    "q165_domain_mix" /* per-source totals: |sources| rows */,
+    "q168_pipeline_attrition" /* 5-row stage funnel lag */,
+    "q175_temp_mix" /* q165's |sources|-row totals, temperature-scaled */)
 }

@@ -567,9 +567,9 @@ class StreamingSpec extends SparkSpec {
     val wantSet = wantDf.filter(col("df") >= 3).collect().map(_.getLong(0)).toSet
     assert(gotSet == wantSet, "streamed boilerplate set diverges from the batch threshold set")
     assert(gotSet.nonEmpty, "degenerate fixture: no boilerplate at minDocs=3")
-    // full df table equality, not just the thresholded view
-    def dfTable() = spark.read.parquet(
-      s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}/df")
+    // full df table equality, not just the thresholded view (read
+    // through the delta-merged accessor — versions hold only deltas)
+    def dfTable() = StreamingJobs.boilerMaintDf(spark, out)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fullGot = dfTable()
     val fullWant = wantDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -611,17 +611,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("compactVersions: keeps the view and the replay predecessor, removes only unreachable state") {
-    // Batches land as v=0, v=2, v=4 (all committed). Plant crash debris:
-    // an UNCOMMITTED v=3 (older than the newest committed version — a
-    // crashed write whose batch later succeeded elsewhere; no replay can
-    // target it again) and an UNCOMMITTED v=9 (newer — the in-flight
-    // batch a retry WILL overwrite; must survive). keep=2 retention must
-    // delete exactly {0 (committed beyond keep), 3 (debris)}, leave
-    // {2, 4, 9}, keep the view bit-identical, and leave the chain
+    // Batches land as delta versions v=0, v=2, v=4 (all committed).
+    // Plant crash debris: an UNCOMMITTED v=3 (older than the newest
+    // committed version — a crashed write whose batch later succeeded
+    // elsewhere; no replay can ever target it again) and an UNCOMMITTED
+    // v=9 (newer — the in-flight batch a retry WILL overwrite; must
+    // survive). keep=2 compaction must fold everything up to the
+    // SECOND-newest version (v=2) into a base snapshot — deleting the
+    // superseded deltas {0, 2} plus the debris {3} — leave {base_v=2,
+    // v=4, v=9}, keep the view bit-identical, and leave the chain
     // usable in BOTH continuations the contract names: a redelivery of
     // batch 4 itself (the checkpoint-crash window — rebuilds from the
-    // kept v=2 predecessor) and a genuinely new batch (merges against
-    // v=4 as if nothing happened).
+    // base_v=2 predecessor) and a genuinely new batch.
     val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
     val out = java.nio.file.Files.createTempDirectory("graft-boiler-compact").toString
     (0 until 3).foreach { i =>
@@ -632,11 +633,15 @@ class StreamingSpec extends SparkSpec {
     graft.core.ArtifactIO.mkdirs(spark, s"$out/v=9")
     val wantView = StreamingJobs.boilerMaintView(spark, out, minDocs = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val wantDf = spark.read.parquet(s"$out/v=4/df")
+    def dfState() = StreamingJobs.boilerMaintDf(spark, out)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDf = dfState()
     val deleted = StreamingJobs.compactVersions(spark, out, keep = 2)
-    assert(deleted == Seq(0L, 3L), s"unexpected deletions: $deleted")
-    assert(graft.core.ArtifactIO.committedVersions(spark, out, "v=") == Seq(2L, 4L))
+    assert(deleted == Seq(0L, 2L, 3L), s"unexpected deletions: $deleted")
+    assert(graft.core.ArtifactIO.committedVersions(spark, out, "v=") == Seq(4L),
+      "only the newest delta should remain")
+    assert(graft.core.ArtifactIO.committedVersions(spark, out, "base_v=") == Seq(2L),
+      "the fold target must be a committed base at the second-newest version")
     assert(graft.core.ArtifactIO.exists(spark, s"$out/v=9"),
       "compaction removed the in-flight (uncommitted, newest) version")
     assert(intercept[IllegalArgumentException] {
@@ -647,21 +652,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(afterView == wantView, "compaction changed the reader-visible view")
     // the checkpoint-crash window: batch 4 is REDELIVERED after
-    // compaction — it must rebuild from v=2 (kept) and land the same
-    // state it originally produced
+    // compaction — it must rebuild from base_v=2 (kept) and land the
+    // same state it originally produced
     StreamingJobs.boilerMaintSink(out)(
       docs.filter(pmod(col("doc_id"), lit(3)) === 2), 4L)
-    val replayed = spark.read.parquet(s"$out/v=4/df")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(replayed == wantDf, "post-compaction replay of the newest batch diverged")
-    // chain still live: a later batch merges against the kept predecessor
+    assert(dfState() == wantDf, "post-compaction replay of the newest batch diverged")
+    // chain still live: a later batch merges against the kept state
     val planted = Seq((910001L, "compactprobe")).toDF("doc_id", "text")
     StreamingJobs.boilerMaintSink(out)(planted, 6L)
-    val merged = spark.read.parquet(s"$out/v=6/df")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = dfState()
     assert(merged.view.filterKeys(wantDf.contains).toMap == wantDf,
       "post-compaction merge lost accumulated frequencies")
     assert(merged.size == wantDf.size + 1, "planted chunk missing after post-compaction batch")
+    // a second compaction folds again: {base_v=2, v=4, v=6} → fold ≤ 4
+    // into base_v=4; the view is still bit-identical
+    val deleted2 = StreamingJobs.compactVersions(spark, out, keep = 2)
+    assert(deleted2 == Seq(2L, 4L), s"second fold deletions: $deleted2")
+    assert(graft.core.ArtifactIO.committedVersions(spark, out, "base_v=") == Seq(4L))
+    assert(dfState() == merged, "second compaction changed the df state")
   }
 
   test("curateStream: admission-time curation; replays/redeliveries curate nothing twice; final batch equals one-shot") {
@@ -717,6 +725,29 @@ class StreamingSpec extends SparkSpec {
     val streamedB2 = before.filter(_._3 == 2).map(t => (t._1, t._2))
     assert(streamedB2 == oneShotKept,
       "final-batch admissions diverge from the one-shot clean+gate")
+
+    // PERIODIC RE-CLEAN closes the admission-time gap: before it, the
+    // EARLY batches reflect partial boilerplate evidence (the honest
+    // contract) — after it, EVERY batch's curated text equals the
+    // one-shot clean+gate, batch attribution preserved.
+    val oneShotAll = gate(graft.dedup.Dedup.removeBoilerplate(docs, 5, 3)
+        .select(col("doc_id"), col("clean_text").as("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val earlyGap = before.filter(_._3 < 2).map(t => (t._1, t._2))
+      .diff(oneShotAll.filter { case (id, _) => id % 3 != 2 })
+    assert(earlyGap.nonEmpty,
+      "degenerate fixture: admission-time cleaning already equals the one-shot " +
+        "for early batches — the re-clean spec would be vacuous")
+    val total = StreamingJobs.recleanCurated(spark, out, gate = gate)
+    assert(total == oneShotAll.size.toLong,
+      s"re-clean total $total vs one-shot ${oneShotAll.size}")
+    val after = table()
+    (0 until 3).foreach { b =>
+      val gotB = after.filter(_._3 == b).map(t => (t._1, t._2))
+      val wantB = oneShotAll.filter { case (id, _) => id % 3 == b }
+      assert(gotB == wantB,
+        s"batch $b curated content diverges from the one-shot clean+gate after re-clean")
+    }
   }
 
   test("retention composes with replays: randomized delivery/replay/compaction schedules converge") {
@@ -743,11 +774,63 @@ class StreamingSpec extends SparkSpec {
         }
         if (rnd.nextBoolean()) StreamingJobs.compactVersions(spark, out, keep = 2)
       }
-      val got = spark.read.parquet(
-        s"$out/v=${graft.core.ArtifactIO.committedVersions(spark, out, "v=").max}/df")
+      val got = StreamingJobs.boilerMaintDf(spark, out)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"schedule $trial diverged from the one-shot counts")
     }
+  }
+
+  test("delta sink states: per-batch bytes written scale with the batch, not the state") {
+    // The round-9 verdict's scale finding: the old layout rewrote the
+    // FULL state every batch — O(batches × state) on disk and O(state)
+    // IO per batch. The delta layout must write O(batch): after a big
+    // batch 0 builds real state, tiny batches must land tiny versions.
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    // boilerMaint: full corpus, then 2-doc batches
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+    val bout = java.nio.file.Files.createTempDirectory("graft-delta-bytes-b").toString
+    StreamingJobs.boilerMaintSink(bout)(docs, 0L)
+    (1 to 3).foreach { b =>
+      StreamingJobs.boilerMaintSink(bout)(
+        Seq((920000L + b * 2, s"tiny planted doc $b"), (920001L + b * 2, s"another tiny $b"))
+          .toDF("doc_id", "text"), b.toLong)
+    }
+    val bBig = dirBytes(s"$bout/v=0")
+    (1 to 3).foreach { b =>
+      val sz = dirBytes(s"$bout/v=$b")
+      assert(sz * 4 < bBig,
+        s"boilerMaint delta v=$b is $sz bytes vs $bBig for the full-state batch — not O(batch)")
+    }
+    // aggMaint: a 50k-distinct-user synthetic batch (the real sf0.001 /
+    // sf0.01 states are 3-6 KB — at parquet's ~2.5 KB per-file floor the
+    // ratio would measure format overhead, not delta size), then a
+    // single-row batch
+    val events = spark.range(50000).select(
+      col("id").as("user_id"), col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      concat(lit("t"), pmod(col("id"), lit(7))).as("event_type"),
+      (col("id") % 100).cast("double").as("value"))
+    val aout = java.nio.file.Files.createTempDirectory("graft-delta-bytes-a").toString
+    StreamingJobs.aggMaintSink(aout)(events, 0L)
+    StreamingJobs.aggMaintSink(aout)(
+      Seq((999999L, 999999L, new java.sql.Timestamp(4102444800L * 1000L), "probe", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), 1L)
+    val aBig = dirBytes(s"$aout/v=0")
+    val aTiny = dirBytes(s"$aout/v=1")
+    assert(aTiny * 4 < aBig,
+      s"aggMaint delta v=1 is $aTiny bytes vs $aBig for the full-state batch — not O(batch)")
+    // and the view over base+deltas equals what full-copy storage gave:
+    // state totals are already pinned by the other suites; here pin that
+    // compaction folds the tiny deltas away and bytes return to O(state)
+    StreamingJobs.compactVersions(spark, bout, keep = 2)
+    val base = graft.core.ArtifactIO.committedVersions(spark, bout, "base_v=")
+    assert(base.nonEmpty && dirBytes(s"$bout/base_v=${base.max}") * 2 > bBig,
+      "the folded base should carry the accumulated state")
   }
 
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
