@@ -268,14 +268,18 @@ n$n AS (SELECT cid, list(mi ORDER BY ii) AS c FROM m$n GROUP BY cid),
 c$n AS (SELECT p.cid, coalesce(n$n.c, p.c) AS c FROM $prev p LEFT JOIN n$n ON n$n.cid = p.cid)"""
 
   /** Oracle: replay train(k=8, iters=2) in SQL (init = first 8 vectors,
-    * sample = first 2048 — ids are dense so vec_id < N selects them),
+    * sample = FIRST 2048 BY RANK of vec_id — the engine's
+    * `orderBy(vec_id).limit(n)`; spelled as ORDER BY + LIMIT, not
+    * `vec_id < n`, because the two only coincide on dense-from-0 id
+    * spaces — the round-10 8× finding: replicated corpora carry sparse
+    * ids and the `< n` spelling silently selects a different sample),
     * then the q34 search shape against the trained centroids: assignment
     * and probe score = |c|² − 2·e·c_float (the float-cast dot matching
     * clusterCol), nprobe=4, exact rounded-cosine re-rank, rnk ≤ 10.
     */
   val q41Sql: String =
     raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-samp AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
 idx AS (SELECT unnest(range(1, 65)) AS ii),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
 ${lloydIterSql(1, "c0")},
@@ -803,7 +807,7 @@ pc$n AS (SELECT p.m, p.cid, coalesce(pn$n.c, p.c) AS c
 
   val q127Sql: String =
     raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-samp AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
 ms AS (SELECT unnest(range(0, 8)) AS m),
 idx AS (SELECT unnest(range(1, 9)) AS ii),
 sub AS (SELECT s.vec_id, ms.m, list_transform(range(1, 9), i -> s.v[ms.m * 8 + i]) AS sv FROM samp s, ms),
@@ -1131,7 +1135,7 @@ cv AS (SELECT vec_id, label,
            ((label * 2654435761 + (i - 1) * 40503) % 1000) / 1000.0 - 0.5 + 0.125 * v[i]
          AS REAL) AS DOUBLE)) AS v
        FROM e0),
-samp AS (SELECT vec_id, label, v FROM cv WHERE vec_id < 2048),
+samp AS (SELECT vec_id, label, v FROM cv ORDER BY vec_id LIMIT 2048),
 lblidx AS (SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
            FROM (SELECT DISTINCT label FROM samp)),
 idx AS (SELECT unnest(range(1, 65)) AS ii),
