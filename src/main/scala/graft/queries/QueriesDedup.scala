@@ -776,6 +776,168 @@ SELECT t.doc_id, t.n_windows, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
 FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
 
+  /** MULTI-BENCHMARK decontamination with per-benchmark ATTRIBUTION —
+    * the production form of q164: a training corpus is screened against
+    * a SUITE of eval benchmarks at once, and a contaminated document is
+    * reported per benchmark it hits (the attribution a data card /
+    * contamination appendix needs: WHICH eval leaked, not just "some
+    * eval"). Here the mod-97 eval docs split into 3 synthetic
+    * benchmarks by (doc_id / 97) mod 3; W = 4 (vs q164's 8) because
+    * the synthetic corpus has no verbatim 8-gram leakage — the
+    * shorter window manufactures real cross-doc hits at every scale
+    * (8 pairs at the gate, 772 at sf0.1), so the attribution
+    * machinery is gated on non-trivial content.
+    *
+    * Scale shape: the fingerprint is the distinct (benchmark, window
+    * hash) table — suite-sized (benchmarks are small by nature), so it
+    * BROADCASTS like q164's single set, and the corpus-side windows
+    * stream through one broadcast inner join; per-(doc, benchmark)
+    * counts aggregate ONLY the hit rows (contamination-incidence-sized,
+    * not corpus-sized). A doc contaminated by two benchmarks appears
+    * twice — the point of attribution. Output is the contaminated-pair
+    * table (bounded by incidence), ordered.
+    */
+  def q188_decontam_multi(s: SparkSession, dir: String): DataFrame = {
+    val W = 4
+    val base = docs(s, dir).select(col("doc_id"),
+      org.apache.spark.sql.graft.WindowHashes.windowHashes(
+        Text.tokens(col("text")), W).as("whs"))
+    val win = base.select(col("doc_id"), explode(col("whs")).as("h"))
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val evalHashes = win.filter(isEval)
+      .select(pmod(expr("doc_id div 97"), lit(3)).cast("int").as("benchmark"), col("h"))
+      .distinct()
+    val hits = win.filter(!isEval)
+      .join(broadcast(evalHashes), Seq("h"))
+      .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_hits"))
+    val nw = base.filter(!isEval)
+      .select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+    hits.join(nw, Seq("doc_id"))
+      .select(col("doc_id"), col("benchmark"), col("n_hits"), col("n_windows"),
+        round(col("n_hits").cast("double") / col("n_windows"), 6).as("hit_frac"))
+      .orderBy("doc_id", "benchmark")
+  }
+
+  /** q164's window-hash replay with the benchmark id carried through:
+    * distinct (benchmark, h) fingerprint, inner join, per-pair counts.
+    * Integer division both sides: the engine's `doc_id div 97` is
+    * DuckDB's `doc_id // 97` (Spark's bare `/` on longs would be
+    * double division — avoided).
+    */
+  val q188Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+th AS (SELECT doc_id, list_transform(tk, s -> ${polyHashSql("s")}) AS hh FROM t),
+w AS (SELECT doc_id,
+             CASE WHEN len(hh) >= 4
+                  THEN list_transform(range(0, len(hh) - 4 + 1),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hh, i + 1, i + 4)),
+                                          (a, b) -> (a * 31 + b) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS whs
+      FROM th),
+e AS (SELECT doc_id, unnest(whs) AS h FROM w),
+ev AS (SELECT DISTINCT CAST((doc_id // 97) % 3 AS INTEGER) AS benchmark, h
+       FROM e WHERE doc_id % 97 = 0),
+hits AS (SELECT e.doc_id, ev.benchmark, count(*) AS n_hits
+         FROM e JOIN ev USING (h)
+         WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id, ev.benchmark),
+tot AS (SELECT doc_id, CAST(len(whs) AS BIGINT) AS n_windows FROM w WHERE doc_id % 97 <> 0)
+SELECT h.doc_id, h.benchmark, CAST(h.n_hits AS BIGINT) AS n_hits, t.n_windows,
+       round(CAST(h.n_hits AS DOUBLE) / t.n_windows, 6) AS hit_frac
+FROM hits h JOIN tot t USING (doc_id) ORDER BY h.doc_id, h.benchmark"""
+
+  /** The ONLINE CURATION capstone through the GATE — q162's pattern
+    * (replay a fixed streaming schedule, hash the maintained result)
+    * applied to [[graft.streaming.StreamingJobs.curateStream]]: three
+    * batches of the corpus (doc_id mod 3) flow through the full
+    * foreachBatch body — exact-ingest dedup, delta-chained boilerplate
+    * maintenance, cleaning against the accumulated view, the q179
+    * repetition-battery gate, exactly-once append — then
+    * [[graft.streaming.StreamingJobs.recleanCurated]] replays
+    * clean+gate over the raw admission archive against the FINAL view.
+    * After the re-clean, EVERY batch's curated content equals the
+    * one-shot batch transform (the round-10 contract), which is
+    * exactly the oracle: DuckDB computes removeBoilerplate (q173's
+    * replay) over the whole corpus and gates the cleaned text with the
+    * q179 battery — so the hash match certifies the streaming
+    * composition end to end, not just the final batch. State lands in
+    * a pid-keyed temp dir wiped at entry, so reruns are deterministic.
+    */
+  def q190_curate_replay(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingJobs
+    val d = docs(s, dir).select("doc_id", "text")
+    val out = QueriesSources.tmp("graft_q190_curate_", dir)
+    graft.core.ArtifactIO.delete(s, out) // previous-run state must not leak
+    val gate = QueriesText.repetitionKeep _
+    (0 until 3).foreach { b =>
+      StreamingJobs.curateStream(out, gate = gate)(
+        d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+    }
+    StreamingJobs.recleanCurated(s, out, gate = gate)
+    StreamingJobs.curatedDocs(s, out)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the one-shot pipeline — q173's boilerplate-clean replay
+    * (threshold df ≥ 3 at 5-token chunks) producing the cleaned text
+    * and token accounting, then the q179 repetition battery over the
+    * CLEANED tokens (battery CTEs b-prefixed; thresholds decided by
+    * the same integer cross-multiplication), keeping battery-pass
+    * docs. Cleaned-token reuse is sound because tokens are [A-Za-z]+
+    * joined by single spaces — re-tokenizing the cleaned string yields
+    * the kept array verbatim.
+    */
+  val q190Sql: String =
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+n AS (SELECT doc_id, tk, CAST((len(tk) + 4) // 5 AS BIGINT) AS nch FROM t),
+ch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+       FROM (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM n)),
+hh AS (SELECT doc_id, ci, ${polyHashSql("chunk")} AS h FROM ch),
+boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM hh GROUP BY h) WHERE df >= 3),
+rem AS (SELECT doc_id, list_sort(list(DISTINCT ci)) AS rem FROM hh JOIN boiler USING (h) GROUP BY doc_id),
+fin AS (SELECT n.doc_id, n.tk, coalesce(rem.rem, CAST([] AS BIGINT[])) AS rem
+        FROM n LEFT JOIN rem USING (doc_id)),
+k AS (SELECT doc_id, tk,
+             list_filter(tk, (x, i) -> NOT list_contains(rem, (i - 1) // 5)) AS kept
+      FROM fin),
+c AS (SELECT doc_id, kept,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(kept, ' '), '') AS text
+      FROM k),
+cb AS (SELECT doc_id, kept AS btk, CAST(len(kept) AS BIGINT) AS bn FROM c),
+bg2 AS (SELECT doc_id, array_to_string(btk[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, btk, unnest(range(1, len(btk))) AS i FROM cb WHERE len(btk) >= 2)),
+bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg2 GROUP BY doc_id, g),
+btp AS (SELECT doc_id, cnt AS top2_cnt
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM bgc)
+        WHERE rn = 1),
+bch AS (SELECT doc_id, ci, array_to_string(list_slice(btk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
+        FROM (SELECT doc_id, btk, unnest(range(0, CAST((len(btk) + 4) // 5 AS BIGINT))) AS ci FROM cb)),
+bhh AS (SELECT doc_id, ci, ${polyHashSql("chunk")} AS h FROM bch),
+bdc AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) AS m FROM bhh GROUP BY doc_id, h) WHERE m >= 2),
+bdt AS (SELECT bhh.doc_id, sum(least(5, cb.bn - bhh.ci * 5)) AS dct
+        FROM bhh JOIN bdc USING (doc_id, h) JOIN cb ON cb.doc_id = bhh.doc_id GROUP BY bhh.doc_id),
+bth AS (SELECT doc_id, list_transform(btk, s -> ${polyHashSql("s")}) AS hsh FROM cb),
+bwp AS (SELECT doc_id, i AS wi,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hsh, i + 1, i + 5)),
+                           (a, x) -> (a * 31 + x) % 1000000007) AS h
+        FROM (SELECT doc_id, hsh, unnest(range(0, len(hsh) - 5 + 1)) AS i FROM bth WHERE len(hsh) >= 5)),
+bdw AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) AS m FROM bwp GROUP BY doc_id, h) WHERE m >= 2),
+bcov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS d5
+         FROM (SELECT bwp.doc_id, unnest(range(bwp.wi, bwp.wi + 5)) AS p
+               FROM bwp JOIN bdw USING (doc_id, h))
+         GROUP BY doc_id),
+bf AS (SELECT cb.doc_id, cb.bn,
+              CAST(coalesce(btp.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+              CAST(coalesce(bdt.dct, 0) AS BIGINT) AS dct,
+              CAST(coalesce(bcov.d5, 0) AS BIGINT) AS d5
+       FROM cb LEFT JOIN btp USING (doc_id) LEFT JOIN bdt USING (doc_id) LEFT JOIN bcov USING (doc_id)),
+keepd AS (SELECT doc_id FROM bf
+          WHERE 10 * top2_cnt <= bn AND 10 * dct <= 3 * bn AND 20 * d5 <= 3 * bn)
+SELECT c.doc_id, c.text, c.n_tokens, c.n_removed
+FROM c JOIN keepd USING (doc_id) ORDER BY c.doc_id"""
+
   /** SOFT dedup: inverse-duplication-frequency resampling (the D4 /
     * "keep duplicates in proportion, not in full" recipe) instead of
     * the q46/q91 hard keep-one-representative rule. Every document in

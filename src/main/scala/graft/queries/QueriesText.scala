@@ -987,6 +987,52 @@ SELECT o.doc_id, CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
 FROM occ o JOIN enc e ON e.word = o.word
 GROUP BY o.doc_id ORDER BY o.doc_id"""
 
+  /** BPE SEGMENTATION panel — the merge table made OBSERVABLE: q143
+    * gates the tokenizer through per-doc symbol COUNTS; this entry
+    * emits the actual segmentation string ("th|e", "an|d", …) of the
+    * top-50 vocabulary words under the 5-round trained merges, plus a
+    * per-word round-trip audit (concat(symbols) == word — BPE's
+    * losslessness invariant, computed independently by each engine
+    * from its own merge replay, so a corrupted merge on either side
+    * surfaces as a hash mismatch, not a silent count coincidence).
+    * The panel is a TakeOrdered top-50 by (freq DESC, word) — a total
+    * order, so the panel is deterministic at any corpus size; encoding
+    * runs once per DISTINCT word (the q143 vocabulary convention),
+    * never per occurrence.
+    */
+  def q189_bpe_segments(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(vocab, rounds = 5)
+    vocab
+      .select(col("word"), col("freq"),
+        Bpe.encode(Bpe.initialSymbols(col("word")), merges).as("syms"))
+      .select(col("word"), col("freq").cast("long").as("freq"),
+        size(col("syms")).cast("long").as("n_syms"),
+        concat_ws("|", col("syms")).as("segmentation"),
+        (concat_ws("", col("syms")) === col("word")).as("roundtrip_ok"))
+      .orderBy(col("freq").desc, col("word")).limit(50)
+  }
+
+  /** q143's 5-round merge replay, ending in the segmentation string and
+    * the independent round-trip check over the bracket form.
+    */
+  val q189Sql: String =
+    raw"""WITH occ AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
+w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM vocab),
+${bpeRoundSql(1, 0)},
+${bpeRoundSql(2, 1)},
+${bpeRoundSql(3, 2)},
+${bpeRoundSql(4, 3)},
+${bpeRoundSql(5, 4)},
+seg AS (SELECT word, freq, regexp_extract_all(s, '\[([A-Za-z]+)\]', 1) AS sy FROM w5)
+SELECT word, CAST(freq AS BIGINT) AS freq, CAST(len(sy) AS BIGINT) AS n_syms,
+       array_to_string(sy, '|') AS segmentation,
+       array_to_string(sy, '') = word AS roundtrip_ok
+FROM seg ORDER BY freq DESC, word LIMIT 50"""
+
   /** Per-language token statistics over the UNICODE tokenizer (NFC +
     * `\p{L}+` runs — Text.unicodeTokens): total tokens, vocabulary
     * size, and the modal token. The ASCII `[A-Za-z]` class is
