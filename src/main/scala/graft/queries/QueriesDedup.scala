@@ -861,10 +861,18 @@ FROM hits h JOIN tot t USING (doc_id) ORDER BY h.doc_id, h.benchmark"""
     * q179 battery — so the hash match certifies the streaming
     * composition end to end, not just the final batch. State lands in
     * a pid-keyed temp dir wiped at entry, so reruns are deterministic.
+    *
+    * FIXED 1500-doc key window (the q162 convention): the entry pins
+    * the composition SEMANTICS — 3 ingest batches + 12 versioned
+    * delta-state writes + the re-clean — whose cost is write-bound,
+    * not data-bound; the components' full-corpus scale stories are
+    * gated separately (q173 clean, q179 battery, the delta-state
+    * bytes spec), so paying a corpus-sized triple-replay per bench
+    * run would measure the fixture, not the operator.
     */
   def q190_curate_replay(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingJobs
-    val d = docs(s, dir).select("doc_id", "text")
+    val d = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 1500)
     val out = QueriesSources.tmp("graft_q190_curate_", dir)
     graft.core.ArtifactIO.delete(s, out) // previous-run state must not leak
     val gate = QueriesText.repetitionKeep _
@@ -888,7 +896,7 @@ FROM hits h JOIN tot t USING (doc_id) ORDER BY h.doc_id, h.benchmark"""
     * the kept array verbatim.
     */
   val q190Sql: String =
-    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+    raw"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 1500),
 n AS (SELECT doc_id, tk, CAST((len(tk) + 4) // 5 AS BIGINT) AS nch FROM t),
 ch AS (SELECT doc_id, ci, array_to_string(list_slice(tk, ci * 5 + 1, ci * 5 + 5), ' ') AS chunk
        FROM (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM n)),
