@@ -1325,8 +1325,12 @@ FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
     * bucket) form — no domain-sized window partition anywhere — and
     * report per-domain selection counts and budget utilization.
     * `dom` is (source, w, dom_budget), metadata-scale by construction.
+    * `extraCols` are the dom columns the report carries between `source`
+    * and the admission stats (default q165/q175's weight column; q193
+    * passes its cap/saturation panel instead).
     */
-  private def budgetAdmitReport(dl: DataFrame, dom: DataFrame): DataFrame = {
+  private def budgetAdmitReport(dl: DataFrame, dom: DataFrame,
+      extraCols: Seq[String] = Seq("w")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = PortableHash.MinHashP
     val (a, b) = PortableHash.minHashCoeffs(0)
@@ -1352,7 +1356,8 @@ FROM bp WHERE cum <= 20000 ORDER BY epoch, pos"""
       .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .withColumn("sel_tokens", coalesce(col("sel_tokens"), lit(0L)))
       .withColumn("util", round(col("sel_tokens").cast("double") / col("dom_budget"), 6))
-      .select("source", "w", "dom_budget", "n_docs", "sel_tokens", "util")
+      .select((Seq("source") ++ extraCols ++ Seq("dom_budget", "n_docs", "sel_tokens", "util"))
+        .map(col): _*)
       .orderBy("source")
   }
 
@@ -1429,6 +1434,91 @@ sel AS (SELECT c.source, c.doc_id, c.n_tokens FROM c JOIN bud USING (source)
 agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
         FROM sel GROUP BY source)
 SELECT b.source, b.w, b.dom_budget,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+       round(CAST(coalesce(a.sel_tokens, 0) AS DOUBLE) / b.dom_budget, 6) AS util
+FROM bud b LEFT JOIN agg a USING (source) ORDER BY b.source"""
+
+  /** WATERFILLING domain mix — the third mixing policy next to q165's
+    * hand-set weights and q175's temperature weights: spread a global
+    * token budget B (here ⌊Σcap/2⌋) as EVENLY as possible across
+    * domains subject to each domain's capacity cap_d (its total
+    * tokens): alloc_d = min(cap_d, λ) with the water level λ chosen so
+    * Σ alloc = B. This is the "uniform but capped" allocation corpus
+    * assemblers use when small domains must not be over-asked and the
+    * remainder spreads uniformly over the large ones (the capped
+    * variant of uniform sampling; equivalently temperature α → 0 with
+    * capacity constraints). Closed form, zero iteration: sort domains
+    * by cap ascending; after the j−1 smallest saturate, the candidate
+    * level is λ_j = (B − S_{j−1})/(n−j+1), and the true level is λ_{j*}
+    * at the FIRST j where λ_j ≤ cap_j (always exists while B < Σcap).
+    * All λ arithmetic is exact-integer-in-double (same IEEE division
+    * both engines); saturated domains get their exact integer cap,
+    * unsaturated ones ⌊λ⌋. Admission then reuses q165's two-phase
+    * deterministic-hash machinery unchanged.
+    *
+    * Scale shape: the waterfill math runs entirely on the |domains|-row
+    * cap table (metadata scale — the unpartitioned windows are
+    * whitelisted on that bound); the corpus is touched once for the
+    * per-domain token sums and once for admission, both keyed.
+    */
+  def q193_waterfill_mix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs(s, dir).select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val caps = dl.groupBy("source").agg(sum("n_tokens").as("cap"))
+    val byCap = Window.orderBy("cap", "source")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dom = caps
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("budget", expr("(sum(cap) over ()) div 2"))
+      .withColumn("j", row_number().over(byCap))
+      .withColumn("s_prev", coalesce(
+        sum("cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lam_j",
+        (col("budget") - col("s_prev")).cast("double") /
+          (col("n") - col("j") + lit(1L)).cast("double"))
+      .withColumn("jstar", min(when(col("lam_j") <= col("cap"), col("j"))).over(all))
+      .withColumn("lam", max(when(col("j") === col("jstar"), col("lam_j"))).over(all))
+      .withColumn("saturated", when(col("j") < col("jstar"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("dom_budget", when(col("saturated") === 1L, col("cap"))
+        .otherwise(floor(col("lam"))))
+      .select("source", "cap", "saturated", "dom_budget")
+    budgetAdmitReport(dl, dom, extraCols = Seq("cap", "saturated"))
+  }
+
+  /** Oracle: the same closed-form waterfill over the |domains| cap
+    * table (identical IEEE double divisions), then q165's naive
+    * per-domain admission window.
+    */
+  val q193Sql: String =
+    raw"""WITH dl AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+caps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cap FROM dl GROUP BY source),
+t AS (SELECT CAST(sum(cap) AS BIGINT) // 2 AS budget, count(*) AS n FROM caps),
+ord AS (SELECT source, cap,
+               row_number() OVER (ORDER BY cap, source) AS j,
+               CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev
+        FROM caps),
+lev AS (SELECT o.source, o.cap, o.j, o.s_prev,
+               CAST(t.budget - o.s_prev AS DOUBLE) / CAST(t.n - o.j + 1 AS DOUBLE) AS lam_j
+        FROM ord o, t),
+pick AS (SELECT min(CASE WHEN lam_j <= cap THEN j END) AS jstar FROM lev),
+lamv AS (SELECT l.lam_j AS lam FROM lev l, pick WHERE l.j = pick.jstar),
+bud AS (SELECT l.source, l.cap,
+               CAST(CASE WHEN l.j < pick.jstar THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+               CAST(CASE WHEN l.j < pick.jstar THEN l.cap ELSE floor(lamv.lam) END AS BIGINT) AS dom_budget
+        FROM lev l, pick, lamv),
+k AS (SELECT dl.*, ((doc_id % 2147483647) * $IdHashSqlA + $IdHashSqlB) % 2147483647 AS h FROM dl),
+c AS (SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k),
+sel AS (SELECT c.source, c.doc_id, c.n_tokens FROM c JOIN bud USING (source)
+        WHERE c.cum <= bud.dom_budget),
+agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        FROM sel GROUP BY source)
+SELECT b.source, b.cap, b.saturated, b.dom_budget,
        CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
        CAST(coalesce(a.sel_tokens, 0) AS BIGINT) AS sel_tokens,
        round(CAST(coalesce(a.sel_tokens, 0) AS DOUBLE) / b.dom_budget, 6) AS util

@@ -2053,4 +2053,135 @@ SELECT CAST(cells.cell AS INTEGER) AS cell,
        CAST(coalesce(pa.n_same, 0) AS BIGINT) AS n_same
 FROM cells LEFT JOIN pa ON pa.cell = cells.cell LEFT JOIN pb ON pb.cell = cells.cell
 ORDER BY cell"""
+
+  /** INCREMENTAL INDEX APPEND — the maintenance path faiss calls `add`
+    * (train once, add forever): build the IVF index on the BASE corpus
+    * (vec_id % 4 ≠ 0, hash-seeded centroids), SAVE it, then APPEND the
+    * delta (vec_id % 4 = 0) through [[IvfIndex.appendToArtifact]] —
+    * assignment under the SAVED, FROZEN centroids, rows appended into
+    * the partitioned codes table with no retrain and no rewrite of
+    * existing codes. The search over the RELOADED artifacts must see
+    * base ∪ delta exactly as if the union had been assigned fresh under
+    * the same model — that equivalence (assignment is a pure per-row
+    * function of frozen centroids) is what the oracle certifies: it
+    * replays hash-init-on-base, assignment of ALL vectors, and the
+    * q34-form probe/re-rank, with no append anywhere in sight. Any
+    * append defect — delta rows missing, landed in the wrong cell
+    * partition, base rows clobbered by the append write — shifts the
+    * candidate sets and fails the hash.
+    *
+    * Scale shape: maintenance cost is O(|delta|·k·dim + |delta| IO),
+    * independent of index size — the only alternative at 100 TB, where
+    * a per-ingest retrain+rewrite is off the table. The query panel
+    * includes delta members (vec_id 0 and 4), so the appended rows are
+    * exercised as BOTH corpus and queries.
+    */
+  def q191_index_append(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val model = IvfIndex.initHash(base, 16)
+    val path = QueriesSources.tmp("graft_q191_ivf_", dir)
+    IvfIndex.save(IvfIndex.assign(base, model), model, path)
+    IvfIndex.appendToArtifact(s, path, delta)
+    val (loaded, codes) = IvfIndex.load(s, path)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(codes, queries, loaded, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Shared q191/q192 oracle prefix: hash-init centroids seeded from
+    * the BASE corpus only (vec_id % 4 ≠ 0 — initHash's affine-hash
+    * order restricted to base rows; float embeddings are double-exact,
+    * so the raw doubles ARE the engine's float centroids), then the
+    * frozen-centroid assignment of the FULL corpus — q147's score form.
+    */
+  private def frozenBaseAssignSql: String =
+    raw"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM e WHERE vec_id % 4 <> 0),
+c AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds WHERE rk <= 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores)
+           WHERE rn = 1)"""
+
+  val q191Sql: String =
+    raw"""WITH $frozenBaseAssignSql,
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** CELL-OCCUPANCY DRIFT after q191's append — the ops-side audit that
+    * decides when appended mass has skewed the frozen partition enough
+    * to schedule the next full refresh ([[IvfIndex.refreshArtifact]]):
+    * per cell, base vs appended counts, the appended-mass fraction, the
+    * load factor vs the uniform ideal (n·k / corpus), and a split/
+    * refresh trigger (load > 2× mean — exact integer compare, no float
+    * threshold). Empty cells appear with zeros (candidates for merging
+    * at the next retrain). This is the same audit shape faiss's
+    * imbalance_factor serves; here it is one keyed aggregation plus a
+    * k-row panel — the corpus is touched exactly once.
+    *
+    * Scale shape: the only window runs over the k-row cell table
+    * (metadata scale, whitelisted); the corpus-sized work is the
+    * assignment scan + one groupBy(cell) partial-aggregated count.
+    */
+  def q192_cell_drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val model = IvfIndex.initHash(base, 16)
+    val assigned = IvfIndex.assign(e, model)
+      .withColumn("is_new", (pmod(col("vec_id"), lit(4)) === 0).cast("long"))
+    val counts = assigned.groupBy(col("cluster").as("cell"))
+      .agg(sum(lit(1L) - col("is_new")).as("n_base"), sum("is_new").as("n_new"))
+    val cells = s.range(16).select(col("id").cast("int").as("cell"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+      .withColumn("__corpus", sum("n_total").over(all)) // 16-row cell table
+      .select(col("cell"), col("n_base"), col("n_new"), col("n_total"),
+        when(col("n_total") === 0L, lit(0.0))
+          .otherwise(round(col("n_new") / col("n_total"), 6)).as("new_frac"),
+        round((col("n_total") * lit(16L)) / col("__corpus"), 6).as("load_factor"),
+        when(col("n_total") * lit(16L) > lit(2L) * col("__corpus"), lit(1L))
+          .otherwise(lit(0L)).as("needs_split"))
+      .orderBy("cell")
+  }
+
+  val q192Sql: String =
+    raw"""WITH $frozenBaseAssignSql,
+counts AS (SELECT cluster AS cell,
+                  sum(CASE WHEN vec_id % 4 = 0 THEN 0 ELSE 1 END) AS n_base,
+                  sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS n_new
+           FROM assign GROUP BY cluster),
+cells AS (SELECT unnest(range(0, 16)) AS cell),
+f AS (SELECT CAST(cells.cell AS INTEGER) AS cell,
+             CAST(coalesce(counts.n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(counts.n_new, 0) AS BIGINT) AS n_new,
+             CAST(coalesce(counts.n_base, 0) + coalesce(counts.n_new, 0) AS BIGINT) AS n_total
+      FROM cells LEFT JOIN counts ON counts.cell = cells.cell),
+tot AS (SELECT sum(n_total) AS corpus FROM f)
+SELECT f.cell, f.n_base, f.n_new, f.n_total,
+       CASE WHEN f.n_total = 0 THEN 0.0 ELSE round(f.n_new / f.n_total, 6) END AS new_frac,
+       round((f.n_total * 16) / tot.corpus, 6) AS load_factor,
+       CAST(CASE WHEN f.n_total * 16 > 2 * tot.corpus THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+FROM f, tot ORDER BY f.cell"""
 }

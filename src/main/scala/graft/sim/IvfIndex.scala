@@ -333,6 +333,35 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
 
+  /** Incremental APPEND to a persisted index — the maintenance path
+    * BETWEEN refreshes (daily ingest vs weekly retrain): assign the new
+    * vectors under the SAVED, FROZEN centroids and append their rows to
+    * the partitioned codes table. No retrain, no rewrite of existing
+    * codes — the write touches only the appended rows' cell partitions,
+    * so maintenance cost is O(delta · k·dim assignment + delta IO),
+    * independent of index size. Searches over the reloaded index see
+    * base ∪ delta exactly as if the union had been assigned fresh under
+    * the same model (frozen-centroid semantics — cell ids keep meaning
+    * their epoch's centroids, the refreshArtifact invariant), because
+    * [[assign]] is a pure per-row function of (embedding, centroids).
+    *
+    * Atomicity: the append goes through Spark's FileCommitProtocol
+    * (task files stage under `_temporary`, visible only at job commit),
+    * so a crashed append leaves no partial rows on HDFS/ABFS/local —
+    * the same guarantee every sink in the repo leans on; for S3A see
+    * ArtifactIO's caveat. Accumulated appends skew cell occupancy over
+    * time; q192's drift audit decides when the next full refresh
+    * ([[refreshArtifact]]) is due.
+    *
+    * Returns the frozen model the delta was assigned under.
+    */
+  def appendToArtifact(spark: SparkSession, path: String, newVectors: DataFrame): Model = {
+    val (model, _) = load(spark, path)
+    assign(newVectors, model)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    model
+  }
+
   /** Load a saved index: (model, codes). The codes DataFrame is the
     * partitioned on-disk table — feed it straight to [[annTopK]].
     */

@@ -121,6 +121,36 @@ class IvfSpec extends SparkSpec {
     assert(parts.count(_.startsWith("cluster=")) == model.k)
   }
 
+  test("appendToArtifact: appended index == fresh union index under the frozen model, bit-equal") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    IvfIndex.save(IvfIndex.assign(base, model), model, path)
+    val frozen = IvfIndex.appendToArtifact(spark, path, delta)
+    model.centroids.zip(frozen.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "append must not touch the centroids")
+    }
+    val (loaded, codes) = IvfIndex.load(spark, path)
+    // 1. the reloaded codes ARE the union assignment: same (vec_id, cluster) rows
+    val want = IvfIndex.assign(emb, model)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    val got = codes.select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    assert(got == want, "appended codes differ from the fresh union assignment")
+    // 2. search over the appended artifacts == search over the fresh union index
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def res(df: org.apache.spark.sql.DataFrame, m: IvfIndex.Model) =
+      IvfIndex.annTopK(df, q, m, 10, 4)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(res(codes, loaded) == res(IvfIndex.assign(emb, model), model))
+    // 3. the append wrote only into cluster=<cell> partition dirs (no stray
+    //    top-level files beyond parquet bookkeeping) — the layout partition
+    //    pruning depends on survives the append
+    val stray = new java.io.File(s"$path/codes").listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(stray.isEmpty, s"append left unpartitioned files: ${stray.map(_.getName).mkString(",")}")
+  }
+
   test("versioned refresh: CURRENT re-points atomically, old versions stay readable") {
     val base = java.nio.file.Files.createTempDirectory("ivf_versions").toString
     val half = emb.filter(col("vec_id") < 250)

@@ -273,5 +273,7 @@ object QueriesSpec {
     "q156_shard_manifest" /* running offsets over the |shards| manifest */,
     "q165_domain_mix" /* per-source totals: |sources| rows */,
     "q168_pipeline_attrition" /* 5-row stage funnel lag */,
-    "q175_temp_mix" /* q165's |sources|-row totals, temperature-scaled */)
+    "q175_temp_mix" /* q165's |sources|-row totals, temperature-scaled */,
+    "q192_cell_drift" /* corpus total over the k=16-row cell panel */,
+    "q193_waterfill_mix" /* waterfill level over the |sources|-row cap table */)
 }
