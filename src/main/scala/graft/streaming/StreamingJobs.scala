@@ -540,6 +540,24 @@ object StreamingJobs {
       .getOrElse(sys.error(s"no committed agg state under $outDir"))
       .filter(col("n_users") > 0)
 
+  /** TIME-TRAVEL read of the maintained aggregate: the view as of
+    * version `v` INCLUSIVE — the delta-log's free dividend: every
+    * committed version is a reconstruction point, so "what did the
+    * view say after batch v" is the same base+delta merge with a
+    * cutoff, no extra storage and no snapshot copies. Returns None
+    * when `v` predates the oldest retained reconstruction point
+    * ([[DeltaState.compact]] folds deltas ≤ the base id into the base
+    * snapshot, so the floor is the newest base id) — NEVER a partial
+    * state: below the floor no committed piece survives, and the read
+    * refuses rather than merging a truncated chain. The same
+    * one-liner works for any delta-state sink via [[DeltaState.asOf]]
+    * with that sink's layout; this aggMaint form is the exemplar the
+    * time-travel spec pins.
+    */
+  def aggMaintViewAsOf(spark: SparkSession, outDir: String, v: Long): Option[DataFrame] =
+    DeltaState.asOf(spark, outDir, aggMaintLayout(1), Some(v + 1))
+      .map(_.filter(col("n_users") > 0))
+
   /** Streaming HLL maintenance — per-group distinct-user register
     * sketches ([[org.apache.spark.sql.graft.HllAgg]]) maintained under
     * an event stream: each micro-batch sketches its own rows (one pass,

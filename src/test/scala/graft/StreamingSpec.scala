@@ -833,6 +833,44 @@ class StreamingSpec extends SparkSpec {
       "the folded base should carry the accumulated state")
   }
 
+  test("delta-state time travel: as-of v == the prefix replay at every v; below the compaction floor the read refuses, never a partial state") {
+    def ev(u: Long, id: Long, s: Long, t: String, v: Double) =
+      (u, id, new java.sql.Timestamp(s * 1000L), t, v)
+    val batches = Seq(
+      Seq(ev(1L, 10L, 100L, "A", 5.0), ev(2L, 11L, 100L, "B", 3.0)),
+      Seq(ev(3L, 12L, 110L, "A", 2.0)),
+      Seq(ev(1L, 13L, 120L, "B", 4.0)), // moves user 1's value A -> B
+      Seq(ev(4L, 14L, 130L, "C", 1.0)))
+      .map(_.toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val out = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    batches.zipWithIndex.foreach { case (b, i) => StreamingJobs.aggMaintSink(out)(b, i.toLong) }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // ground truth per version: replay only batches 0..v into a fresh dir
+    val want = (0 to 3).map { v =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-tt-$v").toString
+      (0 to v).foreach(i => StreamingJobs.aggMaintSink(d)(batches(i), i.toLong))
+      v -> m(StreamingJobs.aggMaintView(spark, d))
+    }.toMap
+    (0 to 3).foreach { v =>
+      val got = StreamingJobs.aggMaintViewAsOf(spark, out, v.toLong)
+      assert(got.isDefined, s"as-of $v should be readable before compaction")
+      assert(m(got.get) == want(v), s"as-of $v != replay of batches 0..$v")
+    }
+    assert(m(StreamingJobs.aggMaintView(spark, out)) == want(3),
+      "current view must equal as-of the latest version")
+    // compact to keep=2 reconstruction points: base_v=2 + delta v=3
+    StreamingJobs.compactVersions(spark, out, keep = 2)
+    (2 to 3).foreach { v =>
+      assert(m(StreamingJobs.aggMaintViewAsOf(spark, out, v.toLong).get) == want(v),
+        s"as-of $v must survive compaction (at/above the floor)")
+    }
+    (0 to 1).foreach { v =>
+      assert(StreamingJobs.aggMaintViewAsOf(spark, out, v.toLong).isEmpty,
+        s"as-of $v is below the compaction floor and must refuse — a merged result here would be a silently partial state")
+    }
+  }
+
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
     // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
     // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
