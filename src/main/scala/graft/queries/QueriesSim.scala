@@ -2184,4 +2184,82 @@ SELECT f.cell, f.n_base, f.n_new, f.n_total,
        round((f.n_total * 16) / tot.corpus, 6) AS load_factor,
        CAST(CASE WHEN f.n_total * 16 > 2 * tot.corpus THEN 1 ELSE 0 END AS BIGINT) AS needs_split
 FROM f, tot ORDER BY f.cell"""
+
+  /** SHARDED (federated) ANN — how a 100 TB index actually serves: the
+    * corpus is split across independent shards (here vec_id parity),
+    * EACH shard trains its OWN centroids and answers top-k from its own
+    * data, and the router merges the per-shard top-k lists into the
+    * global top-k. The merge is exact by the classic distributed-top-k
+    * argument: every global winner living in shard s is, a fortiori, in
+    * shard s's own top-k, so ranking the union of the two k-lists
+    * reproduces the rank over the union of the shards' candidate sets —
+    * which is what the oracle computes directly (it replays both
+    * shards' hash-init + assignment + probes, unions the CANDIDATES,
+    * and ranks once; any defect in the per-shard search OR the merge
+    * shifts the hash). Per-shard tie order and the global merge order
+    * are the same (cosine DESC, vec_id), so the equivalence is exact,
+    * not approximate.
+    *
+    * Scale shape: shards are embarrassingly parallel (separate models,
+    * separate probe joins); the router's merge is a per-query window
+    * over ≤ shards×k rows — bounded by construction. This entry is the
+    * federation contract q191's single-artifact lifecycle composes
+    * with: shard locally, append locally, merge globally.
+    */
+  def q194_sharded_ann(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val perShard = Seq(0, 1).map { p =>
+      val shard = e.filter(pmod(col("vec_id"), lit(2)) === p)
+      val model = IvfIndex.initHash(shard, 16)
+      IvfIndex.annTopK(IvfIndex.assign(shard, model), queries, model, k = 10, nprobe = 4)
+        .select("query_id", "vec_id", "cosine_sim")
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
+    perShard.reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Per-shard oracle CTEs (parity `p`): hash-init seeds and assignment
+    * over the shard's rows only; probe scores for the query panel
+    * against the SHARD's centroids.
+    */
+  private def shardCtes(p: Int): String =
+    raw"""seeds$p AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM e WHERE vec_id % 2 = $p),
+c$p AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds$p WHERE rk <= 16),
+scores$p AS (SELECT e.vec_id, c$p.cid,
+                  c$p.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c$p.cv[i])) AS s
+           FROM e, c$p WHERE e.vec_id % 2 = $p),
+assign$p AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn FROM scores$p)
+           WHERE rn = 1),
+qscores$p AS (SELECT e.vec_id, c$p.cid,
+                  c$p.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c$p.cv[i])) AS s
+           FROM e, c$p WHERE e.vec_id < 5),
+probes$p AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM qscores$p)
+           WHERE rn <= 4),
+cand$p AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes$p p
+         JOIN assign$p a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id)"""
+
+  val q194Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+${shardCtes(0)},
+${shardCtes(1)},
+cand AS (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 }
