@@ -1463,15 +1463,28 @@ FROM bud b LEFT JOIN agg a USING (source) ORDER BY b.source"""
     * per-domain token sums and once for admission, both keyed.
     */
   def q193_waterfill_mix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dl = docs(s, dir).select(col("doc_id"), col("source"),
       size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
     val caps = dl.groupBy("source").agg(sum("n_tokens").as("cap"))
+    budgetAdmitReport(dl, waterfillDoms(caps), extraCols = Seq("cap", "saturated"))
+  }
+
+  /** The closed-form waterfill over a (source, cap) table: per domain,
+    * dom_budget = min(cap, λ) with the level λ chosen so allocations
+    * sum to the budget (⌊Σcap/2⌋ by default; `budget` overrides for
+    * the property spec — it must be < Σcap so the level exists).
+    * Saturated domains keep their exact integer cap; unsaturated ones
+    * get ⌊λ⌋. All windows run on the |domains|-row cap table. Exact
+    * IEEE double divisions on integers — the oracle replays them
+    * verbatim.
+    */
+  private[graft] def waterfillDoms(caps: DataFrame, budget: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byCap = Window.orderBy("cap", "source")
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val dom = caps
+    caps
       .withColumn("n", count(lit(1)).over(all))
-      .withColumn("budget", expr("(sum(cap) over ()) div 2"))
+      .withColumn("budget", budget.map(lit).getOrElse(expr("(sum(cap) over ()) div 2")))
       .withColumn("j", row_number().over(byCap))
       .withColumn("s_prev", coalesce(
         sum("cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -1484,7 +1497,6 @@ FROM bud b LEFT JOIN agg a USING (source) ORDER BY b.source"""
       .withColumn("dom_budget", when(col("saturated") === 1L, col("cap"))
         .otherwise(floor(col("lam"))))
       .select("source", "cap", "saturated", "dom_budget")
-    budgetAdmitReport(dl, dom, extraCols = Seq("cap", "saturated"))
   }
 
   /** Oracle: the same closed-form waterfill over the |domains| cap

@@ -151,6 +151,36 @@ class IvfSpec extends SparkSpec {
     assert(stray.isEmpty, s"append left unpartitioned files: ${stray.map(_.getName).mkString(",")}")
   }
 
+  test("daily append composes with weekly refresh: appends serve from CURRENT until the retrain supersedes them") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_append_refresh").toString
+    val old = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    // week 1: full build on the old corpus
+    IvfIndex.refreshArtifact(base, old, k = 16, iters = 1)
+    val cur = graft.core.ArtifactIO.readString(spark, s"$base/CURRENT").trim
+    // daily ingest: append the delta into the CURRENT version in place
+    IvfIndex.appendToArtifact(spark, s"$base/$cur", delta)
+    val (m1, codes1) = IvfIndex.loadCurrent(spark, base)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    assert(codeSet(codes1) == codeSet(IvfIndex.assign(emb, m1)),
+      "appended rows must serve from CURRENT, assigned under the frozen week-1 model")
+    // week 2: the scheduled refresh retrains on the full union and re-points
+    val m2 = IvfIndex.refreshArtifact(base, emb, k = 16, iters = 1)
+    val (mLoaded, codes2) = IvfIndex.loadCurrent(spark, base)
+    m2.centroids.zip(mLoaded.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "CURRENT must point at the retrained model")
+    }
+    assert(codeSet(codes2) == codeSet(IvfIndex.assign(emb, m2)),
+      "refreshed codes must be the union assigned under the retrained model")
+    // the retrain actually saw the appended mass (models differ)
+    assert(!m1.centroids.zip(m2.centroids).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "week-2 training on the union should move the centroids")
+    // and the superseded week-1 version (with its append) stays readable
+    assert(codeSet(IvfIndex.load(spark, s"$base/$cur")._2) == codeSet(IvfIndex.assign(emb, m1)),
+      "the superseded version must stay readable for draining readers")
+  }
+
   test("versioned refresh: CURRENT re-points atomically, old versions stay readable") {
     val base = java.nio.file.Files.createTempDirectory("ivf_versions").toString
     val half = emb.filter(col("vec_id") < 250)

@@ -107,4 +107,56 @@ class PropertySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     samples.foreach(s => assert(got(s) == polyHash(s), s"mismatch for '$s'"))
   }
+
+  /** Pure-Scala replay of q193's waterfill (same IEEE division order as
+    * the Spark windows), for the property check below.
+    */
+  private def refWaterfill(caps: Seq[(String, Long)], b: Long): Map[String, (Long, Long)] = {
+    val sorted = caps.sortBy { case (s, c) => (c, s) }
+    val n = sorted.size
+    var sPrev = 0L
+    var jstar = -1
+    var lam = 0.0
+    sorted.zipWithIndex.foreach { case ((_, c), idx) =>
+      if (jstar < 0) {
+        val j = idx + 1
+        val l = (b - sPrev).toDouble / (n - j + 1).toDouble
+        if (l <= c) { jstar = j; lam = l }
+      }
+      sPrev += c
+    }
+    sorted.zipWithIndex.map { case ((s, c), idx) =>
+      val sat = idx + 1 < jstar
+      s -> ((if (sat) 1L else 0L, if (sat) c else math.floor(lam).toLong))
+    }.toMap
+  }
+
+  test("waterfill: spark == closed-form reference; budget conserved within flooring; the level dominates every saturated cap") {
+    import spark.implicits._
+    val capsGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 10000L)))
+    forAllN(capsGen, n = 10) { cs =>
+      val caps = cs.zipWithIndex.map { case (c, i) => (f"src$i%02d", c) }
+      val total = caps.map(_._2).sum
+      val b = math.max(1L, total / 3) // strictly below capacity -> level exists
+      val got = graft.queries.QueriesPipeline
+        .waterfillDoms(caps.toDF("source", "cap"), Some(b))
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == refWaterfill(caps, b), s"caps=$caps b=$b")
+      val alloc = got.values.map(_._2).sum
+      assert(alloc <= b && b - alloc < caps.size,
+        s"budget not conserved within flooring: alloc=$alloc b=$b n=${caps.size}")
+      val satCaps = got.collect { case (s, (1L, a)) => a }
+      val unsat = got.collect { case (_, (0L, a)) => a }
+      assert(unsat.toSet.size <= 1, "all unsaturated domains must share one level")
+      satCaps.foreach(c => unsat.foreach(u =>
+        assert(u >= c, s"level $u below a saturated cap $c — not a water level")))
+    }
+    // crafted: equal caps, budget exactly divisible -> uniform split, nobody saturated
+    val eq = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+    val gotEq = graft.queries.QueriesPipeline
+      .waterfillDoms(eq.toDF("source", "cap"), Some(200L))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(gotEq.forall { case (_, sat, a) => sat == 0L && a == 50L },
+      s"equal caps must waterfill uniformly: ${gotEq.toSeq}")
+  }
 }
