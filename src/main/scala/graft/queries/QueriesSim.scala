@@ -2262,4 +2262,62 @@ r AS (SELECT query_id, vec_id, cosine_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM cand)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** FILTERED ANN — vector search under a metadata predicate (the
+    * "where lang = 'en' and license = 'ok'" of every production vector
+    * store; vec_id % 3 = 0 stands in for the predicate): the filter is
+    * applied to the CANDIDATE SIDE BEFORE the probe join
+    * (PRE-filtering), so the returned top-k is exactly the top-k of
+    * the probed cells' qualifying vectors. The alternative —
+    * post-filtering a generic top-k — silently returns FEWER than k
+    * (or misses qualifying neighbors entirely when the unfiltered
+    * top-k is dominated by non-qualifying vectors); pre-filtering has
+    * no such recall cliff, and in this plan it costs nothing extra:
+    * the predicate lands on the codes scan next to the cluster
+    * pruning, where parquet evaluates it before the join (at scale:
+    * partition pruning picks the probed cells' directories, the
+    * pushed filter prunes row groups inside them). The oracle replays
+    * hash-init, assignment, probes, and the filtered re-rank.
+    */
+  def q195_filtered_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = IvfIndex.initHash(e, 16)
+    val qualifying = IvfIndex.assign(e, model).filter(pmod(col("vec_id"), lit(3)) === 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(qualifying, queries, model, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q147's oracle with the candidate side restricted to the predicate
+    * (queries stay unrestricted — a query may search a set it does not
+    * belong to).
+    */
+  val q195Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM e),
+c AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds WHERE rk <= 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id % 3 = 0)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 }
