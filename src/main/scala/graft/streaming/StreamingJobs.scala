@@ -599,6 +599,20 @@ object StreamingJobs {
         round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), p), 6)
           .as("est_distinct"))
 
+  /** [[aggMaintViewAsOf]]'s sketch sibling — the time-travel read is
+    * MERGE-KIND-GENERIC (the cutoff selects which committed pieces
+    * merge; the kind only decides how), and HLL register max is
+    * idempotent, so the as-of fold is simply a shorter chain. Same
+    * floor contract: None below the oldest retained reconstruction
+    * point, never a partial state.
+    */
+  def hllMaintViewAsOf(spark: SparkSession, outDir: String, v: Long,
+      p: Int = 9): Option[DataFrame] =
+    DeltaState.asOf(spark, outDir, hllMaintLayout(0), Some(v + 1))
+      .map(_.select(col("event_type"), col("regs"),
+        round(org.apache.spark.sql.graft.HllAgg.estimateCol(col("regs"), p), 6)
+          .as("est_distinct")))
+
   /** Streaming BOILERPLATE frequency maintenance — the incremental half
     * of [[graft.dedup.Dedup.removeBoilerplate]]: arriving documents'
     * c-token chunk hashes increment a persistent (h, df) table, df

@@ -871,6 +871,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("time travel is merge-kind-generic: hllMaint as-of v == the prefix replay (idempotent HllMax)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-tt-hll").toString
+    // overlapping user ranges across batches, so later versions genuinely
+    // extend (not replace) each group's register state
+    val batches = (0 until 3).map { b =>
+      spark.range(b * 40L, b * 40L + 60L).select(
+        concat(lit("t"), pmod(col("id"), lit(3))).as("event_type"),
+        col("id").as("user_id"))
+    }
+    batches.zipWithIndex.foreach { case (df, i) => StreamingJobs.hllMaintSink(out)(df, i.toLong) }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "est_distinct").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (0 until 3).foreach { v =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-tt-hll-$v").toString
+      (0 to v).foreach(i => StreamingJobs.hllMaintSink(d)(batches(i), i.toLong))
+      val got = StreamingJobs.hllMaintViewAsOf(spark, out, v.toLong)
+      assert(got.isDefined, s"hll as-of $v should be readable")
+      assert(m(got.get) == m(StreamingJobs.hllMaintView(spark, d)),
+        s"hll as-of $v != replay of batches 0..$v")
+    }
+    assert(m(StreamingJobs.hllMaintView(spark, out)) ==
+      m(StreamingJobs.hllMaintViewAsOf(spark, out, 2L).get),
+      "current view must equal as-of the latest version")
+  }
+
   test("aggMaint: late-arriving upserts older than the key's snapshot row do not regress the view") {
     // Cross-batch OUT-OF-ORDER delivery: batch 0 carries user 1's ts=100
     // row; batch 1 redelivers an OLDER ts=50 row for the same user (plus
