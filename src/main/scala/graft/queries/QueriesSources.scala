@@ -270,4 +270,115 @@ FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
        CAST(sum(length(text)) AS BIGINT) AS total_text_len,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  /** FILE-SKIPPING INDEX over the documents corpus
+    * ([[graft.sources.SkippingIndex]] — the Delta/Iceberg zone-map +
+    * bloom file-statistics pattern): the corpus is written clustered
+    * into 64 id-range directories with a per-cluster stats sidecar
+    * (min/max doc_id zone map + a portable 2016-bit bloom over the
+    * document fingerprint), then two selective probes run through the
+    * index:
+    *
+    *  - a RANGE probe (`doc_id BETWEEN lo AND hi`, a backfill-window
+    *    shape) prunes via the zone map, and
+    *  - a POINT probe (find every copy of doc 42's content by
+    *    fingerprint — the content-lookup shape) prunes via the bloom.
+    *
+    * Each probe reads ONLY the admitted clusters (`cluster IN (…)` →
+    * PartitionFilters; metric-asserted in SkippingIndexSpec). The
+    * output is the per-cluster audit — stats, both admission
+    * decisions, and the matching-row counts from the pruned scans — so
+    * the gate hashes the skipping DECISIONS (zone-map overlap test,
+    * bloom word/bit membership) as well as the pruned-read results.
+    * The oracle replays the cluster assignment, the sidecar builds and
+    * both decisions from the same portable arithmetic.
+    *
+    * Scale: the stats/bloom sidecars are |files|-row metadata (the
+    * manifest pattern — millions of rows at 100 TB, never data-scale);
+    * the probes' driver collects are bounded by |files|; the data scan
+    * opens only admitted directories. The cluster width is derived
+    * from max(doc_id) so the 64-cluster demo layout holds on sparse id
+    * spaces (the 8x replica corpora) too.
+    */
+  def q196_skipping_index(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SkippingIndex
+    import graft.functions.PortableHash
+    import graft.text.Text
+    val out = tmp("graft_q196_skip_", dir)
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    // 1-row driver scalars (manifest-scale collects): the cluster width
+    // targeting 64 clusters, and the probe key (doc 42's fingerprint)
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val w = math.ceil((maxId + 1) / 64.0).toLong
+    val h = d.filter(col("doc_id") === 42).head.getLong(1)
+    val clustered = d.withColumn("cluster", expr(s"doc_id div $w"))
+    SkippingIndex.build(clustered, out, "cluster", Seq("doc_id"), "fp")
+    val (lo, hi) = (3 * w + 1, 5 * w + w / 2)
+    val rSel = SkippingIndex.selectRange(s, out, "doc_id", lo, hi)
+    val pSel = SkippingIndex.selectPoint(s, out, h)
+    val rangeRows = SkippingIndex.readClusters(s, out, rSel)
+      .filter(col("doc_id").between(lo, hi))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("range_rows"))
+    val bloomHits = SkippingIndex.readClusters(s, out, pSel)
+      .filter(col("fp") === h)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("bloom_hits"))
+    SkippingIndex.stats(s, out)
+      .select(col("cluster").cast("long").as("cluster"), col("n_rows"),
+        col("min_doc_id").as("min_id"), col("max_doc_id").as("max_id"),
+        when(col("cluster").cast("long").isInCollection(rSel), 1L).otherwise(0L).as("range_read"),
+        when(col("cluster").cast("long").isInCollection(pSel), 1L).otherwise(0L).as("bloom_read"))
+      .join(rangeRows, Seq("cluster"), "left")
+      .join(bloomHits, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_rows"), col("min_id"), col("max_id"),
+        col("range_read"), col("bloom_read"),
+        coalesce(col("range_rows"), lit(0L)).as("range_rows"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"))
+      .orderBy("cluster")
+  }
+
+  val q196Sql: String = {
+    import graft.sources.SkippingIndex.{probeA1, probeB1, probeA2, probeB2, P, Words, WordBits}
+    val bits = Words * WordBits
+    raw"""WITH d AS (SELECT doc_id, ${QueriesDedup.polyHashSql(s"array_to_string(${QueriesText.ToksSql}, ' ')")} AS fp FROM documents),
+wv AS (SELECT CAST(ceil((max(doc_id) + 1) / 64.0) AS BIGINT) AS w FROM d),
+c AS (SELECT doc_id, fp, doc_id // w AS cluster FROM d CROSS JOIN wv),
+st AS (SELECT cluster, count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY cluster),
+bounds AS (SELECT 3 * w + 1 AS lo, 5 * w + w // 2 AS hi FROM wv),
+pk AS (SELECT fp AS h FROM d WHERE doc_id = 42),
+bloom AS (SELECT cluster, bp // $WordBits AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bp % $WordBits AS INTEGER)) AS mask
+          FROM (SELECT cluster, (((fp % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp FROM c
+                UNION ALL
+                SELECT cluster, (((fp % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp FROM c)
+          GROUP BY cluster, word),
+pb AS (SELECT (((h % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp0,
+              (((h % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp1 FROM pk),
+sel AS (SELECT st.cluster,
+               CASE WHEN st.min_id <= b.hi AND st.max_id >= b.lo THEN 1 ELSE 0 END AS range_read,
+               CASE WHEN b1.cluster IS NOT NULL AND b2.cluster IS NOT NULL THEN 1 ELSE 0 END AS bloom_read
+        FROM st CROSS JOIN bounds b CROSS JOIN pb
+        LEFT JOIN bloom b1 ON b1.cluster = st.cluster AND b1.word = pb.bp0 // $WordBits
+          AND (b1.mask & (CAST(1 AS BIGINT) << CAST(pb.bp0 % $WordBits AS INTEGER))) <> 0
+        LEFT JOIN bloom b2 ON b2.cluster = st.cluster AND b2.word = pb.bp1 // $WordBits
+          AND (b2.mask & (CAST(1 AS BIGINT) << CAST(pb.bp1 % $WordBits AS INTEGER))) <> 0),
+rr AS (SELECT c.cluster, count(*) AS range_rows
+       FROM c JOIN sel ON sel.cluster = c.cluster AND sel.range_read = 1
+       CROSS JOIN bounds b WHERE c.doc_id BETWEEN b.lo AND b.hi GROUP BY c.cluster),
+bh AS (SELECT c.cluster, count(*) AS bloom_hits
+       FROM c JOIN sel ON sel.cluster = c.cluster AND sel.bloom_read = 1
+       CROSS JOIN pk WHERE c.fp = pk.h GROUP BY c.cluster)
+SELECT st.cluster, st.n_rows, st.min_id, st.max_id,
+       CAST(sel.range_read AS BIGINT) AS range_read,
+       CAST(sel.bloom_read AS BIGINT) AS bloom_read,
+       COALESCE(rr.range_rows, CAST(0 AS BIGINT)) AS range_rows,
+       COALESCE(bh.bloom_hits, CAST(0 AS BIGINT)) AS bloom_hits
+FROM st JOIN sel ON sel.cluster = st.cluster
+LEFT JOIN rr ON rr.cluster = st.cluster
+LEFT JOIN bh ON bh.cluster = st.cluster
+ORDER BY st.cluster"""
+  }
 }

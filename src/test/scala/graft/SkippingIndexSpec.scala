@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.sources.SkippingIndex
+import graft.text.Text
+
+/** Contracts of the file-skipping index (zone maps + bloom sidecars):
+  *
+  *  1. zone-map admission is SOUND and TIGHT on range-clustered data —
+  *     exactly the clusters whose id range overlaps the probe window;
+  *  2. bloom admission has NO false negatives (every cluster actually
+  *     containing the key is admitted) and the probed read returns
+  *     exactly the base table's matches — false positives only cost an
+  *     extra directory read;
+  *  3. the pruned scan PHYSICALLY skips unselected directories: the
+  *     executed plan carries the cluster IN (…) PartitionFilters and
+  *     its numFiles metric counts only admitted clusters' files.
+  */
+class SkippingIndexSpec extends SparkSpec {
+
+  private lazy val out = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip").toFile.getAbsolutePath
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents").select(col("doc_id"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    SkippingIndex.build(d.withColumn("cluster", expr("doc_id div 8")),
+      dir, "cluster", Seq("doc_id"), "fp")
+    dir
+  }
+
+  private lazy val base = spark.read.parquet(s"$out/data")
+    .select(col("doc_id"), col("fp"), col("cluster").cast("long").as("cluster"))
+
+  test("zone-map range admission: exactly the overlapping clusters") {
+    val (lo, hi) = (25L, 44L) // clusters 3..5 under width 8
+    val sel = SkippingIndex.selectRange(spark, out, "doc_id", lo, hi)
+    assert(sel == Seq(3L, 4L, 5L))
+    val expect = base.filter(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = SkippingIndex.readClusters(spark, out, sel)
+      .filter(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expect) && got.nonEmpty)
+  }
+
+  test("bloom point admission: no false negatives; pruned read = exact matches") {
+    // probe every distinct fingerprint of the first 40 docs — includes
+    // keys duplicated across clusters (the dedup corpus)
+    val keys = base.filter(col("doc_id") < 40).select("fp")
+      .distinct().collect().map(_.getLong(0))
+    val truth = base.select("fp", "cluster").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    keys.foreach { h =>
+      val sel = SkippingIndex.selectPoint(spark, out, h).toSet
+      assert(truth(h).subsetOf(sel),
+        s"false negative for key $h: contains ${truth(h)}, admitted $sel")
+      val got = SkippingIndex.readClusters(spark, out, sel.toSeq)
+        .filter(col("fp") === h).count()
+      val expect = base.filter(col("fp") === h).count()
+      assert(got == expect)
+    }
+  }
+
+  test("bloom admits fewer clusters than a full scan would read (it actually skips)") {
+    // a key that lives in ONE cluster: the bloom must not admit all 63
+    val solo = base.groupBy("fp").agg(countDistinct("cluster").as("nc"))
+      .filter(col("nc") === 1).agg(min("fp")).head.getLong(0)
+    val sel = SkippingIndex.selectPoint(spark, out, solo)
+    val total = SkippingIndex.stats(spark, out).count()
+    assert(sel.size < total / 2,
+      s"bloom admitted ${sel.size} of $total clusters — no skipping happening")
+  }
+
+  test("pruned scan plans PartitionFilters and reads only admitted files") {
+    val sel = Seq(3L, 4L, 5L)
+    val pruned = SkippingIndex.readClusters(spark, out, sel)
+    assert(pruned.collect().nonEmpty)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a v1 parquet scan")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("cluster")),
+      s"cluster filter not in PartitionFilters: ${scans.head.partitionFilters}")
+    val allFiles = new java.io.File(s"$out/data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cluster="))
+    val read = scans.head.metrics("numFiles").value
+    assert(read <= sel.size, s"scan read $read files for ${sel.size} clusters")
+    assert(allFiles > sel.size, "fixture degenerate: all clusters selected")
+  }
+}
