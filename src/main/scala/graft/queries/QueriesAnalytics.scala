@@ -866,4 +866,66 @@ SELECT day, n_events, psi,
        CASE WHEN psi > 0.2 THEN 'drift'
             WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
 FROM agg ORDER BY day"""
+
+  /** CHANGE DATA FEED over a maintained sink state
+    * ([[graft.streaming.DeltaState.changesBetween]]) — the delta-log's
+    * second dividend after time travel (q162's sibling): four upsert
+    * batches maintain the per-user latest-event snapshot (LWW keys
+    * table), and the feed reports exactly which users appeared or
+    * changed between version 1 and version 3, with pre/post images —
+    * what a downstream cache, search index, or audit consumer reads
+    * instead of re-diffing two O(state) snapshots. The range is
+    * uncompacted here, so the feed takes the SLICED path: touched keys
+    * come from the retained delta files of v2/v3 alone and the two
+    * as-of states are probed only at those keys — O(changes in range),
+    * never O(state); the sliced == full-diff equality, the compaction
+    * fallback and the below-floor refusal are spec-pinned
+    * (StreamingSpec "change data feed").
+    *
+    * The oracle replays both endpoint snapshots (per-user winner by
+    * (ts, event_id) over the delivered batch prefix — the late-arrival
+    * guard makes the maintained snapshot equal that global argmax) and
+    * diffs them; winners are unique per event_id, so "any value column
+    * changed" is exactly "a different winning event".
+    */
+  def q197_state_cdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingJobs
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"),
+      // integral values: the +/- delta maintenance sums doubles; integer
+      // payloads keep maintained == recomputed bit-exact at any scale
+      round(col("value")).as("value"),
+      pmod(col("event_id"), lit(4)).as("b"))
+    val out = QueriesSources.tmp("graft_q197_cdf_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh chain per run
+    (0 to 3).foreach(i =>
+      StreamingJobs.aggMaintSink(out)(e.filter(col("b") === i).drop("b"), i.toLong))
+    StreamingJobs.aggMaintKeyChanges(s, out, 1L, 3L).get
+      .select(col("user_id"), col("change"),
+        col("pre_event_id"), col("post_event_id"),
+        col("pre_event_type"), col("post_event_type"),
+        col("pre_value").cast("long").as("pre_value_l"),
+        col("post_value").cast("long").as("post_value_l"))
+      .orderBy("user_id")
+  }
+
+  val q197Sql: String =
+    raw"""WITH e AS (SELECT user_id, event_id, ts, event_type, round(value) AS value, event_id % 4 AS b FROM events),
+w1 AS (SELECT user_id, event_id, event_type, value FROM (
+         SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e WHERE b <= 1) WHERE rn = 1),
+w3 AS (SELECT user_id, event_id, event_type, value FROM (
+         SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e WHERE b <= 3) WHERE rn = 1)
+SELECT COALESCE(w1.user_id, w3.user_id) AS user_id,
+       CASE WHEN w1.user_id IS NULL THEN 'insert'
+            WHEN w3.user_id IS NULL THEN 'delete' ELSE 'update' END AS change,
+       w1.event_id AS pre_event_id, w3.event_id AS post_event_id,
+       w1.event_type AS pre_event_type, w3.event_type AS post_event_type,
+       CAST(w1.value AS BIGINT) AS pre_value_l, CAST(w3.value AS BIGINT) AS post_value_l
+FROM w1 FULL JOIN w3 ON w1.user_id = w3.user_id
+WHERE w1.event_id IS DISTINCT FROM w3.event_id
+ORDER BY user_id"""
 }

@@ -558,6 +558,26 @@ object StreamingJobs {
     DeltaState.asOf(spark, outDir, aggMaintLayout(1), Some(v + 1))
       .map(_.filter(col("n_users") > 0))
 
+  /** CHANGE DATA FEED over the maintained per-user snapshot (the LWW
+    * keys table): which users appeared or changed rows between version
+    * `fromV` (exclusive; −1 = since empty) and `toV` (inclusive), with
+    * pre/post images — the feed a downstream cache/index consumes
+    * instead of re-diffing snapshots. Sliced from the retained delta
+    * files when the range is uncompacted (O(changes)), full-diff
+    * fallback otherwise; None when an endpoint is below the
+    * compaction floor ([[DeltaState.changesBetween]]).
+    */
+  def aggMaintKeyChanges(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): Option[DataFrame] =
+    DeltaState.changesBetween(spark, outDir, aggMaintLayout(0), fromV, toV)
+
+  /** CDF over the maintained aggregate (Sum-kind) table: per-group
+    * pre/post totals between two versions.
+    */
+  def aggMaintAggChanges(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): Option[DataFrame] =
+    DeltaState.changesBetween(spark, outDir, aggMaintLayout(1), fromV, toV)
+
   /** Streaming HLL maintenance — per-group distinct-user register
     * sketches ([[org.apache.spark.sql.graft.HllAgg]]) maintained under
     * an event stream: each micro-batch sketches its own rows (one pass,

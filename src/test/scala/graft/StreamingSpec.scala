@@ -871,6 +871,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("change data feed: CDF(from,to) == snapshot diff at every version pair; classification and refusal contracts hold") {
+    def ev(u: Long, id: Long, s: Long, t: String, v: Double) =
+      (u, id, new java.sql.Timestamp(s * 1000L), t, v)
+    val raw = Seq(
+      Seq(ev(1L, 10L, 100L, "A", 5.0), ev(2L, 11L, 100L, "B", 3.0)),
+      Seq(ev(3L, 12L, 110L, "A", 2.0)),
+      Seq(ev(1L, 13L, 120L, "B", 4.0)), // user 1 moves A -> B (an update)
+      Seq(ev(4L, 14L, 130L, "C", 1.0)))
+    val batches = raw.map(_.toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val out = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    batches.zipWithIndex.foreach { case (b, i) => StreamingJobs.aggMaintSink(out)(b, i.toLong) }
+    // ground truth: per-user winner by (ts, event_id) over batches 0..v
+    def stateUpTo(v: Int): Map[Long, (Long, String)] =
+      raw.take(v + 1).flatten.groupBy(_._1)
+        .map { case (u, rs) => u -> { val w = rs.maxBy(r => (r._3.getTime, r._2)); (w._2, w._4) } }
+    def wantDiff(f: Int, t: Int): Set[(Long, String, Option[Long], Option[Long])] = {
+      val (p, q) = (if (f < 0) Map.empty[Long, (Long, String)] else stateUpTo(f), stateUpTo(t))
+      (p.keySet ++ q.keySet).flatMap { u =>
+        (p.get(u), q.get(u)) match {
+          case (None, Some(n)) => Some((u, "insert", None, Some(n._1)))
+          case (Some(o), None) => Some((u, "delete", Some(o._1), None))
+          case (Some(o), Some(n)) if o != n => Some((u, "update", Some(o._1), Some(n._1)))
+          case _ => None
+        }
+      }
+    }
+    def got(f: Int, t: Int): Set[(Long, String, Option[Long], Option[Long])] =
+      StreamingJobs.aggMaintKeyChanges(spark, out, f.toLong, t.toLong).get.collect().map { r =>
+        val i = r.fieldIndex _
+        (r.getLong(i("user_id")), r.getString(i("change")),
+          if (r.isNullAt(i("pre_event_id"))) None else Some(r.getLong(i("pre_event_id"))),
+          if (r.isNullAt(i("post_event_id"))) None else Some(r.getLong(i("post_event_id"))))
+      }.toSet
+    for (f <- -1 to 2; t <- (f + 1) to 3)
+      assert(got(f, t) == wantDiff(f, t), s"CDF($f,$t) != snapshot diff")
+    // non-vacuity: the fixture produces both kinds
+    assert(got(0, 3).exists(_._2 == "insert") && got(0, 3).exists(_._2 == "update"))
+    // Sum-kind CDF over the agg table agrees with the recomputed diff
+    def aggState(v: Int): Map[String, (Double, Long)] =
+      stateUpTo(v).toSeq.map { case (u, (id, t)) =>
+        val vl = raw.flatten.find(_._2 == id).get._5; (t, vl)
+      }.groupBy(_._1).map { case (t, rs) => t -> (rs.map(_._2).sum, rs.size.toLong) }
+    val aggGot = StreamingJobs.aggMaintAggChanges(spark, out, 1L, 3L).get.collect().map { r =>
+      val i = r.fieldIndex _
+      (r.getString(i("event_type")), r.getString(i("change")),
+        if (r.isNullAt(i("post_total_value"))) None else Some(r.getDouble(i("post_total_value"))),
+        if (r.isNullAt(i("post_n_users"))) None else Some(r.getLong(i("post_n_users"))))
+    }.toSet
+    val aggWant = {
+      val (p, q) = (aggState(1), aggState(3))
+      (p.keySet ++ q.keySet).flatMap { t =>
+        (p.get(t), q.get(t)) match {
+          case (None, Some(n)) => Some((t, "insert", Some(n._1), Some(n._2)))
+          case (Some(_), None) => Some((t, "delete", None: Option[Double], None: Option[Long]))
+          case (Some(o), Some(n)) if o != n => Some((t, "update", Some(n._1), Some(n._2)))
+          case _ => None
+        }
+      }
+    }
+    assert(aggGot == aggWant, s"agg CDF(1,3): got $aggGot want $aggWant")
+    // compaction: range fully in retained deltas -> sliced path still
+    // serves; a from-endpoint below the floor REFUSES (a feed that
+    // silently relabeled folded history as inserts would corrupt
+    // consumers); from = -1 (since empty) stays answerable via the base
+    StreamingJobs.compactVersions(spark, out, keep = 2)
+    assert(got(2, 3) == wantDiff(2, 3), "CDF(2,3) must survive compaction")
+    assert(got(-1, 3) == wantDiff(-1, 3), "CDF(-1,3) diffs against empty via the base")
+    assert(StreamingJobs.aggMaintKeyChanges(spark, out, 0L, 3L).isEmpty,
+      "CDF(0,3) reaches below the compaction floor and must refuse")
+  }
+
   test("time travel is merge-kind-generic: hllMaint as-of v == the prefix replay (idempotent HllMax)") {
     val out = java.nio.file.Files.createTempDirectory("graft-tt-hll").toString
     // overlapping user ranges across batches, so later versions genuinely
