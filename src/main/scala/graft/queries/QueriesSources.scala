@@ -381,4 +381,94 @@ LEFT JOIN rr ON rr.cluster = st.cluster
 LEFT JOIN bh ON bh.cluster = st.cluster
 ORDER BY st.cluster"""
   }
+
+  /** DELETION-VECTOR table maintenance
+    * ([[graft.operators.DeletionVectors]] — merge-on-read position
+    * deletes): the corpus is written once as an immutable 8-shard
+    * table, then two deletes land as (shard, pos) sidecars with NO base
+    * rewrite — first a dedup-by-takedown (every non-canonical duplicate
+    * by content fingerprint, the keys-list GDPR shape), then a quality
+    * purge (n_chars < 200 over the LIVE rows — the sidecar disjointness
+    * contract: already-deleted rows are not re-recorded). A compaction
+    * then folds the vectors in, rewriting ONLY the shards that carry
+    * deletions. The output is the per-shard audit — live count and
+    * checksum from the post-compaction read, both sidecars' per-shard
+    * row counts (captured before the fold), and the manifest's
+    * base-version pointer (10 = rewritten, 0 = untouched) — so the gate
+    * hashes the delete semantics, the sidecar disjointness, AND the
+    * dirty-shard-only compaction decision. Read-equality across the
+    * fold, position stability, torn-sidecar invisibility and the
+    * broadcast masking join are spec-pinned (DeletionVectorsSpec).
+    *
+    * Scale: a takedown costs O(deleted) sidecar bytes; the masking
+    * anti-join broadcasts the delete-scale DV set, so the corpus never
+    * shuffles; compaction IO is proportional to dirty shards only.
+    */
+  def q198_deletion_vectors(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DeletionVectors
+    import graft.functions.PortableHash
+    import graft.text.Text
+    import s.implicits._
+    val out = tmp("graft_q198_dv_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh table per run (the fold mutates state)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"),
+      pmod(col("doc_id"), lit(8)).as("shard"))
+    DeletionVectors.writeBase(d, out, Seq("doc_id"))
+    val live0 = DeletionVectors.read(s, out)
+    val keepers = live0.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val dupIds = live0.join(keepers, Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    DeletionVectors.deleteMatching(s, out, dupIds, Seq("doc_id"), 1L)
+    DeletionVectors.deleteWhere(s, out, col("n_chars") < 200, 2L)
+    // per-shard sidecar audit BEFORE the fold deletes the vectors
+    // (|shards|-row collects: metadata scale)
+    def dvCounts(v: Long): Map[Long, Long] =
+      s.read.parquet(out + "/" + DeletionVectors.DvPrefix + v + "/dv")
+        .groupBy(col("shard").cast("long").as("shard")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c1, c2) = (dvCounts(1L), dvCounts(2L))
+    DeletionVectors.compactApply(s, out, 10L)
+    val liveAgg = DeletionVectors.read(s, out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_live"),
+        sum((col("doc_id") * 31 + col("n_chars")) % 1000000007L).as("checksum"))
+    val sv = DeletionVectors.shardVersions(s, out)
+    val dvDf = sv.select("shard").collect().map(_.getLong(0)).toSeq
+      .map(sh => (sh, c1.getOrElse(sh, 0L), c2.getOrElse(sh, 0L)))
+      .toDF("shard", "n_dv1", "n_dv2")
+    sv.join(liveAgg, Seq("shard"), "left").join(dvDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        col("n_dv1"), col("n_dv2"), col("base_version"))
+      .orderBy("shard")
+  }
+
+  val q198Sql: String =
+    raw"""WITH d AS (SELECT doc_id, n_chars, doc_id % 8 AS shard,
+                ${QueriesDedup.polyHashSql(s"array_to_string(${QueriesText.ToksSql}, ' ')")} AS fp
+         FROM documents),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+live1 AS (SELECT d.doc_id, d.n_chars, d.shard
+          FROM d JOIN keep ON keep.fp = d.fp AND d.doc_id = keep.keep_id),
+dup AS (SELECT d.shard FROM d JOIN keep ON keep.fp = d.fp WHERE d.doc_id <> keep.keep_id),
+live2 AS (SELECT * FROM live1 WHERE n_chars >= 200),
+shards AS (SELECT DISTINCT shard FROM d),
+la AS (SELECT shard, count(*) AS n_live,
+              sum((doc_id * 31 + n_chars) % 1000000007) AS checksum
+       FROM live2 GROUP BY shard),
+d1 AS (SELECT shard, count(*) AS n_dv1 FROM dup GROUP BY shard),
+d2 AS (SELECT shard, count(*) AS n_dv2 FROM live1 WHERE n_chars < 200 GROUP BY shard)
+SELECT s.shard,
+       COALESCE(la.n_live, CAST(0 AS BIGINT)) AS n_live,
+       CAST(COALESCE(la.checksum, 0) AS BIGINT) AS checksum,
+       CAST(COALESCE(d1.n_dv1, 0) AS BIGINT) AS n_dv1,
+       CAST(COALESCE(d2.n_dv2, 0) AS BIGINT) AS n_dv2,
+       CAST(CASE WHEN COALESCE(d1.n_dv1, 0) + COALESCE(d2.n_dv2, 0) > 0
+                 THEN 10 ELSE 0 END AS BIGINT) AS base_version
+FROM shards s LEFT JOIN la ON la.shard = s.shard
+LEFT JOIN d1 ON d1.shard = s.shard
+LEFT JOIN d2 ON d2.shard = s.shard
+ORDER BY s.shard"""
 }
