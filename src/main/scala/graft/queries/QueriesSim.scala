@@ -2320,4 +2320,103 @@ r AS (SELECT query_id, vec_id, cosine_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM cand)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** DIVERSITY-CAPPED retrieval ([[Similarity.diverseTopK]]): top-10
+    * per query with AT MOST 2 results from any one label — the
+    * "no more than m per source/domain" diversification contract of a
+    * retrieval API, greedy-equivalent to scanning candidates in score
+    * order and skipping saturated groups. Scale path: the per-group cap
+    * rides the bounded-heap aggregate map-side (O(groups x m) rows out
+    * of the shuffle), and the final top-k window runs over the
+    * <= |groups| x m survivors per query — bounded, partitioned.
+    */
+  def q199_diverse_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.diverseTopK(e, queries, "label", k = 10, perGroup = 2)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val q199Sql: String =
+    raw"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS cosine_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+g AS (SELECT query_id, vec_id, label, cosine_sim FROM (
+        SELECT query_id, vec_id, label, cosine_sim,
+               row_number() OVER (PARTITION BY query_id, label ORDER BY cosine_sim DESC, vec_id) AS gr
+        FROM s) WHERE gr <= 2),
+r AS (SELECT query_id, vec_id, label, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM g)
+SELECT query_id, vec_id, label, cosine_sim, rnk FROM r WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  /** MMR-DIVERSIFIED rerank ([[Similarity.mmrRerank]]): the exact
+    * top-8 pool per query is greedily reranked by maximal marginal
+    * relevance (lambda = 0.7, redundancy hinged at 0), emitting 3
+    * selections per query with their selection-time MMR scores. The
+    * oracle UNROLLS the three greedy steps in SQL — pool, pairwise
+    * candidate similarities, then three argmax stages each penalizing
+    * by the max similarity to the already-selected set — so the
+    * selection order, tie handling and score arithmetic are all under
+    * the hash. Scale: the pool is serving-scale (k' per query from the
+    * ANN stage); the greedy runs per query inside one task,
+    * embarrassingly parallel across queries.
+    */
+  def q200_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pool = Similarity.knnJoinAgg(e, queries, k = 8)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cosine_sim"), col("embedding"))
+    Similarity.mmrRerank(pool, lambda = 0.7, mu = 0.3, k = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q200Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+rel0 AS (SELECT q.query_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS rel
+         FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+pool AS (SELECT query_id, vec_id, rel FROM (
+           SELECT query_id, vec_id, rel,
+                  row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+           FROM rel0) WHERE rn <= 8),
+pv AS (SELECT p.query_id, p.vec_id, p.rel, e.v FROM pool p JOIN e ON e.vec_id = p.vec_id),
+ps AS (SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb, ${cosSql("a.v", "b.v")} AS s
+       FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+s1 AS (SELECT query_id, vec_id, score FROM (
+         SELECT query_id, vec_id, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * 0.0 AS score,
+                row_number() OVER (PARTITION BY query_id ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id) AS rn
+         FROM pv) WHERE rn = 1),
+sc2 AS (SELECT p.query_id, p.vec_id,
+               CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) * greatest(0.0, ps.s) AS score
+        FROM pv p
+        JOIN s1 ON s1.query_id = p.query_id AND p.vec_id <> s1.vec_id
+        JOIN ps ON ps.query_id = p.query_id AND ps.ca = p.vec_id AND ps.cb = s1.vec_id),
+s2 AS (SELECT query_id, vec_id, score FROM (
+         SELECT query_id, vec_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         FROM sc2) WHERE rn = 1),
+sc3 AS (SELECT p.query_id, p.vec_id,
+               CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) * greatest(0.0, greatest(pa.s, pb.s)) AS score
+        FROM pv p
+        JOIN s1 ON s1.query_id = p.query_id
+        JOIN s2 ON s2.query_id = p.query_id
+        JOIN ps pa ON pa.query_id = p.query_id AND pa.ca = p.vec_id AND pa.cb = s1.vec_id
+        JOIN ps pb ON pb.query_id = p.query_id AND pb.ca = p.vec_id AND pb.cb = s2.vec_id
+        WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id),
+s3 AS (SELECT query_id, vec_id, score FROM (
+         SELECT query_id, vec_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         FROM sc3) WHERE rn = 1),
+u AS (SELECT query_id, CAST(1 AS BIGINT) AS rnk, vec_id, score FROM s1
+      UNION ALL SELECT query_id, CAST(2 AS BIGINT), vec_id, score FROM s2
+      UNION ALL SELECT query_id, CAST(3 AS BIGINT), vec_id, score FROM s3)
+SELECT query_id, rnk, vec_id, score AS mmr_score FROM u
+ORDER BY query_id, rnk"""
 }

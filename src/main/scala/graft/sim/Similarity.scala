@@ -417,4 +417,109 @@ object Similarity {
       .select(col("vec_id"), col("m.kept_by").as("kept_by"),
         col("m.cosine_sim").as("cosine_sim"))
   }
+
+  /** DIVERSITY-CAPPED exact top-k: the best `k` candidates per query
+    * subject to at most `perGroup` results from any one group — the
+    * result-diversification contract of a retrieval API ("no more than
+    * m hits per source/domain/cluster"). Greedy-equivalent by exchange
+    * argument: taking each group's `perGroup` best and then the global
+    * top-k of the survivors yields exactly the scan-in-score-order
+    * greedy result. The per-group stage rides the bounded-heap
+    * aggregate (map-side, O(groups x perGroup) out of the shuffle —
+    * the 100 TB path); the final stage is a window over the
+    * <= |groups| x perGroup survivors per query (bounded, partitioned).
+    */
+  def diverseTopK(embeddings: DataFrame, queries: DataFrame, groupCol: String,
+      k: Int, perGroup: Int): DataFrame = {
+    val e = embeddings.withColumn("__n", normF32(col("embedding")))
+    val q = queries.withColumn("__qn", normF32(col("query_vec")))
+    val sims = e.crossJoin(broadcastIfSmall(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col(groupCol), col("vec_id"),
+        round(dotF32(col("embedding"), col("query_vec")) / (col("__n") * col("__qn")), 6)
+          .as("cosine_sim"))
+    val capped = sims.groupBy("query_id", groupCol)
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(col("cosine_sim"), col("vec_id"), perGroup).as("top"))
+      .select(col("query_id"), col(groupCol), explode(col("top")).as("__kv"))
+      .select(col("query_id"), col(groupCol),
+        col("__kv.id").as("vec_id"), col("__kv.score").as("cosine_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))
+    capped.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE rerank over a bounded per-query
+    * candidate pool: greedily pick argmax of
+    * `lambda * rel(c) - mu * max(0, max_{s in S} sim(c, s))`
+    * (`mu` is passed EXPLICITLY rather than computed as 1 − lambda:
+    * Scala's `1.0 - 0.7` is 0.30000000000000004 while a SQL engine's
+    * decimal-literal subtraction folds to exactly-0.3-as-double — the
+    * caller picks one double for each coefficient and the oracle quotes
+    * the same literals)
+    * (hinged at 0 — orthogonal-or-opposed candidates incur no
+    * redundancy penalty), ties by vec_id. `pool` carries
+    * (query_id, vec_id, cosine_sim, embedding) with a BOUNDED pool per
+    * query (serving-side rerank: k' candidates from the ANN stage —
+    * tens, never data-scale), so the per-query greedy runs inside one
+    * `flatMapGroups` task: embarrassingly parallel across queries, and
+    * the O(pool^2) candidate-candidate similarity matrix is a few KB.
+    * All arithmetic mirrors the catalog's portable conventions
+    * (sequential double dot/norm like dot_f32, HALF_UP 6-dp cosine
+    * rounding), so a SQL oracle replays the selection exactly.
+    */
+  def mmrRerank(pool: DataFrame, lambda: Double, mu: Double, k: Int): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val v = a(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+    pool.select(col("query_id"), col("vec_id"), col("cosine_sim"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cand.length
+        val norms = cand.map(c => nrm(c._4))
+        val sim = Array.tabulate(n, n) { (i, j) =>
+          if (i == j) 1.0 else r6(dot(cand(i)._4, cand(j)._4) / (norms(i) * norms(j)))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var step = 0
+        while (step < math.min(k, n)) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              var ms = 0.0
+              selected.foreach { s0 => if (sim(i)(s0) > ms) ms = sim(i)(s0) }
+              val sc = lambda * cand(i)._3 - mu * ms
+              val better = best < 0 || sc > bestScore ||
+                (sc == bestScore && cand(i)._2 < cand(best)._2)
+              if (better) { best = i; bestScore = sc }
+            }
+            i += 1
+          }
+          selected += best
+          // RAW score, deliberately unrounded: both engines compute the
+          // identical double (lambda*rel - mu*ms over identically-rounded
+          // inputs), but 0.7*(a 6-dp value) sits EXACTLY on a decimal
+          // half-way point whenever rel's last digit is odd, where Spark
+          // and DuckDB round(x, 6) disagree — rounding here is the only
+          // thing that can diverge
+          out += ((qid, (step + 1).toLong, cand(best)._2, bestScore))
+          step += 1
+        }
+        out.iterator
+      }.toDF("query_id", "rnk", "vec_id", "mmr_score")
+  }
 }

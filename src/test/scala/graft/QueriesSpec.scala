@@ -255,7 +255,9 @@ object QueriesSpec {
     "q186_text_index" /* 4-row seed-centroid panel */,
     // 2-row epoch / W-row worker tables (the loader family)
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
-    "q166_loader_resume", "q171_clean_loader")
+    "q166_loader_resume", "q171_clean_loader",
+    // fixed query panel × corpus (diversified retrieval)
+    "q199_diverse_topk", "q200_mmr_rerank" /* 5-query panel; pool join keyed */)
 
   /** Queries allowed to plan an UNPARTITIONED Window — each frame runs
     * over a table bounded by construction (named per entry), never over

@@ -301,4 +301,68 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.length == 53)
   }
+
+  test("diverseTopK: greedy-equivalent diversification, cap respected, degenerate cap = plain top-k") {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Similarity.diverseTopK(emb, q, "label", k = 10, perGroup = 2)
+      .select("query_id", "vec_id", "label", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // cap: never more than 2 per (query, label)
+    got.groupBy(t => (t._1, t._3)).foreach { case (k0, rs) =>
+      assert(rs.length <= 2, s"cap violated at $k0")
+    }
+    // greedy reference: scan candidates in (score desc, id) order,
+    // skip saturated labels, stop at 10
+    val all = Similarity.knnJoin(emb, q, Int.MaxValue)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("query_id", "vec_id", "label", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    all.groupBy(_._1).foreach { case (qid, cands) =>
+      val taken = scala.collection.mutable.Map.empty[Int, Int]
+      val greedy = cands.sortBy(c => (-c._4, c._2)).iterator.filter { c =>
+        val n = taken.getOrElse(c._3, 0)
+        if (n < 2) { taken(c._3) = n + 1; true } else false
+      }.take(10).map(_._2).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(t => (-t._4, t._2)).map(_._2).toSeq
+      assert(mine == greedy, s"query $qid: diverseTopK != greedy scan")
+    }
+    // with the cap above k the constraint is vacuous: equals plain top-k
+    val uncapped = Similarity.diverseTopK(emb, q, "label", k = 5, perGroup = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.knnJoinAgg(emb, q, 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == plain)
+  }
+
+  test("mmrRerank: first pick is argmax relevance; a redundant near-duplicate is demoted") {
+    // planted fixture (validated numerically): 101 (rel .771) and its
+    // near-copy 100 (rel .725, sim(100,101) = .998), plus a diverse
+    // 200 (rel .689, orthogonal to 100). Plain top-2 = (101, 100); MMR
+    // at lambda .7 picks 101 first (argmax rel), then DEMOTES the
+    // near-copy: score(100) = .7*.725 - .3*.998 = .21 loses to
+    // score(200) = .7*.689 - .3*.07 = .46 -> order (101, 200, 100).
+    val vecs = Seq(
+      (100L, Array(1.000f, 0.00f, 0.00f)),
+      (101L, Array(0.998f, 0.07f, 0.00f)),
+      (200L, Array(0.000f, 1.00f, 0.00f)))
+    val qv = Array(1.0f, 0.95f, 0.0f)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val pool = vecs.map { case (id, v) => (0L, id, BigDecimal(cos(v, qv))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v) }
+      .toDF("query_id", "vec_id", "cosine_sim", "embedding")
+    val picks = Similarity.mmrRerank(pool, lambda = 0.7, mu = 0.3, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(picks.map(_._2).toSeq == Seq(101L, 200L, 100L),
+      s"expected diverse order (101, 200, 100), got ${picks.toSeq}")
+    // first pick's score is exactly lambda * its relevance
+    val rel101 = pool.filter(col("vec_id") === 101).select("cosine_sim").head.getDouble(0)
+    assert(picks(0)._3 == 0.7 * rel101)
+    // selections are distinct and exactly k
+    assert(picks.map(_._2).distinct.length == 3)
+  }
 }
