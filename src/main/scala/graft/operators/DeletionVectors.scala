@@ -41,7 +41,16 @@ import graft.core.ArtifactIO
 object DeletionVectors {
   val BasePrefix = "base_v="
   val DvPrefix = "dv_v="
+  val AppendPrefix = "append_v="
   val ManifestFile = "_MANIFEST"
+
+  /** Appended rows get positions in a per-version namespace
+    * (`(versionId << PosShift) + per-shard rank`): globally unique
+    * against every base/append position without reading storage, and
+    * never reused after deletes — the invariant later deletion vectors
+    * rely on. 2^40 positions per shard per version.
+    */
+  val PosShift = 40
 
   /** Initial immutable write: `df` must carry a long `shard` column;
     * assigns `pos` per shard by `orderCols` (a per-shard window —
@@ -92,10 +101,14 @@ object DeletionVectors {
   }
 
   /** The live table: each shard read from the base version its manifest
-    * entry names (cluster `IN` → PartitionFilters), minus every
-    * committed deletion vector's positions — the DV side is
-    * delete-scale, so the anti-join BROADCASTS (plan-asserted in
-    * DeletionVectorsSpec); the base never shuffles.
+    * entry names (cluster `IN` → PartitionFilters), PLUS every committed
+    * append whose version is NEWER than the shard's base (the version
+    * guard: a compaction that folded an append into a new base makes the
+    * append dir invisible by version arithmetic alone, so a reader
+    * racing the compaction's GC can never double-count or lose appended
+    * rows), MINUS every committed deletion vector's positions — the DV
+    * side is delete-scale, so the anti-join BROADCASTS (plan-asserted
+    * in DeletionVectorsSpec); the base never shuffles.
     */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val m = manifest(spark, outDir)
@@ -105,12 +118,65 @@ object DeletionVectors {
       spark.read.parquet(s"$outDir/$BasePrefix$v/data")
         .filter(col("shard").isin(shards: _*))
     }.reduce(_ unionByName _)
+    val withAppends = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
+      .foldLeft(base) { (acc, id) =>
+        // version guard: include only shards still served by an OLDER base
+        val visibleShards = m.filter(_._2 < id).map(_._1)
+        if (visibleShards.isEmpty) acc
+        else acc.unionByName(
+          spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
+            .filter(col("shard").isin(visibleShards: _*)))
+      }
     dvUnion(spark, outDir) match {
       case Some(dv) =>
-        base.join(broadcast(dv.select(col("shard"), col("pos"))),
+        withAppends.join(broadcast(dv.select(col("shard"), col("pos"))),
           Seq("shard", "pos"), "left_anti")
-      case None => base
+      case None => withAppends
     }
+  }
+
+  /** Append `df` (shard + business columns, no pos) as version
+    * `appendId` — O(batch) IO, no base rewrite. Positions land in the
+    * version's own namespace (see [[PosShift]]); per-shard rank over
+    * `orderCols` keeps the assignment deterministic. `appendId` must
+    * exceed every existing base version (monotonic version ids — the
+    * version guard in [[read]] depends on it).
+    */
+  def appendRows(spark: SparkSession, outDir: String, df: DataFrame,
+      orderCols: Seq[String], appendId: Long): Long = {
+    require(df.columns.contains("shard"), "appendRows needs a 'shard' column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(orderCols.map(col): _*)
+    val withPos = df.withColumn("pos",
+      lit(appendId << PosShift) + row_number().over(w).cast("long"))
+    val dir = s"$outDir/$AppendPrefix$appendId"
+    ArtifactIO.delete(spark, s"$dir/${ArtifactIO.CommitMarker}")
+    withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+    val n = spark.read.parquet(s"$dir/data").count()
+    ArtifactIO.commit(spark, dir)
+    n
+  }
+
+  /** MERGE-ON-READ UPSERT (the lakehouse MERGE INTO shape): live rows
+    * matching the batch on `keyCols` are masked by a deletion vector
+    * and the whole batch lands as an append — one O(batch) sidecar +
+    * one O(batch) data write, no base rewrite; [[read]] serves the
+    * merged view and [[compactApply]] folds both in later. REPLAY-
+    * idempotent: the match scan excludes version `v`'s own position
+    * namespace, so a redelivered upsert recomputes the same vector
+    * against its predecessors instead of masking its own earlier
+    * append (positions encode their version — see [[PosShift]]).
+    * Returns (rows updated, rows appended).
+    */
+  def upsert(spark: SparkSession, outDir: String, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], v: Long): (Long, Long) = {
+    val predecessor = read(spark, outDir)
+      .filter(col("pos") < lit(v << PosShift) || col("pos") >= lit((v + 1) << PosShift))
+    val nDel = writeDv(spark, outDir, v,
+      predecessor.join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .select(col("shard"), col("pos")))
+    val nApp = appendRows(spark, outDir, batch, orderCols, v)
+    (nDel, nApp)
   }
 
   private def writeDv(spark: SparkSession, outDir: String, dvId: Long,
@@ -142,35 +208,48 @@ object DeletionVectors {
       read(spark, outDir).join(keys, joinCols, "left_semi")
         .select(col("shard"), col("pos")))
 
-  /** Fold the deletion vectors in: rewrite ONLY the shards that carry
-    * deletions into `base_v=newBaseId` (surviving rows keep their
-    * positions), repoint those shards' manifest entries, then drop the
-    * vectors. Clean shards' files are untouched. Publication order
-    * makes a racing reader consistent either way: the new base commits
-    * BEFORE the manifest flips (an old-manifest reader still masks via
-    * the DVs), and the DVs are deleted AFTER (a new-manifest reader
-    * anti-joins positions that are already gone — a no-op). Returns the
-    * rewritten shard ids.
+  /** Fold the deletion vectors AND appends in: rewrite ONLY the shards
+    * that carry deletions or appended rows into `base_v=newBaseId`
+    * (surviving rows keep their positions), repoint those shards'
+    * manifest entries, then garbage-collect the superseded sidecars.
+    * Clean shards' files are untouched. Publication order makes a
+    * racing reader consistent at every step: the new base commits
+    * BEFORE the manifest flips (an old-manifest reader still merges
+    * DVs + appends itself), and after the flip the version guard in
+    * [[read]] hides every folded append (base version > append id)
+    * while leftover DVs anti-join positions that are already gone —
+    * so the GC pass (separable via `gc = false`, the vacuum job) has
+    * no read-visibility effect whenever it runs. Returns the rewritten
+    * shard ids.
     */
-  def compactApply(spark: SparkSession, outDir: String, newBaseId: Long): Seq[Long] = {
+  def compactApply(spark: SparkSession, outDir: String, newBaseId: Long,
+      gc: Boolean = true): Seq[Long] = {
     val dvs = committedDvs(spark, outDir)
-    if (dvs.isEmpty) return Seq.empty
-    val dv = dvUnion(spark, outDir).get
-    // |shards|-bounded driver collect (metadata scale)
-    val dirty = dv.select(col("shard").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
+    val apps = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
+    // |shards|-bounded driver collects (metadata scale)
+    val dvShards = dvUnion(spark, outDir).map(_.select(col("shard").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    val m0 = manifest(spark, outDir)
+    val appShards = apps.flatMap { id =>
+      val visible = m0.filter(_._2 < id).map(_._1).toSet
+      spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
+        .select(col("shard").cast("long")).distinct()
+        .collect().map(_.getLong(0)).filter(visible)
+    }.toSet
+    val dirty = (dvShards ++ appShards).toSeq.sorted
     if (dirty.isEmpty) return Seq.empty
     val dir = s"$outDir/$BasePrefix$newBaseId"
     ArtifactIO.delete(spark, dir) // crashed previous attempt
     read(spark, outDir).filter(col("shard").isin(dirty: _*))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     ArtifactIO.commit(spark, dir)
-    val m = manifest(spark, outDir).map { case (s, v) =>
-      (s, if (dirty.contains(s)) newBaseId else v)
-    }
+    val m = m0.map { case (s, v) => (s, if (dirty.contains(s)) newBaseId else v) }
     ArtifactIO.writeAtomicString(spark, s"$outDir/$ManifestFile",
       m.map { case (s, v) => s"$s|$v" }.mkString("\n"))
-    dvs.foreach(v => ArtifactIO.delete(spark, s"$outDir/$DvPrefix$v"))
+    if (gc) {
+      dvs.foreach(v => ArtifactIO.delete(spark, s"$outDir/$DvPrefix$v"))
+      apps.foreach(v => ArtifactIO.delete(spark, s"$outDir/$AppendPrefix$v"))
+    }
     dirty
   }
 }

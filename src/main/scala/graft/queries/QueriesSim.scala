@@ -2419,4 +2419,65 @@ u AS (SELECT query_id, CAST(1 AS BIGINT) AS rnk, vec_id, score FROM s1
       UNION ALL SELECT query_id, CAST(3 AS BIGINT), vec_id, score FROM s3)
 SELECT query_id, rnk, vec_id, score AS mmr_score FROM u
 ORDER BY query_id, rnk"""
+
+  /** INDEX TAKEDOWN — vector-store deletes WITHOUT rebuild (the
+    * serving-side composition of q198's deletion vectors with the IVF
+    * index): the vectors live in a deletion-vector table; a takedown
+    * masks every vec_id ≡ 4 (mod 9) as an O(deleted) sidecar — the
+    * trained/assigned index artifacts (centroids, codes) are NOT
+    * touched — and serving pre-filters the probe join through the
+    * DV-masked liveness set (q195's pre-filter semantics: the result
+    * is exactly the top-k of the probed cells' LIVE vectors, no
+    * post-filter recall cliff, and a masked vector can never surface
+    * — the GDPR contract). At scale the liveness mask is the
+    * delete-scale broadcast; codes and corpus never shuffle, and the
+    * full re-index happens on the compaction cadence, not per
+    * takedown.
+    */
+  def q202_index_takedown(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DeletionVectors
+    val e = emb(s, dir)
+    val out = QueriesSources.tmp("graft_q202_takedown_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh table per run
+    val model = IvfIndex.initHash(e, 16)
+    val codes = IvfIndex.assign(e, model)
+    val t = e.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(8)).as("shard"))
+    DeletionVectors.writeBase(t, out, Seq("vec_id"))
+    DeletionVectors.deleteWhere(s, out, pmod(col("vec_id"), lit(9)) === 4, 1L)
+    val live = DeletionVectors.read(s, out).select("vec_id")
+    val qualifying = codes.join(live, Seq("vec_id"), "left_semi")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    IvfIndex.annTopK(qualifying, queries, model, k = 10, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q202Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM e),
+c AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds WHERE rk <= 16),
+scores AS (SELECT e.vec_id, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])) AS s
+           FROM e, c),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id % 9 <> 4)
+           WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores WHERE vec_id < 5)
+           WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("e.v", "qe.v")} AS cosine_sim
+         FROM probes p
+         JOIN assign a ON a.cluster = p.cluster
+         JOIN e ON e.vec_id = a.vec_id
+         JOIN e qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
 }

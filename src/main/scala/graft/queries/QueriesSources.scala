@@ -471,4 +471,111 @@ FROM shards s LEFT JOIN la ON la.shard = s.shard
 LEFT JOIN d1 ON d1.shard = s.shard
 LEFT JOIN d2 ON d2.shard = s.shard
 ORDER BY s.shard"""
+
+  /** MERGE-ON-READ UPSERT lifecycle ([[graft.operators.DeletionVectors]]
+    * `upsert` — the lakehouse MERGE INTO shape, the copy-on-write
+    * q145's modern sibling): against the immutable 8-shard corpus,
+    * batch v1 UPDATES every doc_id ≡ 2 (mod 5) and INSERTS shifted
+    * copies of every doc_id ≡ 3 (mod 7) — one (shard, pos) deletion
+    * vector for the matched rows plus one append in the version's own
+    * position namespace, O(batch) IO, no base rewrite; batch v2 then
+    * updates half the rows v1 INSERTED (vectors masking append
+    * positions). A compaction folds vectors and appends into rewritten
+    * dirty shards behind the manifest. Output: the per-shard audit —
+    * post-fold live count + checksum, both versions' per-shard
+    * update/append sidecar counts (captured pre-fold), and the
+    * manifest pointer — so the gate hashes the MERGE semantics, the
+    * append visibility rules AND the fold decision. Replay idempotence
+    * and the version-guard (no double-count while superseded sidecars
+    * await the vacuum) are spec-pinned (DeletionVectorsSpec).
+    */
+  def q201_merge_on_read(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DeletionVectors
+    import s.implicits._
+    val out = tmp("graft_q201_mor_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh table per run
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      pmod(col("doc_id"), lit(8)).as("shard"))
+    DeletionVectors.writeBase(d, out, Seq("doc_id"))
+    val maxId = d.agg(max("doc_id")).head.getLong(0) // 1-row driver scalar
+    val upd = d.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("n_chars"))
+    val ins = d.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + maxId + 1).as("doc_id"), (col("n_chars") + 7).as("n_chars"))
+    val batch1 = upd.unionByName(ins).withColumn("shard", pmod(col("doc_id"), lit(8)))
+    DeletionVectors.upsert(s, out, batch1, Seq("doc_id"), Seq("doc_id"), 1L)
+    val batch2 = ins.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") + 9).as("n_chars"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    DeletionVectors.upsert(s, out, batch2, Seq("doc_id"), Seq("doc_id"), 2L)
+    // per-shard sidecar audit BEFORE the fold GCs them (|shards|-row collects)
+    def sideCounts(prefix: String, v: Long, sub: String): Map[Long, Long] = {
+      val pth = out + "/" + prefix + v + "/" + sub
+      s.read.parquet(pth).groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val u1 = sideCounts(DeletionVectors.DvPrefix, 1L, "dv")
+    val a1 = sideCounts(DeletionVectors.AppendPrefix, 1L, "data")
+    val u2 = sideCounts(DeletionVectors.DvPrefix, 2L, "dv")
+    val a2 = sideCounts(DeletionVectors.AppendPrefix, 2L, "data")
+    DeletionVectors.compactApply(s, out, 10L)
+    val liveAgg = DeletionVectors.read(s, out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_live"),
+        sum((col("doc_id") * 31 + col("n_chars")) % 1000000007L).as("checksum"))
+    val sv = DeletionVectors.shardVersions(s, out)
+    val sideDf = sv.select("shard").collect().map(_.getLong(0)).toSeq
+      .map(sh => (sh, u1.getOrElse(sh, 0L), a1.getOrElse(sh, 0L),
+        u2.getOrElse(sh, 0L), a2.getOrElse(sh, 0L)))
+      .toDF("shard", "n_upd1", "n_app1", "n_upd2", "n_app2")
+    sv.join(liveAgg, Seq("shard"), "left").join(sideDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        col("n_upd1"), col("n_app1"), col("n_upd2"), col("n_app2"),
+        col("base_version"))
+      .orderBy("shard")
+  }
+
+  val q201Sql: String =
+    raw"""WITH d AS (SELECT doc_id, n_chars, doc_id % 8 AS shard FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM d),
+ins AS (SELECT d.doc_id + mx.m + 1 AS doc_id, d.n_chars + 7 AS n_chars
+        FROM d CROSS JOIN mx WHERE d.doc_id % 7 = 3),
+s1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+       FROM d
+       UNION ALL SELECT doc_id, n_chars FROM ins),
+s2 AS (SELECT s1.doc_id,
+              CASE WHEN s1.doc_id > mx.m AND s1.doc_id % 2 = 0
+                   THEN s1.n_chars + 9 ELSE s1.n_chars END AS n_chars
+       FROM s1 CROSS JOIN mx),
+fin AS (SELECT doc_id, n_chars, doc_id % 8 AS shard FROM s2),
+shards AS (SELECT DISTINCT shard FROM d),
+la AS (SELECT shard, count(*) AS n_live,
+              sum((doc_id * 31 + n_chars) % 1000000007) AS checksum
+       FROM fin GROUP BY shard),
+c_u1 AS (SELECT doc_id % 8 AS shard, count(*) AS n FROM d WHERE doc_id % 5 = 2 GROUP BY 1),
+c_a1 AS (SELECT shard, count(*) AS n FROM (
+           SELECT doc_id % 8 AS shard FROM d WHERE doc_id % 5 = 2
+           UNION ALL SELECT doc_id % 8 FROM ins) GROUP BY shard),
+c_u2 AS (SELECT doc_id % 8 AS shard, count(*) AS n FROM ins WHERE doc_id % 2 = 0 GROUP BY 1),
+dirty AS (SELECT shard, max(x) AS any_side FROM (
+            SELECT shard, 1 AS x FROM c_u1
+            UNION ALL SELECT shard, 1 FROM c_a1
+            UNION ALL SELECT shard, 1 FROM c_u2) GROUP BY shard)
+SELECT s.shard,
+       COALESCE(la.n_live, CAST(0 AS BIGINT)) AS n_live,
+       CAST(COALESCE(la.checksum, 0) AS BIGINT) AS checksum,
+       CAST(COALESCE(c_u1.n, 0) AS BIGINT) AS n_upd1,
+       CAST(COALESCE(c_a1.n, 0) AS BIGINT) AS n_app1,
+       CAST(COALESCE(c_u2.n, 0) AS BIGINT) AS n_upd2,
+       CAST(COALESCE(c_u2.n, 0) AS BIGINT) AS n_app2,
+       CAST(CASE WHEN dirty.shard IS NOT NULL THEN 10 ELSE 0 END AS BIGINT) AS base_version
+FROM shards s LEFT JOIN la ON la.shard = s.shard
+LEFT JOIN c_u1 ON c_u1.shard = s.shard
+LEFT JOIN c_a1 ON c_a1.shard = s.shard
+LEFT JOIN c_u2 ON c_u2.shard = s.shard
+LEFT JOIN dirty ON dirty.shard = s.shard
+ORDER BY s.shard"""
 }

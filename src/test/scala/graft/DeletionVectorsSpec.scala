@@ -102,4 +102,55 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "DV masking must not sort-merge the base")
   }
+
+  test("merge-on-read upsert: updates mask, inserts append, replay is idempotent, the fold preserves the view") {
+    import spark.implicits._
+    val dir = freshTable()
+    val base = DeletionVectors.read(spark, dir)
+      .select("doc_id", "n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxId = base.keys.max
+    def liveMap(): Map[Long, Long] = DeletionVectors.read(spark, dir)
+      .select("doc_id", "n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 1: update every doc_id % 5 == 2 (+1000), insert shifted copies
+    // of every doc_id % 7 == 3 (+7)
+    val d0 = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val upd = d0.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("n_chars"))
+    val ins = d0.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + maxId + 1).as("doc_id"), (col("n_chars") + 7).as("n_chars"))
+    val batch1 = upd.unionByName(ins)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    val (nDel1, nApp1) = DeletionVectors.upsert(spark, dir, batch1, Seq("doc_id"), Seq("doc_id"), 1L)
+    val want1 = base ++ base.collect { case (k, v) if k % 5 == 2 => k -> (v + 1000) } ++
+      base.collect { case (k, v) if k % 7 == 3 => (k + maxId + 1) -> (v + 7) }
+    assert(nDel1 == base.keys.count(_ % 5 == 2) && nApp1 > nDel1)
+    assert(liveMap() == want1)
+    // REPLAY of the same upsert: state must not change (the match scan
+    // excludes version 1's own position namespace)
+    DeletionVectors.upsert(spark, dir, batch1, Seq("doc_id"), Seq("doc_id"), 1L)
+    assert(liveMap() == want1, "replayed upsert changed the state")
+    // batch 2 updates APPENDED rows (deletion vectors against append positions)
+    val batch2 = ins.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") + 9).as("n_chars"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    val (nDel2, _) = DeletionVectors.upsert(spark, dir, batch2, Seq("doc_id"), Seq("doc_id"), 2L)
+    val want2 = want1 ++ want1.collect { case (k, v) if k > maxId && k % 2 == 0 => k -> (v + 9) }
+    assert(nDel2 > 0 && liveMap() == want2)
+    // fold WITHOUT GC: the version guard must keep the read identical
+    // even while the superseded sidecars are still on disk
+    DeletionVectors.compactApply(spark, dir, 10L, gc = false)
+    assert(new java.io.File(s"$dir/${DeletionVectors.AppendPrefix}1").exists,
+      "gc = false must leave the append sidecar for the vacuum job")
+    assert(liveMap() == want2, "fold + version guard changed the view (double count or loss)")
+    // vacuum: drop the superseded sidecars; view unchanged
+    Seq(s"${DeletionVectors.DvPrefix}1", s"${DeletionVectors.DvPrefix}2",
+      s"${DeletionVectors.AppendPrefix}1", s"${DeletionVectors.AppendPrefix}2")
+      .foreach(p => graft.core.ArtifactIO.delete(spark, s"$dir/$p"))
+    assert(liveMap() == want2, "vacuum changed the view")
+    // position namespaces never collide: all positions distinct
+    val pos = DeletionVectors.read(spark, dir).select("shard", "pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(pos.distinct.length == pos.length, "duplicate (shard, pos)")
+  }
 }
