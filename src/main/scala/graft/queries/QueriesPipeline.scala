@@ -2045,4 +2045,87 @@ SELECT source, n_tokens, psi,
        CASE WHEN psi > 0.2 THEN 'drift'
             WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
 FROM agg ORDER BY source"""
+
+  /** DROP ATTRIBUTION — row-level provenance through the q44 cleaning
+    * chain (the "why was my document removed" column every data card
+    * needs, and the row-level refinement of q168's stage funnel): each
+    * document gets the FIRST failing rule in the declared order
+    * length → stopwords → quality → duplicate → kept, where
+    * 'duplicate' means a non-keep-first copy among the documents that
+    * passed every filter (exactly q44's dedup stage). Output is the
+    * (source, verdict) matrix with counts and an id-keyed checksum, so
+    * the per-document labels — not just the totals — are under the
+    * hash. One corpus scan + one text-keyed window over the passing
+    * subset; at 100 TB the verdict column is written next to the
+    * corpus and the matrix is the data card's attrition table.
+    */
+  def q203_drop_attribution(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        alpha.as("alpha"),
+        size(toks).cast("long").as("n_tokens"),
+        Text.markerCount(toks, Text.EnglishMarkers).as("n_stop"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"), col("n_stop"),
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("alpha").cast("double") / col("n_tokens")).as("avg_tok_len"))
+      .withColumn("quality",
+        round(col("alpha_ratio") * 0.4
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("stopword_ratio")) * 0.3, 6))
+    val passes = col("n_tokens").between(15, 95) && col("n_stop") >= 2 &&
+      col("quality") >= 0.74
+    val passers = scored.filter(passes)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
+      .select(col("doc_id"), col("__rn"))
+    scored.join(passers, Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        when(!col("n_tokens").between(15, 95), "length")
+          .when(col("n_stop") < 2, "stopwords")
+          .when(col("quality") < 0.74, "quality")
+          .when(col("__rn") > 1, "duplicate")
+          .otherwise("kept").as("verdict"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") * 31 + col("n_tokens")) % 1000000007L).as("checksum"))
+      .orderBy("source", "verdict")
+  }
+
+  val q203Sql: String =
+    raw"""WITH t AS (
+  SELECT doc_id, source, text, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len($ToksSql) AS n_tokens,
+         len(list_filter($ToksSql, w -> list_contains(['the', 'a', 'and', 'of', 'is'], w))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, source, text, n_tokens, n_stop,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_tokens END AS avg_tok_len
+  FROM t),
+q AS (
+  SELECT doc_id, source, text, n_tokens, n_stop,
+         round(alpha_ratio * 0.4 + least(avg_tok_len / 10.0, 1.0) * 0.3 + (1.0 - stopword_ratio) * 0.3, 6) AS quality
+  FROM r),
+cleaned AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM q WHERE n_stop >= 2 AND quality >= 0.74 AND n_tokens BETWEEN 15 AND 95),
+v AS (
+  SELECT q.source, q.doc_id, q.n_tokens,
+         CASE WHEN q.n_tokens NOT BETWEEN 15 AND 95 THEN 'length'
+              WHEN q.n_stop < 2 THEN 'stopwords'
+              WHEN q.quality < 0.74 THEN 'quality'
+              WHEN c.rn > 1 THEN 'duplicate'
+              ELSE 'kept' END AS verdict
+  FROM q LEFT JOIN cleaned c ON c.doc_id = q.doc_id)
+SELECT source, verdict, count(*) AS n_docs,
+       CAST(sum((doc_id * 31 + n_tokens) % 1000000007) AS BIGINT) AS checksum
+FROM v GROUP BY source, verdict ORDER BY source, verdict"""
 }

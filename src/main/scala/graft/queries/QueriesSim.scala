@@ -2480,4 +2480,94 @@ r AS (SELECT query_id, vec_id, cosine_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM cand)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** Integer nDCG discount weights: round(1e6 / log2(i + 1)) for rank
+    * i = 1..10, plus their prefix sums (the ideal-DCG table). Computed
+    * ONCE here and embedded as literals in BOTH the engine plan and
+    * the oracle SQL: DCG sums become exact integer arithmetic
+    * (order-free — a double Σ w_i·rel_i would depend on Spark's
+    * nondeterministic aggregation order), and no engine ever evaluates
+    * log() at query time (Java's and DuckDB's libm are not guaranteed
+    * ulp-identical).
+    */
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+  private val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** RETRIEVAL QUALITY EVALUATION — the serving-side metrics panel
+    * (Precision@10, MRR, nDCG@10) over the exact top-10 cosine ranking,
+    * with graded relevance = label agreement with the query vector
+    * (the standard class-as-relevance eval on an embedding benchmark).
+    * All three metrics reduce to exact integer accumulations (see
+    * [[NdcgW]]) followed by ONE IEEE division each, so the doubles are
+    * bit-identical across engines with no rounding step. Scale: the
+    * ranking is the q17 scan; the per-query relevant-count is a keyed
+    * label join; metrics are O(k) per query.
+    */
+  def q204_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("qlabel"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val cumArr = array(NdcgCum.map(lit): _*)
+    val top = Similarity.knnJoinAgg(e, queries.select("query_id", "query_vec"), k = 10)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(queries.select(col("query_id"), col("qlabel")), Seq("query_id"))
+      .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+    val perQ = top.groupBy("query_id").agg(
+      sum("rel").as("n_rel_top10"),
+      sum(col("rel") * element_at(wArr, col("rnk").cast("int"))).as("dcg_int"),
+      min(when(col("rel") === 1, col("rnk"))).as("first_rel"))
+    val rCorpus = queries.select(col("query_id"), col("qlabel"))
+      .join(e.select(col("vec_id"), col("label")), col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel_corpus"))
+    perQ.join(rCorpus, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_corpus"), lit(0L)).as("n_rel_corpus"),
+        col("n_rel_top10"),
+        (col("n_rel_top10").cast("double") / lit(10).cast("double")).as("p_at_10"),
+        when(col("first_rel").isNull, 0.0)
+          .otherwise(lit(1).cast("double") / col("first_rel").cast("double")).as("mrr"),
+        when(coalesce(col("n_rel_corpus"), lit(0L)) === 0, 0.0)
+          .otherwise(col("dcg_int").cast("double") /
+            element_at(cumArr, least(coalesce(col("n_rel_corpus"), lit(0L)), lit(10L)).cast("int"))
+              .cast("double")).as("ndcg_at_10"))
+      .orderBy("query_id")
+  }
+
+  val q204Sql: String = {
+    val wRows = NdcgW.zipWithIndex.map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
+    val cumCase = NdcgCum.zipWithIndex.map { case (c, i) => s"WHEN ${i + 1} THEN CAST($c AS BIGINT)" }.mkString(" ")
+    raw"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS cosine_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, qlabel, vec_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM s),
+t AS (SELECT query_id, rnk, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM r WHERE rnk <= 10),
+w(rnk, wq) AS (VALUES $wRows),
+per AS (SELECT t.query_id,
+               CAST(sum(t.rel) AS BIGINT) AS n_rel_top10,
+               CAST(sum(t.rel * w.wq) AS BIGINT) AS dcg_int,
+               min(CASE WHEN t.rel = 1 THEN t.rnk END) AS first_rel
+        FROM t JOIN w ON w.rnk = t.rnk GROUP BY t.query_id),
+rc AS (SELECT q.query_id, count(*) AS n_rel_corpus
+       FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+       GROUP BY q.query_id)
+SELECT per.query_id,
+       COALESCE(rc.n_rel_corpus, CAST(0 AS BIGINT)) AS n_rel_corpus,
+       per.n_rel_top10,
+       CAST(per.n_rel_top10 AS DOUBLE) / CAST(10 AS DOUBLE) AS p_at_10,
+       CASE WHEN per.first_rel IS NULL THEN 0.0
+            ELSE CAST(1 AS DOUBLE) / CAST(per.first_rel AS DOUBLE) END AS mrr,
+       CASE WHEN COALESCE(rc.n_rel_corpus, 0) = 0 THEN 0.0
+            ELSE CAST(per.dcg_int AS DOUBLE) /
+                 CAST(CASE least(COALESCE(rc.n_rel_corpus, 0), 10) $cumCase END AS DOUBLE) END AS ndcg_at_10
+FROM per LEFT JOIN rc ON rc.query_id = per.query_id
+ORDER BY per.query_id"""
+  }
 }
