@@ -578,4 +578,105 @@ LEFT JOIN c_a1 ON c_a1.shard = s.shard
 LEFT JOIN c_u2 ON c_u2.shard = s.shard
 LEFT JOIN dirty ON dirty.shard = s.shard
 ORDER BY s.shard"""
+
+  /** INCREMENTAL SKIPPING-INDEX MAINTENANCE ([[SkippingIndex.append]]
+    * — q196's ingestion path): the index is built over HALF the corpus,
+    * the other half arrives as an append — data files land inside the
+    * existing cluster directories and the batch's sidecar aggregates
+    * land as a second VERSION (count → sum, zone map → min/max, bloom
+    * → bit-or: every sidecar is a mergeable sketch, so ingestion never
+    * recomputes global statistics). The q196 probes then run over the
+    * FOLDED sidecars and must decide exactly as a from-scratch build
+    * over the full corpus would (mergeability is precisely that
+    * equality — also pinned row-for-row in SkippingIndexSpec). The
+    * `n_stat_versions = 2` column proves no sidecar rewrite happened.
+    * Probe window and key differ from q196's so the two entries gate
+    * different decisions.
+    */
+  def q205_skipping_append(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SkippingIndex
+    import graft.functions.PortableHash
+    import graft.text.Text
+    val out = tmp("graft_q205_skipapp_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh index per run (append mutates)
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    val maxId = d.agg(max("doc_id")).head.getLong(0) // ingestion-stable width
+    val w = math.ceil((maxId + 1) / 64.0).toLong
+    val h = d.filter(col("doc_id") === 41).head.getLong(1)
+    val clustered = d.withColumn("cluster", expr(s"doc_id div $w"))
+    SkippingIndex.build(clustered.filter(col("doc_id") % 2 === 0),
+      out, "cluster", Seq("doc_id"), "fp")
+    SkippingIndex.append(clustered.filter(col("doc_id") % 2 =!= 0),
+      out, "cluster", Seq("doc_id"), "fp", 1L)
+    val nVersions = SkippingIndex.sideVersionCount(s, out)
+    val (lo, hi) = (2 * w + 1, 4 * w + w / 2)
+    val rSel = SkippingIndex.selectRange(s, out, "doc_id", lo, hi)
+    val pSel = SkippingIndex.selectPoint(s, out, h)
+    val rangeRows = SkippingIndex.readClusters(s, out, rSel)
+      .filter(col("doc_id").between(lo, hi))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("range_rows"))
+    val bloomHits = SkippingIndex.readClusters(s, out, pSel)
+      .filter(col("fp") === h)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("bloom_hits"))
+    SkippingIndex.stats(s, out)
+      .select(col("cluster").cast("long").as("cluster"), col("n_rows"),
+        col("min_doc_id").as("min_id"), col("max_doc_id").as("max_id"),
+        when(col("cluster").cast("long").isInCollection(rSel), 1L).otherwise(0L).as("range_read"),
+        when(col("cluster").cast("long").isInCollection(pSel), 1L).otherwise(0L).as("bloom_read"))
+      .join(rangeRows, Seq("cluster"), "left")
+      .join(bloomHits, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_rows"), col("min_id"), col("max_id"),
+        col("range_read"), col("bloom_read"),
+        coalesce(col("range_rows"), lit(0L)).as("range_rows"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+        lit(nVersions).as("n_stat_versions"))
+      .orderBy("cluster")
+  }
+
+  val q205Sql: String = {
+    import graft.sources.SkippingIndex.{probeA1, probeB1, probeA2, probeB2, P, Words, WordBits}
+    val bits = Words * WordBits
+    raw"""WITH d AS (SELECT doc_id, ${QueriesDedup.polyHashSql(s"array_to_string(${QueriesText.ToksSql}, ' ')")} AS fp FROM documents),
+wv AS (SELECT CAST(ceil((max(doc_id) + 1) / 64.0) AS BIGINT) AS w FROM d),
+c AS (SELECT doc_id, fp, doc_id // w AS cluster FROM d CROSS JOIN wv),
+st AS (SELECT cluster, count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY cluster),
+bounds AS (SELECT 2 * w + 1 AS lo, 4 * w + w // 2 AS hi FROM wv),
+pk AS (SELECT fp AS h FROM d WHERE doc_id = 41),
+bloom AS (SELECT cluster, bp // $WordBits AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bp % $WordBits AS INTEGER)) AS mask
+          FROM (SELECT cluster, (((fp % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp FROM c
+                UNION ALL
+                SELECT cluster, (((fp % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp FROM c)
+          GROUP BY cluster, word),
+pb AS (SELECT (((h % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp0,
+              (((h % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp1 FROM pk),
+sel AS (SELECT st.cluster,
+               CASE WHEN st.min_id <= b.hi AND st.max_id >= b.lo THEN 1 ELSE 0 END AS range_read,
+               CASE WHEN b1.cluster IS NOT NULL AND b2.cluster IS NOT NULL THEN 1 ELSE 0 END AS bloom_read
+        FROM st CROSS JOIN bounds b CROSS JOIN pb
+        LEFT JOIN bloom b1 ON b1.cluster = st.cluster AND b1.word = pb.bp0 // $WordBits
+          AND (b1.mask & (CAST(1 AS BIGINT) << CAST(pb.bp0 % $WordBits AS INTEGER))) <> 0
+        LEFT JOIN bloom b2 ON b2.cluster = st.cluster AND b2.word = pb.bp1 // $WordBits
+          AND (b2.mask & (CAST(1 AS BIGINT) << CAST(pb.bp1 % $WordBits AS INTEGER))) <> 0),
+rr AS (SELECT c.cluster, count(*) AS range_rows
+       FROM c JOIN sel ON sel.cluster = c.cluster AND sel.range_read = 1
+       CROSS JOIN bounds b WHERE c.doc_id BETWEEN b.lo AND b.hi GROUP BY c.cluster),
+bh AS (SELECT c.cluster, count(*) AS bloom_hits
+       FROM c JOIN sel ON sel.cluster = c.cluster AND sel.bloom_read = 1
+       CROSS JOIN pk WHERE c.fp = pk.h GROUP BY c.cluster)
+SELECT st.cluster, st.n_rows, st.min_id, st.max_id,
+       CAST(sel.range_read AS BIGINT) AS range_read,
+       CAST(sel.bloom_read AS BIGINT) AS bloom_read,
+       COALESCE(rr.range_rows, CAST(0 AS BIGINT)) AS range_rows,
+       COALESCE(bh.bloom_hits, CAST(0 AS BIGINT)) AS bloom_hits,
+       CAST(2 AS BIGINT) AS n_stat_versions
+FROM st JOIN sel ON sel.cluster = st.cluster
+LEFT JOIN rr ON rr.cluster = st.cluster
+LEFT JOIN bh ON bh.cluster = st.cluster
+ORDER BY st.cluster"""
+  }
 }

@@ -76,15 +76,39 @@ object SkippingIndex {
     * portable document fingerprint). One pass for the data, one
     * aggregation pass each for the sidecars — at production scale the
     * sidecars are emitted by the same write job's task-commit stats.
+    *
+    * Sidecars are VERSIONED and MERGEABLE: both are sketches whose
+    * merge is associative (count → sum, zone map → min/max, bloom →
+    * bit-or), so [[append]] writes only the BATCH's sidecar delta and
+    * readers fold versions at metadata scale — ingestion never
+    * recomputes global statistics (the Iceberg "metadata is mergeable
+    * manifests" property).
     */
   def build(df: DataFrame, outDir: String, clusterCol: String,
       rangeCols: Seq[String], bloomCol: String): Unit = {
     df.write.mode("overwrite").partitionBy(clusterCol).parquet(s"$outDir/data")
+    writeSidecars(df, outDir, clusterCol, rangeCols, bloomCol, 0L)
+  }
+
+  /** Append a batch: data files land INSIDE the existing cluster
+    * directories (no rewrite), and the batch's own sidecar aggregates
+    * land as version `appendId` — O(batch) everywhere. The caller's
+    * cluster assignment must be ingestion-stable (same cluster function
+    * as [[build]]).
+    */
+  def append(df: DataFrame, outDir: String, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String, appendId: Long): Unit = {
+    df.write.mode("append").partitionBy(clusterCol).parquet(s"$outDir/data")
+    writeSidecars(df, outDir, clusterCol, rangeCols, bloomCol, appendId)
+  }
+
+  private def writeSidecars(df: DataFrame, outDir: String, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String, v: Long): Unit = {
     val aggs = count(lit(1)).as("n_rows") +:
       rangeCols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
     df.groupBy(col(clusterCol).as("cluster"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$outDir/stats")
+      .write.mode("overwrite").parquet(s"$outDir/stats/v=$v")
     val probes = Seq(0, 1).map(j =>
       df.select(col(clusterCol).as("cluster"), bitposCol(col(bloomCol), j).as("bp")))
       .reduce(_ unionByName _)
@@ -92,12 +116,40 @@ object SkippingIndex {
       .select(col("cluster"), (col("bp") / WordBits).cast("long").as("word"),
         expr(s"shiftleft(cast(1 as bigint), cast(bp % $WordBits as int))").as("m"))
       .groupBy("cluster", "word").agg(bit_or(col("m")).as("mask"))
-      .write.mode("overwrite").parquet(s"$outDir/bloom")
+      .write.mode("overwrite").parquet(s"$outDir/bloom/v=$v")
   }
 
-  /** The stats sidecar (one row per cluster — metadata scale). */
-  def stats(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/stats")
+  /** The committed sidecar version directories of `side` (stats/bloom),
+    * read separately and unioned so the `v=` dir name never partition-
+    * infers into the schema.
+    */
+  private def sideUnion(spark: SparkSession, outDir: String, side: String): DataFrame = {
+    val dirs = graft.core.ArtifactIO.list(spark, s"$outDir/$side")
+      .filter(_.startsWith("v=")).sorted
+      .map(d => s"$outDir/$side/$d")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Number of sidecar versions currently folded at read time (1 after
+    * a build; +1 per append until a rewrite compacts them).
+    */
+  def sideVersionCount(spark: SparkSession, outDir: String): Long =
+    graft.core.ArtifactIO.list(spark, s"$outDir/stats").count(_.startsWith("v=")).toLong
+
+  /** The stats sidecar with versions FOLDED by merge kind (count → sum,
+    * zone map → min/max) — one row per cluster, metadata scale.
+    */
+  def stats(spark: SparkSession, outDir: String): DataFrame = {
+    val u = sideUnion(spark, outDir, "stats")
+    val valCols = u.columns.filterNot(_ == "cluster").toSeq
+    val aggs = valCols.map {
+      case c if c == "n_rows" => sum(c).as(c)
+      case c if c.startsWith("min_") => min(c).as(c)
+      case c if c.startsWith("max_") => max(c).as(c)
+      case c => sys.error(s"unknown stats column $c")
+    }
+    u.groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Clusters whose [min, max] zone for `rangeCol` overlaps [lo, hi] —
     * a driver-side read of the |files|-row stats table (the manifest
@@ -111,14 +163,17 @@ object SkippingIndex {
       .collect().map(_.getLong(0)).toSeq.sorted
 
   /** Clusters whose bloom admits hash `h`: both probe bits present.
-    * Driver-side over the bloom sidecar (≤ |files| × Words rows; the
-    * probe touches exactly the two words each probe lands in).
+    * Driver-side over the bloom sidecar (≤ versions × |files| × Words
+    * rows; the probe touches exactly the two words each probe lands
+    * in). A bit present in ANY version row is present in the bit-or
+    * fold, so the probe reads the version union directly — no merge
+    * materialization.
     */
   def selectPoint(spark: SparkSession, outDir: String, h: Long): Seq[Long] = {
     val hits = Seq(0, 1).map { j =>
       val bp = bitposScala(h, j)
       val (w, b) = (bp / WordBits, bp % WordBits)
-      spark.read.parquet(s"$outDir/bloom")
+      sideUnion(spark, outDir, "bloom")
         .filter(col("word") === w && (col("mask").bitwiseAND(lit(1L << b))) =!= 0L)
         .select(col("cluster").cast("long"))
         .collect().map(_.getLong(0)).toSet

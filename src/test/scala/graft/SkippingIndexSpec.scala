@@ -88,4 +88,41 @@ class SkippingIndexSpec extends SparkSpec {
     assert(read <= sel.size, s"scan read $read files for ${sel.size} clusters")
     assert(allFiles > sel.size, "fixture degenerate: all clusters selected")
   }
+
+  test("append maintenance: folded sidecars == from-scratch build; existing sidecar versions untouched") {
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents").select(col("doc_id"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+      .withColumn("cluster", expr("doc_id div 8"))
+    def statsRows(dir: String) = SkippingIndex.stats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def bloomFold(dir: String) = {
+      // fold the version union by bit_or — the read-side merge semantic
+      val u = spark.read.parquet(new java.io.File(s"$dir/bloom").listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getAbsolutePath): _*)
+      u.groupBy("cluster", "word").agg(bit_or(col("mask")).as("mask"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    }
+    // incremental: build on evens, append odds
+    val inc = java.nio.file.Files.createTempDirectory("graft-skip-inc").toFile.getAbsolutePath
+    SkippingIndex.build(d.filter(col("doc_id") % 2 === 0), inc, "cluster", Seq("doc_id"), "fp")
+    val v0Files = new java.io.File(s"$inc/stats/v=0").listFiles().map(f => f.getName -> f.length).toMap
+    SkippingIndex.append(d.filter(col("doc_id") % 2 =!= 0), inc, "cluster", Seq("doc_id"), "fp", 1L)
+    // from-scratch reference over the full corpus
+    val full = java.nio.file.Files.createTempDirectory("graft-skip-full").toFile.getAbsolutePath
+    SkippingIndex.build(d, full, "cluster", Seq("doc_id"), "fp")
+    assert(SkippingIndex.sideVersionCount(spark, inc) == 2L &&
+      SkippingIndex.sideVersionCount(spark, full) == 1L)
+    assert(statsRows(inc) == statsRows(full),
+      "folded incremental stats must equal the from-scratch zone maps")
+    assert(bloomFold(inc) == bloomFold(full),
+      "bit-or-folded incremental blooms must equal the from-scratch masks")
+    // the append touched nothing in the existing sidecar version
+    val v0After = new java.io.File(s"$inc/stats/v=0").listFiles().map(f => f.getName -> f.length).toMap
+    assert(v0After == v0Files, "append must not rewrite existing sidecar versions")
+    // and the data landed inside the existing cluster dirs (no second data root)
+    val total = SkippingIndex.readClusters(spark, inc,
+      SkippingIndex.stats(spark, inc).select(col("cluster").cast("long"))
+        .collect().map(_.getLong(0)).toSeq).count()
+    assert(total == d.count())
+  }
 }
