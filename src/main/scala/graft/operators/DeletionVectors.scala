@@ -75,10 +75,19 @@ object DeletionVectors {
       shards.map(s => s"$s|0").mkString("\n"))
   }
 
-  private def manifest(spark: SparkSession, outDir: String): Seq[(Long, Long)] =
+  /** Manifest lines are `shard|baseVersion[|baseRoot]` — the optional
+    * third field points a shard's base at ANOTHER table's directory,
+    * which is what makes [[clone]] zero-copy: a clone's manifest
+    * references the source's immutable base files by path; its own
+    * writes land locally. Absent root = this table's own directory.
+    */
+  private def manifest(spark: SparkSession, outDir: String): Seq[(Long, Long, String)] =
     ArtifactIO.readString(spark, s"$outDir/$ManifestFile")
       .split("\n").toSeq.filter(_.nonEmpty).map { l =>
-        val Array(s, v) = l.split("\\|"); (s.toLong, v.toLong)
+        l.split("\\|") match {
+          case Array(s, v) => (s.toLong, v.toLong, outDir)
+          case Array(s, v, root) => (s.toLong, v.toLong, root)
+        }
       }
 
   /** The manifest as a DataFrame `(shard, base_version)` — metadata
@@ -87,7 +96,36 @@ object DeletionVectors {
     */
   def shardVersions(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
-    manifest(spark, outDir).toDF("shard", "base_version")
+    manifest(spark, outDir).map(e => (e._1, e._2)).toDF("shard", "base_version")
+  }
+
+  private def manifestLine(outDir: String)(e: (Long, Long, String)): String =
+    if (e._3 == outDir) s"${e._1}|${e._2}" else s"${e._1}|${e._2}|${e._3}"
+
+  /** ZERO-COPY CLONE: branch the table into `dstDir` by writing a
+    * manifest whose entries point at the source's immutable base files
+    * and copying only the delete-scale sidecars (committed DVs and
+    * appends) — never a data file. From then on the branches are
+    * ISOLATED: each side's new deletes/upserts/compactions land in its
+    * own directory, so experiments mutate the clone while the source
+    * serves, at metadata cost (the 100 TB "CREATE TABLE CLONE").
+    * Retention caveat (documented, like every shallow clone): a
+    * base-file GC on the source must account for clone references.
+    */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    ArtifactIO.delete(spark, dstDir)
+    ArtifactIO.mkdirs(spark, dstDir)
+    val m = manifest(spark, srcDir).map { case (s, v, root) => (s, v, root) }
+    ArtifactIO.writeAtomicString(spark, s"$dstDir/$ManifestFile",
+      m.map(manifestLine(dstDir)).mkString("\n"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = ArtifactIO.fs(spark, srcDir)
+    (committedDvs(spark, srcDir).map(v => s"$DvPrefix$v") ++
+      ArtifactIO.committedVersions(spark, srcDir, AppendPrefix).map(v => s"$AppendPrefix$v"))
+      .foreach { d =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$srcDir/$d"),
+          fs, new org.apache.hadoop.fs.Path(s"$dstDir/$d"), false, conf)
+      }
   }
 
   private def committedDvs(spark: SparkSession, outDir: String): Seq[Long] =
@@ -112,10 +150,10 @@ object DeletionVectors {
     */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val m = manifest(spark, outDir)
-    val byVersion = m.groupBy(_._2).toSeq.sortBy(_._1)
-    val base = byVersion.map { case (v, entries) =>
+    val byVersion = m.groupBy(e => (e._3, e._2)).toSeq.sortBy(_._1)
+    val base = byVersion.map { case ((root, v), entries) =>
       val shards = entries.map(_._1)
-      spark.read.parquet(s"$outDir/$BasePrefix$v/data")
+      spark.read.parquet(s"$root/$BasePrefix$v/data")
         .filter(col("shard").isin(shards: _*))
     }.reduce(_ unionByName _)
     val withAppends = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
@@ -243,9 +281,11 @@ object DeletionVectors {
     read(spark, outDir).filter(col("shard").isin(dirty: _*))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     ArtifactIO.commit(spark, dir)
-    val m = m0.map { case (s, v) => (s, if (dirty.contains(s)) newBaseId else v) }
+    val m = m0.map { case (s, v, root) =>
+      if (dirty.contains(s)) (s, newBaseId, outDir) else (s, v, root)
+    }
     ArtifactIO.writeAtomicString(spark, s"$outDir/$ManifestFile",
-      m.map { case (s, v) => s"$s|$v" }.mkString("\n"))
+      m.map(manifestLine(outDir)).mkString("\n"))
     if (gc) {
       dvs.foreach(v => ArtifactIO.delete(spark, s"$outDir/$DvPrefix$v"))
       apps.foreach(v => ArtifactIO.delete(spark, s"$outDir/$AppendPrefix$v"))

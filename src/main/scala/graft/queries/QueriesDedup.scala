@@ -1232,4 +1232,81 @@ agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
 SELECT source, n_windows, n_novel,
        round(CAST(n_novel AS DOUBLE) / n_windows, 6) AS novelty
 FROM agg ORDER BY source"""
+
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the near-dup-aware refinement
+    * of q43's hash split: a naive per-document hash split places
+    * near-duplicate pairs on opposite sides of the train/eval boundary
+    * (the classic contamination leak), so the split key here is the
+    * document's near-dup COMPONENT representative (q46's connected
+    * components over the 3-shingle Jaccard >= 0.1 graph; singletons
+    * represent themselves) — every member of a duplicate cluster lands
+    * in the same split by construction. The output hashes the
+    * per-split sizes AND both audit counters: `n_cross_component`
+    * (near-dup pairs straddling splits — provably 0) against
+    * `n_cross_naive` (what the per-document split would have leaked).
+    * Scale: components are the O(log n)-round CC already in the
+    * catalog; the split itself is one hash — no shuffle beyond q46's.
+    */
+  def q207_leakage_safe_split(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val (ha, hb) = PortableHash.minHashCoeffs(103)
+    val P = PortableHash.MinHashP
+    def bucket(c: org.apache.spark.sql.Column) = ((c % P) * ha + hb) % P % 10
+    def splitOf(b: org.apache.spark.sql.Column) =
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    // τ = 0.1 pair graph — q46's graph, reused deliberately so the
+    // split guards against exactly the clusters q46 reports. This
+    // family's 8x-replica behavior is documented in SCALING.md: a
+    // replica corpus genuinely HAS 64x near-dup pairs, so pair volume
+    // grows quadratically by SEMANTICS (not by algorithm); at a real
+    // 100 TB crawl the τ-graph is sparse and the banding/prefix scale
+    // paths (q16/q90) generate the same candidates sub-quadratically.
+    val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
+      .select("doc_id_a", "doc_id_b")
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+    val keyed = d.join(cc.select(col("node").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("n_chars"),
+        splitOf(bucket(col("rep"))).as("split"),
+        splitOf(bucket(col("doc_id"))).as("naive_split"))
+    def crossCount(c: String) = pairs
+      .join(keyed.select(col("doc_id").as("doc_id_a"), col(c).as("sa")), Seq("doc_id_a"))
+      .join(keyed.select(col("doc_id").as("doc_id_b"), col(c).as("sb")), Seq("doc_id_b"))
+      .filter(col("sa") =!= col("sb")).agg(count(lit(1)).as(s"n_cross_$c"))
+    keyed.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .crossJoin(crossCount("split").select(col("n_cross_split").as("n_cross_component")))
+      .crossJoin(crossCount("naive_split").select(col("n_cross_naive_split").as("n_cross_naive")))
+      .orderBy("split")
+  }
+
+  val q207Sql: String = {
+    val (ha, hb) = graft.functions.PortableHash.minHashCoeffs(103)
+    val P = graft.functions.PortableHash.MinHashP
+    def bucket(c: String) = s"((($c % $P) * $ha + $hb) % $P) % 10"
+    def splitOf(b: String) =
+      s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+    raw"""WITH RECURSIVE pairs AS (${jaccardOracle(3, "0.1")}),
+e AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+r AS (SELECT node, node AS reach FROM n
+      UNION SELECT e.s, r.reach FROM e JOIN r ON r.node = e.d),
+c AS (SELECT node AS doc_id, min(reach) AS cluster FROM r GROUP BY node),
+k AS (SELECT d.doc_id, d.n_chars,
+             ${splitOf(bucket("COALESCE(c.cluster, d.doc_id)"))} AS split,
+             ${splitOf(bucket("d.doc_id"))} AS naive_split
+      FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id),
+xc AS (SELECT count(*) AS n FROM pairs p
+       JOIN k a ON a.doc_id = p.doc_id_a JOIN k b ON b.doc_id = p.doc_id_b
+       WHERE a.split <> b.split),
+xn AS (SELECT count(*) AS n FROM pairs p
+       JOIN k a ON a.doc_id = p.doc_id_a JOIN k b ON b.doc_id = p.doc_id_b
+       WHERE a.naive_split <> b.naive_split)
+SELECT k.split, count(*) AS n_docs, CAST(sum(k.n_chars) AS BIGINT) AS sum_chars,
+       CAST(xc.n AS BIGINT) AS n_cross_component, CAST(xn.n AS BIGINT) AS n_cross_naive
+FROM k CROSS JOIN xc CROSS JOIN xn
+GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
+  }
 }

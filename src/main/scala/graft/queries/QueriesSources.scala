@@ -679,4 +679,49 @@ LEFT JOIN rr ON rr.cluster = st.cluster
 LEFT JOIN bh ON bh.cluster = st.cluster
 ORDER BY st.cluster"""
   }
+
+  /** ZERO-COPY TABLE CLONE ([[graft.operators.DeletionVectors.clone]]
+    * — the lakehouse CREATE TABLE CLONE / branch): after a shared
+    * delete, the table is branched by writing a manifest that points
+    * at the source's immutable base files plus a copy of the
+    * delete-scale sidecars — no data file is copied. The branches then
+    * DIVERGE: the source takes a further quality purge, the clone
+    * takes its own takedown and folds it with a LOCAL compaction.
+    * Output: each branch's live count + checksum, so the gate hashes
+    * both divergent states — isolation in both directions is exactly
+    * that neither branch's numbers show the other's delete. At 100 TB
+    * a branch costs manifest + sidecar bytes; experiments mutate the
+    * clone while the source serves (the spec additionally pins that no
+    * base data dir exists under the clone before its own compaction).
+    */
+  def q206_table_clone(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DeletionVectors
+    val out = tmp("graft_q206_clone_", dir)
+    graft.core.ArtifactIO.delete(s, out)
+    val (src, cl) = (s"$out/src", s"$out/clone")
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      pmod(col("doc_id"), lit(8)).as("shard"))
+    DeletionVectors.writeBase(d, src, Seq("doc_id"))
+    DeletionVectors.deleteWhere(s, src, col("n_chars") < 150, 1L) // shared history
+    DeletionVectors.clone(s, src, cl)
+    DeletionVectors.deleteWhere(s, src, col("n_chars") < 250, 2L)          // source-only
+    DeletionVectors.deleteWhere(s, cl, pmod(col("doc_id"), lit(3)) === 1, 2L) // clone-only
+    DeletionVectors.compactApply(s, cl, 10L) // clone folds LOCALLY
+    def audit(table: String, path: String) =
+      DeletionVectors.read(s, path).agg(
+        count(lit(1)).as("n_live"),
+        sum((col("doc_id") * 31 + col("n_chars")) % 1000000007L).as("checksum"))
+        .select(lit(table).as("branch"), col("n_live"), col("checksum"))
+    audit("clone", cl).unionByName(audit("src", src)).orderBy("branch")
+  }
+
+  val q206Sql: String =
+    raw"""WITH d AS (SELECT doc_id, n_chars FROM documents)
+SELECT 'clone' AS branch, count(*) AS n_live,
+       CAST(sum((doc_id * 31 + n_chars) % 1000000007) AS BIGINT) AS checksum
+FROM d WHERE n_chars >= 150 AND doc_id % 3 <> 1
+UNION ALL
+SELECT 'src', count(*), CAST(sum((doc_id * 31 + n_chars) % 1000000007) AS BIGINT)
+FROM d WHERE n_chars >= 250
+ORDER BY branch"""
 }

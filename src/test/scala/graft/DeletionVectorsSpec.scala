@@ -153,4 +153,31 @@ class DeletionVectorsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(pos.distinct.length == pos.length, "duplicate (shard, pos)")
   }
+
+  test("zero-copy clone: no data copied, sidecar state carried, branches isolated both ways") {
+    val dir = freshTable()
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 150, 1L)
+    val shared = liveIds(dir)
+    val cl = java.nio.file.Files.createTempDirectory("graft-dv-clone").toFile.getAbsolutePath + "/t"
+    DeletionVectors.clone(spark, dir, cl)
+    // the clone sees the source state INCLUDING the pre-clone delete...
+    assert(liveIds(cl) == shared, "clone must carry the sidecar state")
+    // ...without having copied a single data file
+    val dataDirs = new java.io.File(cl).listFiles()
+      .count(_.getName.startsWith(DeletionVectors.BasePrefix))
+    assert(dataDirs == 0, "clone copied base data")
+    // divergence: source-only delete invisible to the clone, and vice versa
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 250, 2L)
+    assert(liveIds(cl) == shared, "source delete leaked into the clone")
+    DeletionVectors.deleteWhere(spark, cl, col("shard") === 3, 2L)
+    val cloneWant = shared.filter(_ % 8 != 3).toSet
+    assert(liveIds(cl) == cloneWant)
+    assert(liveIds(dir) == baseIds(col("n_chars") >= 250), "clone delete leaked into the source")
+    // clone compaction folds LOCALLY: reads equal, local base appears,
+    // source directory untouched
+    DeletionVectors.compactApply(spark, cl, 10L)
+    assert(liveIds(cl) == cloneWant, "clone fold changed the view")
+    assert(new java.io.File(s"$cl/${DeletionVectors.BasePrefix}10").exists)
+    assert(liveIds(dir) == baseIds(col("n_chars") >= 250))
+  }
 }

@@ -257,7 +257,8 @@ object QueriesSpec {
     "q152_epoch_shuffle", "q155_worker_slices", "q161_loader_read",
     "q166_loader_resume", "q171_clean_loader",
     // fixed query panel × corpus (diversified retrieval)
-    "q199_diverse_topk", "q200_mmr_rerank" /* 5-query panel; pool join keyed */)
+    "q199_diverse_topk", "q200_mmr_rerank" /* 5-query panel; pool join keyed */,
+    "q207_leakage_safe_split" /* two 1-row audit totals broadcast onto 3 split rows */)
 
   /** Queries allowed to plan an UNPARTITIONED Window — each frame runs
     * over a table bounded by construction (named per entry), never over
