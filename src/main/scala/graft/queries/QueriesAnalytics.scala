@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -928,4 +928,248 @@ SELECT COALESCE(w1.user_id, w3.user_id) AS user_id,
 FROM w1 FULL JOIN w3 ON w1.user_id = w3.user_id
 WHERE w1.event_id IS DISTINCT FROM w3.event_id
 ORDER BY user_id"""
+
+  /** K-ANONYMITY AUDIT — the governance/privacy check a training-data
+    * release runs before publishing a table with quasi-identifiers
+    * (Sweeney 2002): group by the QI tuple (nation, market segment,
+    * account-balance band), report each equivalence class's size, and
+    * flag classes below k = 5 — the rows a release must suppress or
+    * generalize. The audit also evaluates ONE generalization step
+    * (drop the balance band) per class, so the output shows whether
+    * coarsening the QI rescues the failing classes — the
+    * suppress-vs-generalize decision table. Scale: two keyed
+    * aggregations over the same scan (both map-side partial) and a
+    * broadcast-sized join on the coarse QI — the audit costs one pass
+    * regardless of table size; class counts are integers, so the
+    * output is exact everywhere.
+    */
+  def q211_k_anonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / lit(2000.0)).as("bal_band"))
+    val g0 = c.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+    val g1 = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("gen_n"))
+    g0.join(g1, Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("n"), (col("n") >= 5).cast("long").as("anon_k5"),
+        col("gen_n"), (col("gen_n") >= 5).cast("long").as("gen_anon_k5"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
+  val q211Sql: String =
+    raw"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band FROM customer),
+g0 AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n FROM c GROUP BY 1, 2, 3),
+g1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS gen_n FROM c GROUP BY 1, 2)
+SELECT g0.c_nationkey, g0.c_mktsegment, g0.bal_band, g0.n,
+       CAST(g0.n >= 5 AS BIGINT) AS anon_k5,
+       g1.gen_n, CAST(g1.gen_n >= 5 AS BIGINT) AS gen_anon_k5
+FROM g0 JOIN g1 ON g1.c_nationkey = g0.c_nationkey AND g1.c_mktsegment = g0.c_mktsegment
+ORDER BY g0.c_nationkey, g0.c_mktsegment, g0.bal_band"""
+
+  /** DECLARATIVE DATA-QUALITY EXPECTATION SUITE — the Deequ / Great
+    * Expectations shape: a battery of named constraints evaluated in
+    * as few passes as the constraints allow, emitting one row per
+    * expectation with exact integer pass/fail counts and a ppm pass
+    * rate (integer floor-division — no float ratio under the hash).
+    * Analyzer fusion is the scale story: the three lineitem row-level
+    * checks share ONE scan (conditional aggregates), the two orders
+    * checks share another; only the uniqueness expectation shuffles
+    * (keyed on the candidate key) and the referential check is a keyed
+    * join — at 100 TB the battery costs two scans + one keyed agg +
+    * one keyed join no matter how many row-level expectations are
+    * declared.
+    */
+  def q212_expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    def flag(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val liBattery = li.agg(count(lit(1)).as("n"),
+        flag(col("l_quantity") >= 1 && col("l_quantity") <= 50).as("p1"),
+        flag(col("l_discount") >= 0 && col("l_discount") <= 0.1).as("p2"),
+        flag(col("l_extendedprice") > 0).as("p3"))
+      .selectExpr(
+        """stack(3, 'lineitem.quantity_in_1_50', p1,
+          |          'lineitem.discount_in_0_0.1', p2,
+          |          'lineitem.price_positive', p3) AS (expectation, pass_n)""".stripMargin,
+        "n")
+    val uq = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"),
+        sum(when(col("c") === 1, col("c")).otherwise(0L)).as("pass_n"))
+      .select(lit("lineitem.pk_unique").as("expectation"), col("pass_n"), col("n"))
+    val fk = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"), flag(col("o_orderkey").isNotNull).as("pass_n"))
+      .select(lit("lineitem.fk_orders").as("expectation"), col("pass_n"), col("n"))
+    val oBattery = ord.agg(count(lit(1)).as("n"),
+        flag(col("o_orderstatus").isin("F", "O", "P")).as("p1"),
+        flag(col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")).as("p2"))
+      .selectExpr(
+        """stack(2, 'orders.status_domain', p1,
+          |          'orders.date_in_bounds', p2) AS (expectation, pass_n)""".stripMargin,
+        "n")
+    liBattery.select("expectation", "pass_n", "n")
+      .union(uq.select("expectation", "pass_n", "n"))
+      .union(fk.select("expectation", "pass_n", "n"))
+      .union(oBattery.select("expectation", "pass_n", "n"))
+      .select(col("expectation"), col("n"), col("pass_n"),
+        (col("n") - col("pass_n")).as("fail_n"),
+        expr("(pass_n * 1000000) div n").as("pass_ppm"))
+      .orderBy("expectation")
+  }
+
+  val q212Sql: String =
+    raw"""WITH u AS (
+SELECT 'lineitem.quantity_in_1_50' AS expectation, count(*) AS n,
+       sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) AS pass_n FROM lineitem
+UNION ALL
+SELECT 'lineitem.discount_in_0_0.1', count(*),
+       sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) FROM lineitem
+UNION ALL
+SELECT 'lineitem.price_positive', count(*),
+       sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) FROM lineitem
+UNION ALL
+SELECT 'lineitem.pk_unique', sum(c), sum(CASE WHEN c = 1 THEN c ELSE 0 END)
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'lineitem.fk_orders', count(*),
+       sum(CASE WHEN ok.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+  ON ok.o_orderkey = li.l_orderkey
+UNION ALL
+SELECT 'orders.status_domain', count(*),
+       sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) FROM orders
+UNION ALL
+SELECT 'orders.date_in_bounds', count(*),
+       sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                 AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) FROM orders)
+SELECT expectation, CAST(n AS BIGINT) AS n, CAST(pass_n AS BIGINT) AS pass_n,
+       CAST(n - pass_n AS BIGINT) AS fail_n,
+       CAST((pass_n * 1000000) // n AS BIGINT) AS pass_ppm
+FROM u ORDER BY expectation"""
+
+  /** POLICY-DRIVEN COLUMN MASKING + ROW-LEVEL SECURITY — the governed
+    * read every lakehouse catalog (Unity/Ranger-style) applies between
+    * the storage layer and the consumer: a per-source policy (allow /
+    * mask / deny, here source-number mod 3 — in production a broadcast
+    * policy table) filters DENIED rows out entirely, rewrites the
+    * sensitive column of MASKED rows to a deterministic fingerprint
+    * token (irreversible, but stable for joins/dedup — the q103 PII
+    * redaction's table-level sibling), and coarsens the numeric
+    * side-channel (n_chars banded to 100s) so masked rows leak no
+    * exact lengths. The output audits every surviving row — action,
+    * masked-text length and banded metadata plus the content
+    * fingerprint — so the gate hashes the policy decisions AND the
+    * mask arithmetic. Scale: deny is a pushable filter, mask is a
+    * map-only projection, the policy join broadcasts — a governed read
+    * costs zero extra shuffles at any table size.
+    */
+  def q214_column_masking(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("text"), col("n_chars"),
+      expr("CAST(substring(source, 4) AS INT) % 3").as("p"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    d.filter(col("p") =!= 2)
+      .select(col("doc_id"), col("source"),
+        when(col("p") === 0, lit("allow")).otherwise(lit("mask")).as("action"),
+        when(col("p") === 0, col("text"))
+          .otherwise(concat(lit("masked:"), col("fp").cast("string"))).as("text_out"),
+        when(col("p") === 0, col("n_chars"))
+          .otherwise(expr("(n_chars div 100) * 100")).as("n_chars_out"),
+        col("fp"))
+      .select(col("doc_id"), col("source"), col("action"),
+        length(col("text_out")).cast("long").as("out_len"),
+        col("n_chars_out"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  val q214Sql: String =
+    raw"""WITH d AS (SELECT doc_id, source, text, n_chars,
+                 CAST(substr(source, 4) AS INTEGER) % 3 AS p,
+                 ${QueriesDedup.polyHashSql(s"array_to_string(${QueriesText.ToksSql}, ' ')")} AS fp
+           FROM documents),
+m AS (SELECT doc_id, source,
+             CASE WHEN p = 0 THEN 'allow' ELSE 'mask' END AS action,
+             CASE WHEN p = 0 THEN text ELSE 'masked:' || CAST(fp AS VARCHAR) END AS text_out,
+             CASE WHEN p = 0 THEN n_chars ELSE (n_chars // 100) * 100 END AS n_chars_out,
+             fp
+      FROM d WHERE p <> 2)
+SELECT doc_id, source, action, CAST(length(text_out) AS BIGINT) AS out_len,
+       n_chars_out, fp
+FROM m ORDER BY doc_id"""
+
+  /** POINT-IN-TIME-CORRECT FEATURE-STORE JOIN — the training-set
+    * assembly contract (the "time travel join" every feature store
+    * sells): each label row (a purchase) is enriched with the latest
+    * feature SNAPSHOT whose timestamp is at-or-before the label's —
+    * never a later one, so no feature computed from post-label events
+    * can leak into training. Features here are daily per-user
+    * cumulative snapshots derived from the same event stream (count +
+    * integral value sum, published at end-of-day, so a label inside
+    * day d sees at most day d−1's snapshot), plus a second profile
+    * feature (account age from the signup event) guarded to −1 when
+    * the signup hasn't happened yet — both leakage-safe by
+    * construction and both under the hash. Scale: the snapshot build
+    * is two keyed aggregations; the as-of join is
+    * [[graft.operators.AsOf]]'s single-shuffle union + running-last
+    * plan (no pair blow-up); the profile join is keyed. Labels,
+    * features and the join all partition by user — nothing data-scale
+    * ever single-partitions.
+    */
+  def q215_feature_store(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        round(col("value")).cast("long").as("v"))
+    val daily = ev.groupBy(col("user_id"), floor(col("sec") / 86400).as("day"))
+      .agg(count(lit(1)).as("n_day"), sum("v").as("v_day"))
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    val snaps = daily
+      .withColumn("n_cum", sum("n_day").over(wU))
+      .withColumn("v_cum", sum("v_day").over(wU))
+      .select(col("user_id"), ((col("day") + 1) * 86400).as("snap_ts"),
+        col("n_cum"), col("v_cum"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"), col("sec").as("label_ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("signup_ts"))
+    graft.operators.AsOf
+      .asOfJoinBackward(labels, snaps, "user_id", "label_ts", "snap_ts", rightPrefix = "f_")
+      .join(signup, Seq("user_id"), "left")
+      .select(col("label_id"), col("user_id"), col("label_ts"),
+        coalesce(col("f_snap_ts"), lit(-1L)).as("feat_ts"),
+        coalesce(col("f_n_cum"), lit(0L)).as("n_events_cum"),
+        coalesce(col("f_v_cum"), lit(0L)).as("value_cum"),
+        when(col("signup_ts").isNull || col("signup_ts") > col("label_ts"), lit(-1L))
+          .otherwise(expr("(label_ts - signup_ts) div 86400")).as("account_age_days"))
+      .orderBy("label_id")
+  }
+
+  val q215Sql: String =
+    raw"""WITH ev AS (SELECT user_id, event_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  CAST(round(value) AS BIGINT) AS v FROM events),
+daily AS (SELECT user_id, sec // 86400 AS day, count(*) AS n_day, sum(v) AS v_day
+          FROM ev GROUP BY 1, 2),
+snaps AS (SELECT user_id, (day + 1) * 86400 AS snap_ts,
+                 sum(n_day) OVER (PARTITION BY user_id ORDER BY day) AS n_cum,
+                 sum(v_day) OVER (PARTITION BY user_id ORDER BY day) AS v_cum
+          FROM daily),
+labels AS (SELECT user_id, event_id AS label_id, sec AS label_ts FROM ev
+           WHERE event_type = 'purchase'),
+su AS (SELECT user_id, min(sec) AS signup_ts FROM ev WHERE event_type = 'signup' GROUP BY 1),
+j AS (SELECT l.label_id, l.user_id, l.label_ts, s.snap_ts, s.n_cum, s.v_cum
+      FROM labels l ASOF LEFT JOIN snaps s
+        ON l.user_id = s.user_id AND l.label_ts >= s.snap_ts)
+SELECT j.label_id, j.user_id, j.label_ts,
+       COALESCE(j.snap_ts, CAST(-1 AS BIGINT)) AS feat_ts,
+       CAST(COALESCE(j.n_cum, 0) AS BIGINT) AS n_events_cum,
+       CAST(COALESCE(j.v_cum, 0) AS BIGINT) AS value_cum,
+       CASE WHEN su.signup_ts IS NULL OR su.signup_ts > j.label_ts THEN CAST(-1 AS BIGINT)
+            ELSE (j.label_ts - su.signup_ts) // 86400 END AS account_age_days
+FROM j LEFT JOIN su ON su.user_id = j.user_id
+ORDER BY j.label_id"""
 }

@@ -2570,4 +2570,220 @@ SELECT per.query_id,
 FROM per LEFT JOIN rc ON rc.query_id = per.query_id
 ORDER BY per.query_id"""
   }
+
+  /** BINARY (1-bit) QUANTIZATION ANN — the fourth compression point on
+    * the quantization spectrum (float32 q17 → int8 q121 → PQ q119 →
+    * sign bits here, 32× less scan bandwidth than float32): each
+    * vector keeps only its per-dimension SIGN, all 64 dims packed into
+    * ONE BIGINT, and the screen ranks candidates by the Hamming
+    * distance of the packed signatures — `bit_count(sig XOR qsig)`,
+    * one XOR + one popcount per candidate, the cheapest possible scan
+    * (this is the classic sign-random-projection estimator at the
+    * identity rotation: Hamming/d ≈ θ/π, Charikar STOC'02). Only the
+    * top-20 screen survivors pay the exact float cosine for the final
+    * top-10. The screen is INTEGER-exact, so the candidate set carries
+    * zero cross-engine FP ambiguity; the oracle computes the same
+    * Hamming count as a per-dimension sign-disagreement sum (an
+    * engine without 64-bit popcount replays it bit-identically).
+    * Scale: signatures are 8 bytes/vector (a 100 TB float corpus
+    * screens from a 3 TB sig column); queries broadcast; the rerank
+    * reads only k' raw vectors per query.
+    */
+  def q208_binary_ann(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    // Pack sign bits: bit i set iff dim i > 0 (disjoint bits, so | folds
+    // them without carries). shiftleft(1L, 63) lands on the sign bit —
+    // harmless here: XOR + popcount treat the long as a raw bit vector.
+    val signed = e.select(col("vec_id"), col("embedding"), expr(
+      """aggregate(zip_with(embedding, sequence(0, 63),
+        |            (x, i) -> IF(x > CAST(0.0 AS FLOAT),
+        |                         shiftleft(CAST(1 AS BIGINT), i),
+        |                         CAST(0 AS BIGINT))),
+        |          CAST(0 AS BIGINT), (acc, b) -> acc | b)""".stripMargin).as("sig"))
+    val queries = signed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("sig").as("qsig"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__qn"))
+    val screen = signed.select(col("vec_id"), col("sig"))
+      .crossJoin(broadcast(queries.select("query_id", "qsig")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("CAST(bit_count(sig ^ qsig) AS BIGINT)").as("hamming"))
+    // Bounded-heap screen: -hamming DESC == hamming ASC, id ASC — the
+    // integer order, map-side partial, k' rows per query per partition.
+    val top20 = screen.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(
+        -col("hamming").cast("double"), col("vec_id"), 20).as("top"))
+      .select(col("query_id"), explode(col("top")).as("__kv"))
+      .select(col("query_id"), col("__kv.id").as("vec_id"),
+        (-col("__kv.score")).cast("long").as("hamming"))
+    val reranked = e.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__n"))
+      .join(broadcast(top20), Seq("vec_id"))
+      .join(broadcast(queries.select("query_id", "query_vec", "__qn")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(org.apache.spark.sql.graft.VectorExpressions.dotF32(col("embedding"), col("query_vec"))
+          / (col("__n") * col("__qn")), 6).as("cosine_sim"))
+    reranked
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the identical Hamming count spelled as a per-dimension
+    * sign-disagreement sum (integer-exact, so the top-20 candidate set
+    * matches the packed-popcount screen bit-for-bit), then the rounded
+    * exact-cosine re-rank.
+    */
+  val q208Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+h AS (SELECT q.query_id, e.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN (e.v[i] > 0) <> (q.qv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+t AS (SELECT query_id, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM h)
+      WHERE rn <= 20),
+r AS (SELECT t.query_id, t.vec_id, t.hamming, ${cosSql("e.v", "q.qv")} AS cosine_sim
+      FROM t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.query_id = t.query_id),
+f AS (SELECT query_id, vec_id, hamming, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
+      FROM r)
+SELECT query_id, vec_id, hamming, cosine_sim, rnk FROM f WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** LATE-INTERACTION (MaxSim) MULTI-VECTOR RETRIEVAL — the ColBERT
+    * scoring shape (Khattab & Zaharia, SIGIR 2020): a query is a SET of
+    * vectors, a document is a SET of vectors, and the score is
+    * Σ_{q∈query} max_{d∈doc} sim(q, d) — each query vector finds its
+    * best match in the document independently. Fixture mapping: query
+    * 0 = vectors {0..3}, query 1 = {4..7} (4 "token" vectors each);
+    * documents = the label groups of the remaining corpus. All
+    * similarity lands in INTEGER MICRO-UNITS (round(cos, 6) · 1e6 as
+    * BIGINT) before the max/sum folds, so the aggregation is exact and
+    * order-free in both engines — no double-sum ordering hazard.
+    * Scale: the query token panel broadcasts (|Q|·tokens rows); the
+    * per-(query-token, doc) max and the per-doc sum are both partial
+    * (map-side) aggregates; nothing shuffles but the (qtoken, doc)
+    * maxima — O(|Q|·tokens·docs) reduced rows, the same shape every
+    * late-interaction serving stack materializes.
+    */
+  def q209_maxsim_multivector(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val qtokens = e.filter(col("vec_id") < 8)
+      .select(expr("CAST(vec_id DIV 4 AS BIGINT)").as("query_id"),
+        col("vec_id").as("qvec_id"), col("embedding").as("query_vec"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__qn"))
+    val docs = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__n"))
+    val micro = docs
+      .crossJoin(broadcast(qtokens))
+      .select(col("query_id"), col("qvec_id"), col("label"),
+        round(round(org.apache.spark.sql.graft.VectorExpressions.dotF32(col("embedding"), col("query_vec"))
+          / (col("__n") * col("__qn")), 6) * lit(1000000.0)).cast("long").as("micro"))
+    val best = micro.groupBy("query_id", "qvec_id", "label")
+      .agg(max("micro").as("mx"))
+    val scored = best.groupBy("query_id", "label")
+      .agg(sum("mx").as("score_micro"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score_micro").desc, col("label"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("score_micro"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: same micro-unit quantization, same max-then-sum fold —
+    * both integer-exact, so MaxSim scores match bit-for-bit.
+    */
+  val q209Sql: String =
+    raw"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+qt AS (SELECT vec_id // 4 AS query_id, vec_id AS qvec_id, v AS qv FROM e WHERE vec_id < 8),
+d AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 8),
+m AS (SELECT qt.query_id, qt.qvec_id, d.label,
+             CAST(round(${cosSql("d.v", "qt.qv")} * 1000000.0) AS BIGINT) AS micro
+      FROM d CROSS JOIN qt),
+best AS (SELECT query_id, qvec_id, label, max(micro) AS mx FROM m GROUP BY 1, 2, 3),
+s AS (SELECT query_id, label, sum(mx) AS score_micro FROM best GROUP BY 1, 2),
+r AS (SELECT query_id, CAST(label AS BIGINT) AS label, CAST(score_micro AS BIGINT) AS score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, label) AS BIGINT) AS rnk
+      FROM s)
+SELECT query_id, label, score_micro, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** MATRYOSHKA (prefix-dimension) ANN — the MRL serving pattern
+    * (Kusupati et al., NeurIPS 2022): embeddings trained so every
+    * PREFIX of the vector is itself a valid lower-dim embedding let
+    * the screen read only the first 16 of 64 dims (4× less scan
+    * bandwidth; in a columnar layout the prefix is its own column
+    * chunk), rank by the prefix cosine, and pay the full-dimension
+    * exact cosine only for the top-20 survivors. Both stages round to
+    * 6 decimals BEFORE ordering (the catalog's cross-engine sort
+    * convention), and both tie-break on vec_id.
+    */
+  def q210_matryoshka_ann(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val withPrefix = e.select(col("vec_id"), col("embedding"),
+      slice(col("embedding"), 1, 16).as("prefix"))
+    val queries = withPrefix.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("prefix").as("qprefix"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__qn"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("prefix")).as("__qpn"))
+    val screen = withPrefix.select(col("vec_id"), col("prefix"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("prefix")).as("__pn"))
+      .crossJoin(broadcast(queries.select("query_id", "qprefix", "__qpn")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(org.apache.spark.sql.graft.VectorExpressions.dotF32(col("prefix"), col("qprefix"))
+          / (col("__pn") * col("__qpn")), 6).as("prefix_sim"))
+    val top20 = screen.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topk(
+        col("prefix_sim"), col("vec_id"), 20).as("top"))
+      .select(col("query_id"), explode(col("top")).as("__kv"))
+      .select(col("query_id"), col("__kv.id").as("vec_id"),
+        col("__kv.score").as("prefix_sim"))
+    val reranked = e.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions.normF32(col("embedding")).as("__n"))
+      .join(broadcast(top20), Seq("vec_id"))
+      .join(broadcast(queries.select("query_id", "query_vec", "__qn")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("prefix_sim"),
+        round(org.apache.spark.sql.graft.VectorExpressions.dotF32(col("embedding"), col("query_vec"))
+          / (col("__n") * col("__qn")), 6).as("cosine_sim"))
+    reranked
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: prefix cosine over dims 1..16 (rounded 6 before the
+    * top-20 cut, same tiebreak), then the full-dim rounded re-rank.
+    */
+  val q210Sql: String = {
+    val prefCos =
+      raw"""round(list_sum(list_transform(range(1, 17), i -> e.v[i] * q.qv[i]))
+ / (sqrt(list_sum(list_transform(range(1, 17), i -> e.v[i] * e.v[i])))
+  * sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i] * q.qv[i])))), 6)"""
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id, $prefCos AS prefix_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+t AS (SELECT query_id, vec_id, prefix_sim FROM (
+        SELECT query_id, vec_id, prefix_sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY prefix_sim DESC, vec_id) AS rn FROM s)
+      WHERE rn <= 20),
+r AS (SELECT t.query_id, t.vec_id, t.prefix_sim, ${cosSql("e.v", "q.qv")} AS cosine_sim
+      FROM t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.query_id = t.query_id),
+f AS (SELECT query_id, vec_id, prefix_sim, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
+      FROM r)
+SELECT query_id, vec_id, prefix_sim, cosine_sim, rnk FROM f WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
 }

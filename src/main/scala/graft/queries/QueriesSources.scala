@@ -724,4 +724,86 @@ UNION ALL
 SELECT 'src', count(*), CAST(sum((doc_id * 31 + n_chars) % 1000000007) AS BIGINT)
 FROM d WHERE n_chars >= 250
 ORDER BY branch"""
+
+  /** PARTITION-SPEC EVOLUTION — the Iceberg table-evolution contract:
+    * a table's partition layout can change WITHOUT rewriting history.
+    * Here the corpus starts under spec 0 (16 coarse id-range clusters);
+    * the table then evolves to spec 1 (64 fine clusters — 4× finer
+    * pruning for the hot recent data) and the post-evolution batch
+    * lands under the NEW spec while the historical files stay exactly
+    * where they are. A range probe (`doc_id BETWEEN lo AND hi`) plans
+    * per-spec: each spec's own |files|-row zone-map sidecar admits its
+    * own clusters, each admitted set drives its own PartitionFilters
+    * scan, and the union is exactly the predicate's rows — the reader
+    * never knows the layout changed. The output audits every (spec,
+    * cluster): zone map, admission decision, and matching rows from
+    * the pruned scans, so the gate hashes both specs' skipping
+    * decisions and the cross-layout union.
+    *
+    * Scale: spec evolution costs ZERO data movement (the alternative —
+    * rewriting a 100 TB table to re-partition — is exactly what this
+    * exists to avoid); the price is one manifest consultation per live
+    * spec at plan time, both metadata-scale. Old specs retire
+    * naturally as their files age out or compaction rewrites them
+    * under the current spec.
+    */
+  def q213_partition_evolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SkippingIndex
+    val out = tmp("graft_q213_evolve_", dir)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    // 1-row driver scalar: the data-derived widths (16 coarse / 64 fine
+    // clusters over the live id space — holds on sparse-id replicas too)
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val w0 = math.ceil((maxId + 1) / 16.0).toLong
+    val w1 = math.ceil((maxId + 1) / 64.0).toLong
+    val base = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    SkippingIndex.build(base.withColumn("cluster", expr(s"doc_id div $w0")),
+      s"$out/spec0", "cluster", Seq("doc_id"), "doc_id")
+    SkippingIndex.build(incoming.withColumn("cluster", expr(s"doc_id div $w1")),
+      s"$out/spec1", "cluster", Seq("doc_id"), "doc_id")
+    val (lo, hi) = (5 * w1 + 1, 13 * w1)
+    def audit(specId: Long, root: String): DataFrame = {
+      val sel = SkippingIndex.selectRange(s, root, "doc_id", lo, hi)
+      val matches = SkippingIndex.readClusters(s, root, sel)
+        .filter(col("doc_id").between(lo, hi))
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("match_rows"))
+      SkippingIndex.stats(s, root)
+        .select(lit(specId).as("spec_id"), col("cluster").cast("long").as("cluster"),
+          col("n_rows"), col("min_doc_id").as("min_id"), col("max_doc_id").as("max_id"),
+          when(col("cluster").cast("long").isInCollection(sel), 1L).otherwise(0L).as("admitted"))
+        .join(matches, Seq("cluster"), "left")
+        .select(col("spec_id"), col("cluster"), col("n_rows"), col("min_id"),
+          col("max_id"), col("admitted"),
+          coalesce(col("match_rows"), lit(0L)).as("match_rows"))
+    }
+    audit(0L, s"$out/spec0").union(audit(1L, s"$out/spec1"))
+      .orderBy("spec_id", "cluster")
+  }
+
+  val q213Sql: String =
+    raw"""WITH d AS (SELECT doc_id FROM documents),
+wv AS (SELECT CAST(ceil((max(doc_id) + 1) / 16.0) AS BIGINT) AS w0,
+              CAST(ceil((max(doc_id) + 1) / 64.0) AS BIGINT) AS w1 FROM d),
+c AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 <> 0 THEN 0 ELSE 1 END AS spec_id,
+             CASE WHEN doc_id % 4 <> 0 THEN doc_id // w0 ELSE doc_id // w1 END AS cluster
+      FROM d CROSS JOIN wv),
+st AS (SELECT spec_id, cluster, count(*) AS n_rows,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY 1, 2),
+bounds AS (SELECT 5 * w1 + 1 AS lo, 13 * w1 AS hi FROM wv),
+sel AS (SELECT st.spec_id, st.cluster, st.n_rows, st.min_id, st.max_id,
+               CASE WHEN st.min_id <= b.hi AND st.max_id >= b.lo THEN 1 ELSE 0 END AS admitted
+        FROM st CROSS JOIN bounds b),
+mr AS (SELECT c.spec_id, c.cluster, count(*) AS match_rows
+       FROM c JOIN sel ON sel.spec_id = c.spec_id AND sel.cluster = c.cluster AND sel.admitted = 1
+       CROSS JOIN bounds b WHERE c.doc_id BETWEEN b.lo AND b.hi
+       GROUP BY 1, 2)
+SELECT sel.spec_id, sel.cluster, sel.n_rows, sel.min_id, sel.max_id,
+       CAST(sel.admitted AS BIGINT) AS admitted,
+       COALESCE(mr.match_rows, CAST(0 AS BIGINT)) AS match_rows
+FROM sel LEFT JOIN mr ON mr.spec_id = sel.spec_id AND mr.cluster = sel.cluster
+ORDER BY sel.spec_id, sel.cluster"""
 }

@@ -258,6 +258,11 @@ object QueriesSpec {
     "q166_loader_resume", "q171_clean_loader",
     // fixed query panel × corpus (diversified retrieval)
     "q199_diverse_topk", "q200_mmr_rerank" /* 5-query panel; pool join keyed */,
+    "q204_retrieval_metrics" /* 5-query panel via knnJoinAgg; metric joins keyed */,
+    // fixed query panel × corpus (quantized / multi-vector serving)
+    "q208_binary_ann" /* 5-query sig panel; rerank joins keyed */,
+    "q209_maxsim" /* 2x4 query-token panel broadcast onto the corpus */,
+    "q210_matryoshka_ann" /* 5-query prefix panel; rerank joins keyed */,
     "q207_leakage_safe_split" /* two 1-row audit totals broadcast onto 3 split rows */)
 
   /** Queries allowed to plan an UNPARTITIONED Window — each frame runs

@@ -61,4 +61,36 @@ class VectorExprSpec extends SparkSpec {
     val n = df.select(normF32(col("a"))).as[Double].head()
     assert(math.abs(n - math.sqrt(14.0)) < 1e-12)
   }
+
+  test("packed sign-bit Hamming (q208's screen) equals the per-dim disagreement count") {
+    // The engine screens on bit_count(sig XOR qsig) over the 64-bit
+    // packed sign signature; the oracle counts per-dimension sign
+    // disagreements. Pin the identity on the real corpus: every pair
+    // among the first 25 vectors, including the sign-bit position
+    // (dim 63 packs into shiftleft(1, 63) — the long's sign bit).
+    val sig = expr(
+      """aggregate(zip_with(embedding, sequence(0, 63),
+        |            (x, i) -> IF(x > CAST(0.0 AS FLOAT),
+        |                         shiftleft(CAST(1 AS BIGINT), i),
+        |                         CAST(0 AS BIGINT))),
+        |          CAST(0 AS BIGINT), (acc, b) -> acc | b)""".stripMargin)
+    val e = graft.core.Tables(spark, sf("sf0.001"), "embeddings")
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val pairs = e.toDF("ia", "va", "sa")
+      .join(e.toDF("ib", "vb", "sb"), col("ia") < col("ib"))
+      .select(
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("packed"),
+        expr("""aggregate(zip_with(va, vb,
+              |  (x, y) -> IF((x > CAST(0.0 AS FLOAT)) != (y > CAST(0.0 AS FLOAT)),
+              |               CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("perdim"))
+      .collect()
+    assert(pairs.length == 25 * 24 / 2)
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"packed popcount ${r.getLong(0)} != per-dim count ${r.getLong(1)}"))
+    // and the signature really uses all 64 bits on this corpus
+    val usedHigh = e.filter(col("sig") < 0L).count() // bit 63 set => negative long
+    assert(usedHigh > 0, "fixture never sets the sign bit — weaken of the test")
+  }
 }
