@@ -2128,4 +2128,74 @@ v AS (
 SELECT source, verdict, count(*) AS n_docs,
        CAST(sum((doc_id * 31 + n_tokens) % 1000000007) AS BIGINT) AS checksum
 FROM v GROUP BY source, verdict ORDER BY source, verdict"""
+
+  private val BootB = 100
+  private val BootP = PortableHash.MinHashP
+  private val bootCoeffs = PortableHash.minHashCoeffs(103)
+
+  /** Cumulative Poisson(1) CDF scaled to [0, P) as integer thresholds,
+    * computed ONCE here and embedded as literals in both engines (the
+    * q204 NdcgW pattern): neither engine evaluates exp() at query
+    * time, and the weight lookup is pure integer comparison.
+    */
+  private val BootThresholds: Seq[Long] = {
+    val pmf = (0 to 7).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * BootP))
+  }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the one-pass resampling
+    * that works at corpus scale (classic multinomial bootstrap needs
+    * sampling WITHOUT replacement across workers; Poissonization makes
+    * every row's replica weight independent, so the whole bootstrap is
+    * a map + aggregate): each document gets, per replica b < 100, a
+    * deterministic Poisson(1) weight via an affine hash of
+    * (doc_id, b) against the embedded integer CDF thresholds, and each
+    * (lang, replica) emits its weighted mean document length in exact
+    * integer ppm. Replica means are ranked per language — rows at
+    * rnk 3 / 98 are the 2.5% / 97.5% bootstrap CI endpoints for the
+    * metric, all 100 replicas under the hash. Scale: the replica grid
+    * is a bounded 100-way explode (at 100 TB: a generate inside the
+    * scan, no shuffle), the aggregation is map-side partial on
+    * (lang, b), and the ranking windows over |langs| x 100 rows.
+    */
+  def q218_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (bootA, bootBc) = bootCoeffs
+    val tArr = BootThresholds.mkString(", ")
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .select(col("*"), explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u",
+        (((col("doc_id") * lit(BootB.toLong) + col("b").cast("long")) % lit(BootP))
+          * lit(bootA) + lit(bootBc)) % lit(BootP))
+      .withColumn("w", expr(
+        s"aggregate(array($tArr), CAST(0 AS BIGINT), " +
+          "(acc, t) -> acc + IF(u >= t, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"))
+    d.groupBy("lang", "b")
+      .agg(sum("w").as("w_total"), sum(col("w") * col("n_chars")).as("wx"))
+      .select(col("lang"), col("b").cast("long").as("b"), col("w_total"),
+        when(col("w_total") === 0, lit(-1L))
+          .otherwise(expr("(wx * 1000000) div w_total")).as("mean_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("mean_ppm"), col("b"))).cast("long"))
+      .orderBy("lang", "b")
+  }
+
+  val q218Sql: String = {
+    val (bootA, bootBc) = bootCoeffs
+    val tArr = BootThresholds.mkString(", ")
+    raw"""WITH g AS (SELECT doc_id, lang, n_chars, b
+           FROM documents CROSS JOIN (SELECT unnest(range(0, $BootB)) AS b)),
+u AS (SELECT lang, b, n_chars,
+             ((((doc_id * $BootB + b) % $BootP) * $bootA + $bootBc) % $BootP) AS u FROM g),
+w AS (SELECT lang, b, n_chars,
+             list_sum(list_transform([$tArr], t -> CASE WHEN u >= t THEN 1 ELSE 0 END)) AS w
+      FROM u),
+m AS (SELECT lang, CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS w_total,
+             CASE WHEN sum(w) = 0 THEN CAST(-1 AS BIGINT)
+                  ELSE CAST((sum(w * n_chars) * 1000000) // sum(w) AS BIGINT) END AS mean_ppm
+      FROM w GROUP BY 1, 2)
+SELECT lang, b, w_total, mean_ppm,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY mean_ppm, b) AS BIGINT) AS rnk
+FROM m ORDER BY lang, b"""
+  }
 }

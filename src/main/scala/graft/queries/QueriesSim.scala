@@ -2786,4 +2786,99 @@ f AS (SELECT query_id, vec_id, prefix_sim, cosine_sim,
       FROM r)
 SELECT query_id, vec_id, prefix_sim, cosine_sim, rnk FROM f WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
+
+  /** CDC-DRIVEN INCREMENTAL INDEX MAINTENANCE — the composition that
+    * keeps a vector index CURRENT from a change feed without retrain
+    * or rebuild (q197's CDF semantics applied to q191's append path and
+    * q202's masking path, with the UPDATE case — the hard one — done
+    * right): a change batch carries inserts, updates and deletes;
+    * inserts and updated NEW versions are assigned under the SAVED,
+    * FROZEN centroids and appended as revision-1 codes (O(delta));
+    * deleted ids and updated ids' revision-0 rows leave the LIVENESS
+    * set (an O(changes) mask — the codes table is never rewritten, so
+    * an updated vector's STALE embedding still sits in the codes table
+    * and must never surface). Serving pre-filters the probed codes
+    * through the (vec_id, rev) liveness pairs (q195/q202 semantics).
+    *
+    * The contract under the hash: incremental maintenance ==
+    * rebuild-from-final-state. Per-row nearest-centroid assignment
+    * under frozen centroids is identical whether a row arrives in the
+    * base or in a delta, so the oracle simply REBUILDS: it constructs
+    * the post-change logical table (base − deletes − stale versions +
+    * inserts + new versions), assigns it under the base-trained
+    * hash-init centroids, and replays the probe. Audit rows pin the
+    * liveness cardinalities per revision, so a leaked stale row fails
+    * the gate even when no stale vector happens to reach a top-10.
+    * Scale: delta assignment is O(batch)·k, the mask is
+    * delete/update-scale and broadcastable, the full re-index moves to
+    * the compaction cadence — the q205/q201 economics for vectors.
+    */
+  def q216_cdc_index_maint(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") >= 25).withColumn("rev", lit(0L))
+    val model = IvfIndex.initHash(base, 16)
+    val codesBase = IvfIndex.assign(base, model) // the saved index
+    // the change batch: 5 inserts, 5 updates (new embedding = vector
+    // id+100's payload — a deterministic "re-embedding"), 5 deletes
+    val inserts = e.filter(col("vec_id").between(5, 9))
+    val updNew = e.filter(col("vec_id").between(125, 129))
+      .select((col("vec_id") - 100).as("vec_id"), col("embedding"), col("label"))
+    val deletedOrStale = (25L to 34L) // updated ids 25-29 (stale rev 0) + deleted 30-34
+    val delta = inserts.unionByName(updNew).withColumn("rev", lit(1L))
+    val codesDelta = IvfIndex.assign(delta, model) // frozen centroids, O(delta)
+    val codes = codesBase.unionByName(codesDelta)
+    val live = codesBase.filter(!col("vec_id").isInCollection(deletedOrStale))
+      .select(col("vec_id"), col("rev"))
+      .unionByName(delta.select(col("vec_id"), col("rev")))
+    val qualifying = codes.join(live, Seq("vec_id", "rev"), "left_semi")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val served = IvfIndex.annTopK(qualifying, queries, model, k = 10, nprobe = 4)
+    val audit = qualifying.groupBy("rev").agg(count(lit(1)).as("n_live"))
+      .select(lit(-1L).as("query_id"), col("rev").as("vec_id"),
+        lit(null).cast("double").as("cosine_sim"), col("n_live").as("rnk"))
+    served.select("query_id", "vec_id", "cosine_sim", "rnk").union(audit)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: REBUILD from the post-change state — base-seeded
+    * centroids (hash-init over vec_id >= 25), the final logical table
+    * spelled as three UNIONs, one-shot assignment, the q34-form probe,
+    * plus the two per-revision liveness counts.
+    */
+  val q216Sql: String =
+    raw"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+base AS (SELECT vec_id, v FROM e WHERE vec_id >= 25),
+seeds AS (SELECT vec_id, v,
+                 row_number() OVER (ORDER BY ((vec_id % $IdHashP) * $IdHashA + $IdHashB) % $IdHashP, vec_id) AS rk
+          FROM base),
+c AS (SELECT rk - 1 AS cid, v AS cv, list_sum(list_transform(v, x -> x * x)) AS cn FROM seeds WHERE rk <= 16),
+final AS (SELECT vec_id, v, 0 AS rev FROM e WHERE vec_id >= 35
+          UNION ALL SELECT vec_id, v, 1 AS rev FROM e WHERE vec_id >= 5 AND vec_id < 10
+          UNION ALL SELECT vec_id - 100 AS vec_id, v, 1 AS rev FROM e WHERE vec_id >= 125 AND vec_id < 130),
+scores AS (SELECT f.vec_id, f.v, c.cid,
+                  c.cn - 2.0 * list_sum(list_transform(range(1, len(f.v) + 1), i -> f.v[i] * c.cv[i])) AS s
+           FROM final f, c),
+assign AS (SELECT vec_id, v, cid AS cluster FROM (
+             SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+             FROM scores) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qs AS (SELECT q.query_id, q.qv, c.cid,
+              c.cn - 2.0 * list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS s
+       FROM q, c),
+probes AS (SELECT query_id, qv, cid AS cluster FROM (
+             SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id ORDER BY s, cid) AS rn
+             FROM qs) WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, ${cosSql("a.v", "p.qv")} AS cosine_sim
+         FROM probes p JOIN assign a ON a.cluster = p.cluster
+         WHERE a.vec_id <> p.query_id),
+served AS (SELECT query_id, vec_id, cosine_sim,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rnk
+           FROM cand),
+audit AS (SELECT CAST(-1 AS BIGINT) AS query_id, CAST(rev AS BIGINT) AS vec_id,
+                 CAST(NULL AS DOUBLE) AS cosine_sim, count(*) AS rnk
+          FROM final GROUP BY rev)
+SELECT query_id, vec_id, cosine_sim, rnk FROM served WHERE rnk <= 10
+UNION ALL SELECT query_id, vec_id, cosine_sim, rnk FROM audit
+ORDER BY query_id, rnk"""
 }

@@ -1274,4 +1274,54 @@ SELECT lang,
        count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
        round(avg(avg_logprob), 6) AS mean_logprob
 FROM lb GROUP BY lang, b ORDER BY lang, bucket"""
+
+  /** DATA CARD — the per-source DATASHEET a corpus release ships
+    * ("Datasheets for Datasets", Gebru et al. 2021): one row per
+    * source with the provenance-level facts a consumer reads before
+    * training — volume (docs, chars, tokenizer-true token totals),
+    * language mix (distinct languages, English fraction in exact ppm),
+    * hygiene (short-doc count, non-canonical exact-duplicate count
+    * against the GLOBAL fingerprint keeper — a source whose content
+    * is mostly copies of another source shows it here). Everything is
+    * an exact integer, so the card is hash-stable at any scale.
+    * Scale: one projection pass computes per-doc facts, the dup flag
+    * is the q15 digest-keyed keeper join (text never shuffles), and
+    * the card itself is a |sources|-row aggregate.
+    */
+  def q217_data_card(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), size(Text.tokens(col("text"))).cast("long").as("n_toks"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    val keeper = d.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    d.join(keeper, Seq("fp"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        sum("n_toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        sum((col("n_chars") < 200).cast("long")).as("n_short"),
+        sum("is_dup").as("n_dup_docs"))
+      .withColumn("en_ppm", expr("(n_en * 1000000) div n_docs"))
+      .orderBy("source")
+  }
+
+  val q217Sql: String =
+    raw"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+                 CAST(len($ToksSql) AS BIGINT) AS n_toks,
+                 ${QueriesDedup.polyHashSql(s"array_to_string($ToksSql, ' ')")} AS fp
+           FROM documents),
+k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp)
+SELECT d.source, count(*) AS n_docs,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(d.n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN d.n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST((sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS en_ppm
+FROM d JOIN k ON k.fp = d.fp
+GROUP BY d.source ORDER BY d.source"""
 }
