@@ -1172,4 +1172,64 @@ SELECT j.label_id, j.user_id, j.label_ts,
             ELSE (j.label_ts - su.signup_ts) // 86400 END AS account_age_days
 FROM j LEFT JOIN su ON su.user_id = j.user_id
 ORDER BY j.label_id"""
+
+  /** STREAMING FEATURE-STORE MAINTENANCE — q215's snapshot table kept
+    * current by INCREMENTAL VIEW MAINTENANCE instead of recompute:
+    * four event batches each write only their ADDITIVE delta of the
+    * per-(user, day) daily aggregate into a [[graft.streaming.DeltaState]]
+    * Sum-kind chain (O(batch) IO per batch; the same delta-log that
+    * backs the q197 CDF and time travel), the read side folds the
+    * chain by per-key summation, and the point-in-time training-set
+    * assembly runs UNCHANGED on the folded view. The oracle is
+    * EXACTLY q215's one-shot SQL — hash equality IS the maintenance
+    * contract (folded increments == recompute), on top of the replay /
+    * redelivery / compaction guarantees DeltaState already carries
+    * from StreamingSpec. At 100 TB: per-ingest-batch feature upkeep
+    * costs the batch's own aggregate, never a state rewrite, and the
+    * serve path is identical to the batch twin's.
+    */
+  def q219_stream_features(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DeltaState
+    import DeltaState.{Sum, Table}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        round(col("value")).cast("long").as("v"),
+        pmod(col("event_id"), lit(4)).as("b"))
+    val out = QueriesSources.tmp("graft_q219_feat_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh chain per run
+    val layout = Seq(Table("daily", Sum(Seq("user_id", "day"))))
+    (0 to 3).foreach { i =>
+      val delta = ev.filter(col("b") === i)
+        .groupBy(col("user_id"), floor(col("sec") / 86400).as("day"))
+        .agg(count(lit(1)).as("n_day"), sum("v").as("v_day"))
+      DeltaState.writeDelta(s, out, i.toLong, layout, Seq("daily" -> delta))
+    }
+    val daily = DeltaState.asOf(s, out, Table("daily", Sum(Seq("user_id", "day")))).get
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    val snaps = daily
+      .withColumn("n_cum", sum("n_day").over(wU))
+      .withColumn("v_cum", sum("v_day").over(wU))
+      .select(col("user_id"), ((col("day") + 1) * 86400).as("snap_ts"),
+        col("n_cum"), col("v_cum"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"), col("sec").as("label_ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("signup_ts"))
+    graft.operators.AsOf
+      .asOfJoinBackward(labels, snaps, "user_id", "label_ts", "snap_ts", rightPrefix = "f_")
+      .join(signup, Seq("user_id"), "left")
+      .select(col("label_id"), col("user_id"), col("label_ts"),
+        coalesce(col("f_snap_ts"), lit(-1L)).as("feat_ts"),
+        coalesce(col("f_n_cum"), lit(0L)).as("n_events_cum"),
+        coalesce(col("f_v_cum"), lit(0L)).as("value_cum"),
+        when(col("signup_ts").isNull || col("signup_ts") > col("label_ts"), lit(-1L))
+          .otherwise(expr("(label_ts - signup_ts) div 86400")).as("account_age_days"))
+      .orderBy("label_id")
+  }
+
+  /** Oracle: q215's one-shot SQL verbatim — the hash match certifies
+    * folded-incremental == recompute through the identical serve path.
+    */
+  val q219Sql: String = q215Sql
 }
