@@ -758,27 +758,28 @@ ORDER BY branch"""
     val w1 = math.ceil((maxId + 1) / 64.0).toLong
     val base = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
-    SkippingIndex.build(base.withColumn("cluster", expr(s"doc_id div $w0")),
-      s"$out/spec0", "cluster", Seq("doc_id"), "doc_id")
-    SkippingIndex.build(incoming.withColumn("cluster", expr(s"doc_id div $w1")),
-      s"$out/spec1", "cluster", Seq("doc_id"), "doc_id")
+    SkippingIndex.buildSpec(base.withColumn("cluster", expr(s"doc_id div $w0")),
+      out, 0L, "cluster", Seq("doc_id"), "doc_id")
+    SkippingIndex.buildSpec(incoming.withColumn("cluster", expr(s"doc_id div $w1")),
+      out, 1L, "cluster", Seq("doc_id"), "doc_id")
     val (lo, hi) = (5 * w1 + 1, 13 * w1)
-    def audit(specId: Long, root: String): DataFrame = {
+    // the production read path: per-spec pruned scans, unioned
+    val matches = SkippingIndex.readRangeAcrossSpecs(s, out, "doc_id", lo, hi)
+      .groupBy(col("spec_id"), col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("match_rows"))
+    def audit(specId: Long): DataFrame = {
+      val root = s"$out/spec=$specId"
       val sel = SkippingIndex.selectRange(s, root, "doc_id", lo, hi)
-      val matches = SkippingIndex.readClusters(s, root, sel)
-        .filter(col("doc_id").between(lo, hi))
-        .groupBy(col("cluster").cast("long").as("cluster"))
-        .agg(count(lit(1)).as("match_rows"))
       SkippingIndex.stats(s, root)
         .select(lit(specId).as("spec_id"), col("cluster").cast("long").as("cluster"),
           col("n_rows"), col("min_doc_id").as("min_id"), col("max_doc_id").as("max_id"),
           when(col("cluster").cast("long").isInCollection(sel), 1L).otherwise(0L).as("admitted"))
-        .join(matches, Seq("cluster"), "left")
-        .select(col("spec_id"), col("cluster"), col("n_rows"), col("min_id"),
-          col("max_id"), col("admitted"),
-          coalesce(col("match_rows"), lit(0L)).as("match_rows"))
     }
-    audit(0L, s"$out/spec0").union(audit(1L, s"$out/spec1"))
+    audit(0L).union(audit(1L))
+      .join(matches, Seq("spec_id", "cluster"), "left")
+      .select(col("spec_id"), col("cluster"), col("n_rows"), col("min_id"),
+        col("max_id"), col("admitted"),
+        coalesce(col("match_rows"), lit(0L)).as("match_rows"))
       .orderBy("spec_id", "cluster")
   }
 

@@ -188,4 +188,44 @@ object SkippingIndex {
   def readClusters(spark: SparkSession, outDir: String, ids: Seq[Long]): DataFrame =
     spark.read.parquet(s"$outDir/data")
       .filter(col("cluster").isin(ids: _*))
+
+  // ------------------------------------------------------------------
+  // PARTITION-SPEC EVOLUTION (the Iceberg table-evolution contract):
+  // a table root holds one complete skipping index per layout
+  // generation under `spec=<id>/`. Evolving the spec = writing new
+  // data under a NEW spec id — history is never rewritten (zero data
+  // movement), and the directory listing is the spec manifest, exactly
+  // like the sidecars' version dirs. Old specs retire as their files
+  // age out or compaction rewrites them under the current spec.
+  // ------------------------------------------------------------------
+
+  /** Write `df` as layout generation `specId` of the multi-spec table
+    * at `outDir` (a standard [[build]] under `spec=<id>/`). The caller
+    * picks the generation's own cluster function — that is the point
+    * of evolution.
+    */
+  def buildSpec(df: DataFrame, outDir: String, specId: Long, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String): Unit =
+    build(df, s"$outDir/spec=$specId", clusterCol, rangeCols, bloomCol)
+
+  /** The live layout generations of a multi-spec table, oldest first. */
+  def liveSpecs(spark: SparkSession, outDir: String): Seq[Long] =
+    graft.core.ArtifactIO.list(spark, outDir).filter(_.startsWith("spec="))
+      .map(_.stripPrefix("spec=").toLong).sorted
+
+  /** Range read ACROSS every live layout generation: each spec prunes
+    * from its OWN |files|-row zone-map sidecar, each admitted set
+    * drives its own PartitionFilters scan, and the union (tagged with
+    * `spec_id`) is exactly the predicate's rows — the reader never
+    * knows the layout changed. Plan cost: one metadata consultation
+    * per live spec; scan cost: admitted directories only.
+    */
+  def readRangeAcrossSpecs(spark: SparkSession, outDir: String, rangeCol: String,
+      lo: Long, hi: Long): DataFrame =
+    liveSpecs(spark, outDir).map { id =>
+      val root = s"$outDir/spec=$id"
+      readClusters(spark, root, selectRange(spark, root, rangeCol, lo, hi))
+        .filter(col(rangeCol).between(lo, hi))
+        .withColumn("spec_id", lit(id))
+    }.reduce(_ unionByName _)
 }

@@ -133,30 +133,33 @@ class SkippingIndexSpec extends SparkSpec {
     val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
       .select(col("doc_id"), col("n_chars"))
     val root = java.nio.file.Files.createTempDirectory("graft-skip-evo").toFile.getAbsolutePath
-    SkippingIndex.build(d.filter(col("doc_id") % 4 =!= 0)
-      .withColumn("cluster", expr("doc_id div 32")), s"$root/spec0",
+    SkippingIndex.buildSpec(d.filter(col("doc_id") % 4 =!= 0)
+      .withColumn("cluster", expr("doc_id div 32")), root, 0L,
       "cluster", Seq("doc_id"), "doc_id")
-    val spec0Files = new java.io.File(s"$root/spec0/data").listFiles()
+    val spec0Files = new java.io.File(s"$root/spec=0/data").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
-    SkippingIndex.build(d.filter(col("doc_id") % 4 === 0)
-      .withColumn("cluster", expr("doc_id div 8")), s"$root/spec1",
+    SkippingIndex.buildSpec(d.filter(col("doc_id") % 4 === 0)
+      .withColumn("cluster", expr("doc_id div 8")), root, 1L,
       "cluster", Seq("doc_id"), "doc_id")
+    assert(SkippingIndex.liveSpecs(spark, root) == Seq(0L, 1L))
     val (lo, hi) = (41L, 120L)
-    val got = Seq(s"$root/spec0", s"$root/spec1").map { specRoot =>
+    // pruning is real on both layouts: fewer clusters admitted than exist
+    Seq(0L, 1L).foreach { id =>
+      val specRoot = s"$root/spec=$id"
       val sel = SkippingIndex.selectRange(spark, specRoot, "doc_id", lo, hi)
-      // pruning is real on both layouts: fewer clusters than the spec has
       assert(sel.size < SkippingIndex.stats(spark, specRoot).count(),
-        s"$specRoot admitted every cluster — no pruning")
-      SkippingIndex.readClusters(spark, specRoot, sel)
-        .filter(col("doc_id").between(lo, hi)).select("doc_id")
-    }.reduce(_ union _).collect().map(_.getLong(0)).sorted
+        s"spec $id admitted every cluster — no pruning")
+    }
+    // the production read path: per-spec pruned scans unioned by the API
+    val got = SkippingIndex.readRangeAcrossSpecs(spark, root, "doc_id", lo, hi)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
     val expect = d.filter(col("doc_id").between(lo, hi))
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(expect) && got.nonEmpty,
       "cross-spec pruned union must equal the plain predicate scan")
     // evolving the spec moved zero historical bytes: spec 0's layout
     // (its cluster directories) is exactly what the original build wrote
-    val spec0After = new java.io.File(s"$root/spec0/data").listFiles()
+    val spec0After = new java.io.File(s"$root/spec=0/data").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(spec0After == spec0Files, "spec evolution must not rewrite old-spec data")
   }
