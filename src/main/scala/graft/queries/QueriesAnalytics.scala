@@ -1062,9 +1062,11 @@ FROM u ORDER BY expectation"""
     * exact lengths. The output audits every surviving row — action,
     * masked-text length and banded metadata plus the content
     * fingerprint — so the gate hashes the policy decisions AND the
-    * mask arithmetic. Scale: deny is a pushable filter, mask is a
-    * map-only projection, the policy join broadcasts — a governed read
-    * costs zero extra shuffles at any table size.
+    * mask arithmetic. Scale: the governed read is MAP-ONLY (plan-
+    * asserted in PlanAssertionsSpec: no join, no hash shuffle) — deny
+    * is a plain filter (it reaches the scan's PushedFilters when the
+    * policy is a stored column rather than this fixture's derived
+    * one), mask is a projection, and a real policy table broadcasts.
     */
   def q214_column_masking(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash

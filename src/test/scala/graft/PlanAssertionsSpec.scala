@@ -771,4 +771,53 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(wordShuffles.toSet.size == 1,
       s"all word shuffles must be the one vocabulary-reduce shape: $exchanges")
   }
+
+  test("q208: every join broadcasts (5-query panel screen + bounded rerank) — no sort-merge join") {
+    val plan = executedPlanString(
+      graft.queries.QueriesSim.q208_binary_ann(spark, sf("sf0.001")))
+    assert(!plan.contains("SortMergeJoin"),
+      "the binary-ANN path must never shuffle-join: panel and top-20 sides broadcast")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast rerank joins")
+    // the packed signatures reduce map-side: the bounded-heap top-k is partial
+    assert(plan.contains("partial_topkagg") || plan.contains("partial_topk"),
+      s"expected a partial (map-side) bounded-heap screen:\n${plan.take(1500)}")
+  }
+
+  test("q214: the governed read is map-only — no join, no hash shuffle") {
+    val exchanges = shuffleOutputs(
+      graft.queries.QueriesAnalytics.q214_column_masking(spark, sf("sf0.001")))
+    // only the final ORDER BY's range exchange may move rows
+    val plan = executedPlanString(
+      graft.queries.QueriesAnalytics.q214_column_masking(spark, sf("sf0.001")))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "policy masking must not join at this spelling (the policy is inlined)")
+    assert(plan.contains("rangepartitioning"),
+      "expected only the ORDER BY range exchange")
+    assert(exchanges.size <= 1, s"governed read must not hash-shuffle: $exchanges")
+  }
+
+  test("q216: probe and liveness joins are keyed (cluster equi / left-semi) — no unkeyed pair scan") {
+    val plan = executedPlanString(
+      graft.queries.QueriesSim.q216_cdc_index_maint(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "CDC index maintenance must stay keyed end-to-end")
+    assert(plan.contains("LeftSemi"), "expected the (vec_id, rev) liveness semi-join")
+  }
+
+  test("q217: document text never shuffles — the keeper join moves fingerprints only") {
+    val exchanges = shuffleOutputs(
+      graft.queries.QueriesText.q217_data_card(spark, sf("sf0.001")))
+    assert(exchanges.nonEmpty, "expected the keeper-join and card-aggregate shuffles")
+    assert(!exchanges.exists(_.exists(_.startsWith("text"))),
+      s"document text must never shuffle in the data-card build: $exchanges")
+  }
+
+  test("q218: the 100x replica grid never shuffles — only (lang, b) aggregates move") {
+    val exchanges = shuffleOutputs(
+      graft.queries.QueriesPipeline.q218_bootstrap_ci(spark, sf("sf0.001")))
+    assert(exchanges.nonEmpty, "expected the (lang, b) aggregate and lang-window shuffles")
+    assert(!exchanges.exists(e => e.exists(_.startsWith("doc_id")) || e.exists(_ == "u") || e.exists(_ == "w")),
+      s"per-(doc, replica) weight rows must reduce map-side, never shuffle: $exchanges")
+  }
 }
