@@ -1324,4 +1324,53 @@ SELECT d.source, count(*) AS n_docs,
        CAST((sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS en_ppm
 FROM d JOIN k ON k.fp = d.fp
 GROUP BY d.source ORDER BY d.source"""
+
+  /** QUALITY-CLASSIFIER CALIBRATION AUDIT — before a pipeline filters
+    * on a classifier score, it checks the score is CALIBRATED (the
+    * reliability-diagram / Brier decomposition): q140's logistic
+    * quality score is binned into fine probability buckets over the
+    * score's live range (width 0.01 from p = 0.70 — the corpus's
+    * scores concentrate in [0.74, 0.85], so coarse deciles would
+    * collapse to two bins), and each bucket reports exact-integer
+    * sufficient statistics — count, positives (label: the document
+    * has >= 45 tokens, which the score's size feature predicts — ~60%
+    * base rate at every scale), the micro-unit sum of predicted
+    * probabilities, and the micro²-unit squared-error sum (the
+    * bucket's Brier contribution). Mean-predicted-vs-observed per
+    * bucket and ECE/Brier all derive from these integers; nothing
+    * float-aggregates under the hash (p is rounded to 6 dp per row —
+    * the q140 convention — then micro-ized, so the sums are exact and
+    * order-free). Scale: one corpus pass + a ≤20-group aggregate.
+    */
+  def q220_calibration(s: SparkSession, dir: String): DataFrame = {
+    val withP = qualityZ(docs(s, dir))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("p_micro", round(col("p") * lit(1000000.0)).cast("long"))
+    val labels = docs(s, dir).select(col("doc_id"),
+      (size(Text.tokens(col("text"))) >= 45).cast("long").as("y"))
+    withP.join(labels, Seq("doc_id"))
+      .withColumn("bucket",
+        greatest(least(floor((col("p") - lit(0.70)) * 100).cast("long"), lit(19L)), lit(0L)))
+      .withColumn("err", col("p_micro") - col("y") * lit(1000000L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("y").as("n_pos"),
+        sum("p_micro").as("sum_p_micro"),
+        sum(col("err") * col("err")).as("sse_micro2"))
+      .orderBy("bucket")
+  }
+
+  val q220Sql: String =
+    raw"""WITH $QualityZSql,
+p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z),
+pm AS (SELECT doc_id, p, CAST(round(p * 1000000.0) AS BIGINT) AS p_micro FROM p),
+y AS (SELECT doc_id, CASE WHEN len($ToksSql) >= 45 THEN 1 ELSE 0 END AS y FROM documents),
+j AS (SELECT pm.doc_id, pm.p, pm.p_micro, y.y,
+             greatest(least(CAST(floor((pm.p - 0.70) * 100) AS BIGINT), 19), 0) AS bucket,
+             pm.p_micro - y.y * 1000000 AS err
+      FROM pm JOIN y ON y.doc_id = pm.doc_id)
+SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+       CAST(sum(err * err) AS BIGINT) AS sse_micro2
+FROM j GROUP BY bucket ORDER BY bucket"""
 }

@@ -163,4 +163,39 @@ class SkippingIndexSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(spec0After == spec0Files, "spec evolution must not rewrite old-spec data")
   }
+
+  test("skipping index over a delete-masked table: stats are conservative upper bounds; masked pruned read stays exact") {
+    // The q196 x q198 composition contract: deletes land as a mask
+    // (merge-on-read), so sidecars built BEFORE the deletes are not
+    // rewritten — zone maps remain VALID (they bound a superset) and
+    // n_rows becomes an UPPER bound until compaction rebuilds the
+    // dirty clusters. A pruned range read through the liveness mask
+    // must still equal the plain masked filter.
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cluster", expr("doc_id div 16"))
+    val root = java.nio.file.Files.createTempDirectory("graft-skip-dv").toFile.getAbsolutePath
+    SkippingIndex.build(d, root, "cluster", Seq("doc_id"), "doc_id")
+    val deleted = col("doc_id") % 7 === 3 // the takedown set
+    val (lo, hi) = (40L, 199L)
+    val sel = SkippingIndex.selectRange(spark, root, "doc_id", lo, hi)
+    val got = SkippingIndex.readClusters(spark, root, sel)
+      .filter(!deleted && col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = d.filter(!deleted && col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expect) && got.nonEmpty,
+      "masked pruned read must equal the plain masked filter")
+    // per-cluster: sidecar n_rows >= live count, strictly > on dirty clusters
+    val live = d.filter(!deleted).groupBy("cluster").agg(count(lit(1)).as("n_live"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val statRows = SkippingIndex.stats(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    statRows.foreach { case (c, n) =>
+      assert(n >= live.getOrElse(c, 0L),
+        s"cluster $c: sidecar n_rows $n below live count ${live(c)}")
+    }
+    assert(statRows.exists { case (c, n) => n > live.getOrElse(c, 0L) },
+      "fixture degenerate: no cluster is dirty — the upper-bound claim is vacuous")
+  }
 }
