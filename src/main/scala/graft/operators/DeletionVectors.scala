@@ -131,8 +131,9 @@ object DeletionVectors {
   private def committedDvs(spark: SparkSession, outDir: String): Seq[Long] =
     ArtifactIO.committedVersions(spark, outDir, DvPrefix)
 
-  private def dvUnion(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    val vs = committedDvs(spark, outDir)
+  private def dvUnion(spark: SparkSession, outDir: String,
+      below: Long = Long.MaxValue): Option[DataFrame] = {
+    val vs = committedDvs(spark, outDir).filter(_ < below)
     if (vs.isEmpty) None
     else Some(vs.map(v => spark.read.parquet(s"$outDir/$DvPrefix$v/dv"))
       .reduce(_ unionByName _))
@@ -148,7 +149,29 @@ object DeletionVectors {
     * side is delete-scale, so the anti-join BROADCASTS (plan-asserted
     * in DeletionVectorsSpec); the base never shuffles.
     */
-  def read(spark: SparkSession, outDir: String): DataFrame = {
+  def read(spark: SparkSession, outDir: String): DataFrame =
+    readWithCutoff(spark, outDir, Long.MaxValue)
+
+  /** The table as version `v`'s WRITER saw it: only sidecars (DVs and
+    * appends) committed with ids STRICTLY BELOW `v` apply. This is what
+    * makes every mutation replay-idempotent — a redelivered write
+    * recomputes against its predecessors, never against its own earlier
+    * (possibly torn) attempt. Refuses when a compaction has already
+    * folded version `v` into a base (manifest base version ≥ v): the
+    * pre-v state is gone, and recomputing against the folded view would
+    * silently corrupt the replay (the ADVICE-r10 unmasking bug) — the
+    * same below-the-floor refusal contract as
+    * [[graft.streaming.DeltaState]] time travel.
+    */
+  def readBefore(spark: SparkSession, outDir: String, v: Long): DataFrame = {
+    val folded = manifest(spark, outDir).filter(_._2 >= v)
+    require(folded.isEmpty,
+      s"version $v is at or below the compaction floor (shards ${folded.map(_._1).sorted.mkString(",")} " +
+        s"already folded into base >= $v) — a replay of $v cannot be recomputed")
+    readWithCutoff(spark, outDir, v)
+  }
+
+  private def readWithCutoff(spark: SparkSession, outDir: String, below: Long): DataFrame = {
     val m = manifest(spark, outDir)
     val byVersion = m.groupBy(e => (e._3, e._2)).toSeq.sortBy(_._1)
     val base = byVersion.map { case ((root, v), entries) =>
@@ -157,6 +180,7 @@ object DeletionVectors {
         .filter(col("shard").isin(shards: _*))
     }.reduce(_ unionByName _)
     val withAppends = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
+      .filter(_ < below)
       .foldLeft(base) { (acc, id) =>
         // version guard: include only shards still served by an OLDER base
         val visibleShards = m.filter(_._2 < id).map(_._1)
@@ -165,7 +189,7 @@ object DeletionVectors {
           spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
             .filter(col("shard").isin(visibleShards: _*)))
       }
-    dvUnion(spark, outDir) match {
+    dvUnion(spark, outDir, below) match {
       case Some(dv) =>
         withAppends.join(broadcast(dv.select(col("shard"), col("pos"))),
           Seq("shard", "pos"), "left_anti")
@@ -183,6 +207,11 @@ object DeletionVectors {
   def appendRows(spark: SparkSession, outDir: String, df: DataFrame,
       orderCols: Seq[String], appendId: Long): Long = {
     require(df.columns.contains("shard"), "appendRows needs a 'shard' column")
+    val m = manifest(spark, outDir)
+    // the version guard in read() is arithmetic on ids — it only holds if
+    // ids are actually monotonic, so validate instead of documenting
+    require(m.forall(_._2 < appendId),
+      s"appendId $appendId must exceed every manifest base version (max ${m.map(_._2).max})")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(orderCols.map(col): _*)
     val withPos = df.withColumn("pos",
@@ -191,6 +220,25 @@ object DeletionVectors {
     ArtifactIO.delete(spark, s"$dir/${ArtifactIO.CommitMarker}")
     withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     val n = spark.read.parquet(s"$dir/data").count()
+    // Shards this batch INTRODUCES must enter the manifest, or read()'s
+    // per-shard visibility filter hides their rows forever and the next
+    // compaction GCs them unfolded (the ADVICE-r10 silent-loss window).
+    // New entries point at the oldest existing base (which serves them
+    // zero rows — the append carries the data, visible because that base
+    // version < appendId). Manifest first, marker second: a crash
+    // in between leaves an empty-but-listed shard, which a replay of
+    // this appendId repairs; the reverse order would leave committed
+    // rows no compaction ever folds.
+    val known = m.map(_._1).toSet
+    val batchShards = spark.read.parquet(s"$dir/data")
+      .select(col("shard").cast("long")).distinct().collect().map(_.getLong(0))
+    val novel = batchShards.filterNot(known).sorted
+    if (novel.nonEmpty) {
+      val (_, oldestV, oldestRoot) = m.minBy(_._2)
+      ArtifactIO.writeAtomicString(spark, s"$outDir/$ManifestFile",
+        (m ++ novel.map(s => (s, oldestV, oldestRoot)))
+          .map(manifestLine(outDir)).mkString("\n"))
+    }
     ArtifactIO.commit(spark, dir)
     n
   }
@@ -200,16 +248,18 @@ object DeletionVectors {
     * and the whole batch lands as an append — one O(batch) sidecar +
     * one O(batch) data write, no base rewrite; [[read]] serves the
     * merged view and [[compactApply]] folds both in later. REPLAY-
-    * idempotent: the match scan excludes version `v`'s own position
-    * namespace, so a redelivered upsert recomputes the same vector
-    * against its predecessors instead of masking its own earlier
-    * append (positions encode their version — see [[PosShift]]).
+    * idempotent: the match scan is [[readBefore]] version `v` — only
+    * sidecars with ids < v apply — so a redelivered upsert recomputes
+    * the same vector against its predecessors. (Filtering out only v's
+    * own position NAMESPACE is not enough: the replay's read would
+    * apply v's own committed DV, see an already-masked predecessor,
+    * recompute an EMPTY vector, and overwrite the original sidecar —
+    * unmasking the updated base rows. The ADVICE-r10 bug.)
     * Returns (rows updated, rows appended).
     */
   def upsert(spark: SparkSession, outDir: String, batch: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], v: Long): (Long, Long) = {
-    val predecessor = read(spark, outDir)
-      .filter(col("pos") < lit(v << PosShift) || col("pos") >= lit((v + 1) << PosShift))
+    val predecessor = readBefore(spark, outDir, v)
     val nDel = writeDv(spark, outDir, v,
       predecessor.join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
         .select(col("shard"), col("pos")))
@@ -227,23 +277,26 @@ object DeletionVectors {
     n
   }
 
-  /** Delete the LIVE rows matching `pred` as deletion vector `dvId`;
-    * rows already masked by earlier vectors are not re-recorded (the
-    * sidecars stay disjoint). Returns the number of positions written.
+  /** Delete the rows live BEFORE version `dvId` matching `pred`; rows
+    * already masked by earlier vectors are not re-recorded (the sidecars
+    * stay disjoint), and a RETRIED delete recomputes against the
+    * pre-delete state ([[readBefore]]) instead of finding its targets
+    * already masked and writing an empty vector over the original.
+    * Returns the number of positions written.
     */
   def deleteWhere(spark: SparkSession, outDir: String, pred: Column,
       dvId: Long): Long =
     writeDv(spark, outDir, dvId,
-      read(spark, outDir).filter(pred).select(col("shard"), col("pos")))
+      readBefore(spark, outDir, dvId).filter(pred).select(col("shard"), col("pos")))
 
   /** Delete the live rows matching `keys` on `joinCols` (the GDPR /
     * takedown-list shape: the delete set arrives as keys, not a
-    * predicate). Same disjointness contract as [[deleteWhere]].
+    * predicate). Same disjointness + replay contract as [[deleteWhere]].
     */
   def deleteMatching(spark: SparkSession, outDir: String, keys: DataFrame,
       joinCols: Seq[String], dvId: Long): Long =
     writeDv(spark, outDir, dvId,
-      read(spark, outDir).join(keys, joinCols, "left_semi")
+      readBefore(spark, outDir, dvId).join(keys, joinCols, "left_semi")
         .select(col("shard"), col("pos")))
 
   /** Fold the deletion vectors AND appends in: rewrite ONLY the shards
@@ -264,6 +317,12 @@ object DeletionVectors {
       gc: Boolean = true): Seq[Long] = {
     val dvs = committedDvs(spark, outDir)
     val apps = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
+    // read()'s version guard (appends visible only where base < append id)
+    // is pure id arithmetic — a non-monotonic newBaseId would silently
+    // hide unfolded appends or double-count folded ones, so validate here
+    val maxSeen = (dvs ++ apps ++ manifest(spark, outDir).map(_._2) :+ -1L).max
+    require(newBaseId > maxSeen,
+      s"newBaseId $newBaseId must exceed every committed DV/append id and base version (max $maxSeen)")
     // |shards|-bounded driver collects (metadata scale)
     val dvShards = dvUnion(spark, outDir).map(_.select(col("shard").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)

@@ -126,9 +126,18 @@ class DeletionVectorsSpec extends SparkSpec {
       base.collect { case (k, v) if k % 7 == 3 => (k + maxId + 1) -> (v + 7) }
     assert(nDel1 == base.keys.count(_ % 5 == 2) && nApp1 > nDel1)
     assert(liveMap() == want1)
-    // REPLAY of the same upsert: state must not change (the match scan
-    // excludes version 1's own position namespace)
-    DeletionVectors.upsert(spark, dir, batch1, Seq("doc_id"), Seq("doc_id"), 1L)
+    val rowsBefore = DeletionVectors.read(spark, dir).count()
+    // REPLAY of the same upsert: same counts, same ROW COUNT (a Map
+    // comparison alone collapses duplicate keys — the r10 blind spot
+    // that let the unmasking bug ship green), no duplicated key
+    val (nDelR, nAppR) = DeletionVectors.upsert(spark, dir, batch1, Seq("doc_id"), Seq("doc_id"), 1L)
+    assert((nDelR, nAppR) == ((nDel1, nApp1)),
+      s"replay returned ($nDelR, $nAppR), original ($nDel1, $nApp1)")
+    assert(DeletionVectors.read(spark, dir).count() == rowsBefore,
+      "replayed upsert changed the live row count")
+    val dups = DeletionVectors.read(spark, dir).groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, s"replayed upsert left $dups duplicated doc_ids")
     assert(liveMap() == want1, "replayed upsert changed the state")
     // batch 2 updates APPENDED rows (deletion vectors against append positions)
     val batch2 = ins.filter(col("doc_id") % 2 === 0)
@@ -152,6 +161,65 @@ class DeletionVectorsSpec extends SparkSpec {
     val pos = DeletionVectors.read(spark, dir).select("shard", "pos")
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(pos.distinct.length == pos.length, "duplicate (shard, pos)")
+  }
+
+  test("retried deletes are idempotent: same count, same state, no unmasking") {
+    import spark.implicits._
+    val dir = freshTable()
+    val n1 = DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 200, 1L)
+    val after1 = liveIds(dir)
+    // retry with the SAME dvId: before the readBefore fix this recomputed
+    // against the already-masked view, wrote an EMPTY vector over the
+    // original sidecar, and resurrected every deleted row
+    val n1r = DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 200, 1L)
+    assert(n1r == n1, s"retried delete wrote $n1r positions, original $n1")
+    assert(liveIds(dir) == after1, "retried delete changed the state")
+    val keys = Seq(400L, 401L, 402L).toDF("doc_id")
+    val n2 = DeletionVectors.deleteMatching(spark, dir, keys, Seq("doc_id"), 2L)
+    val after2 = liveIds(dir)
+    val n2r = DeletionVectors.deleteMatching(spark, dir, keys, Seq("doc_id"), 2L)
+    assert(n2r == n2 && liveIds(dir) == after2, "retried deleteMatching not idempotent")
+  }
+
+  test("appendRows introducing a NEW shard: rows visible, manifest extended, fold keeps them") {
+    import spark.implicits._
+    val dir = freshTable()
+    val before = liveIds(dir)
+    // shard 99 exists in no base file — pre-fix these rows were invisible
+    // to read() and silently GC'd by the next compaction
+    val novel = Seq((900001L, 123L, 99L), (900002L, 456L, 99L))
+      .toDF("doc_id", "n_chars", "shard")
+    val n = DeletionVectors.appendRows(spark, dir, novel, Seq("doc_id"), 1L)
+    assert(n == 2)
+    assert(liveIds(dir) == before ++ Set(900001L, 900002L),
+      "new-shard appended rows must be visible")
+    DeletionVectors.compactApply(spark, dir, 10L)
+    assert(liveIds(dir) == before ++ Set(900001L, 900002L),
+      "compaction lost the new-shard appended rows")
+    // and they are deletable afterwards like any other row
+    DeletionVectors.deleteWhere(spark, dir, col("doc_id") === 900001L, 11L)
+    assert(liveIds(dir) == before + 900002L)
+  }
+
+  test("non-monotonic version ids and below-floor replays are rejected loudly") {
+    import spark.implicits._
+    val dir = freshTable()
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 150, 1L)
+    DeletionVectors.compactApply(spark, dir, 5L)
+    val batch = Seq((900001L, 1L, 0L)).toDF("doc_id", "n_chars", "shard")
+    // appendId at/below the folded base version breaks the version guard
+    intercept[IllegalArgumentException] {
+      DeletionVectors.appendRows(spark, dir, batch, Seq("doc_id"), 5L)
+    }
+    // a replayed mutation below the compaction floor cannot be recomputed
+    intercept[IllegalArgumentException] {
+      DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 150, 1L)
+    }
+    // a compaction id that does not exceed every committed id is rejected
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 200, 6L)
+    intercept[IllegalArgumentException] {
+      DeletionVectors.compactApply(spark, dir, 6L)
+    }
   }
 
   test("zero-copy clone: no data copied, sidecar state carried, branches isolated both ways") {
