@@ -7,6 +7,37 @@ import org.apache.spark.sql.SparkSession
   * evaluation of every operator without write-path cost.
   */
 object Bench {
+  /** No Spark job on this host finishes in under ~50 ms (task scheduling
+    * alone costs more), so a sub-floor "timing" is a failure that didn't
+    * throw — e.g. a plan that died before launching work. Timings below
+    * the floor are recorded as FAILURES, never as measurements: one
+    * broken sweep in round 10 poisoned 37 bench_quiet.json entries with
+    * 4–9 ms values because the old timeOnce caught the Throwable and
+    * returned the elapsed time anyway.
+    */
+  val FloorSec = 0.05
+
+  /** Time one run of a catalog query. None = the query FAILED (threw, or
+    * finished impossibly fast — see [[FloorSec]]); a failed run must
+    * never enter a minimum/fold as a timing.
+    */
+  def timeOnce(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < FloorSec) {
+        System.err.println(f"[bench] $name FAILED: sub-floor timing $sec%.4fs (< $FloorSec) — not a measurement")
+        None
+      } else Some(sec)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,22 +76,22 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      (System.nanoTime() - t0) / 1e9
-    }
     val sweep = selected.map { case (name, fn) =>
       val load = osBean.getSystemLoadAverage
-      val times = (1 to repeats).map(_ => timeOnce(name, fn))
-      val sec = times.min
-      System.err.println(f"[bench] $name $sec%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")}, load1m: $load%.1f)")
+      val times = (1 to repeats).flatMap(_ => timeOnce(spark, sfDir, name, fn))
+      val sec = times.minOption
+      sec match {
+        case Some(s) =>
+          System.err.println(f"[bench] $name $s%.2fs (runs: ${times.map(t => f"$t%.2f").mkString("/")}, load1m: $load%.1f)")
+        case None =>
+          System.err.println(f"[bench] $name FAILED all $repeats runs (load1m: $load%.1f)")
+      }
       // Each query call builds fresh persisted subplans (shingle/norm
       // tables); drop them so cache memory doesn't creep across the run.
       spark.catalog.clearCache()
       (name, sec, load)
     }
+    val failed = sweep.collect { case (name, None, _) => name }
     // Contention-proofing: a query timed while the host's 1-min load sat
     // far above this bench's own ~2-3 footprint measured the HOST, not
     // the plan (the BENCH_r04/r05/r07 failure mode). Re-run those once
@@ -76,7 +107,10 @@ object Bench {
     // committed quiet-sweep snapshot (regenerated when the catalog
     // changes); queries absent from it — e.g. just-added ones — fall back
     // to the load trigger alone. 2.5× with a +1s absolute floor so
-    // sub-second jitter on cheap queries never trips it.
+    // sub-second jitter on cheap queries never trips it. A sub-floor
+    // reference entry would make the trigger fire on every sweep, so the
+    // quiet file is floor-filtered on load (and fold_quiet.py refuses to
+    // write such entries in the first place).
     val quietRef: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET", "/root/repo/bench_quiet.json")
       val f = new java.io.File(path)
@@ -84,21 +118,22 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= FloorSec).toMap
       }
     }
     def outlier(name: String, sec: Double): Boolean =
       quietRef.get(name).exists(q => sec > math.max(2.5 * q, q + 1.0))
     val contended = sweep.collect {
-      case (name, sec, load) if load > LoadThreshold || outlier(name, sec) => name
+      case (name, Some(sec), load) if load > LoadThreshold || outlier(name, sec) => name
     }.toSet
-    val results = sweep.map { case (name, sec, load) =>
+    val results = sweep.collect { case (name, Some(sec), load) =>
       if (contended(name)) {
         val fn = SparkEntry.queries(name)
-        val again = timeOnce(name, fn)
+        val again = timeOnce(spark, sfDir, name, fn)
         spark.catalog.clearCache()
-        System.err.println(f"[bench] $name retry $again%.2fs (was $sec%.2fs under load $load%.1f)")
-        (name, math.min(sec, again), load)
+        System.err.println(f"[bench] $name retry ${again.fold("FAILED")(t => f"$t%.2fs")} (was $sec%.2fs under load $load%.1f)")
+        (name, math.min(sec, again.getOrElse(Double.MaxValue)), load)
       } else (name, sec, load)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -109,21 +144,35 @@ object Bench {
       if (contended.nonEmpty)
         s""","contended":[${contended.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
       else ""
+    // A broken sweep must be LOUD, never fast: failed queries are listed
+    // by name on the full line, counted on the compact line, and the
+    // process exits nonzero — a fold/minima step downstream can never
+    // mistake a failure for a 5 ms timing again.
+    val failedFull =
+      if (failed.nonEmpty)
+        s""","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+      else ""
     // Full JSON first; the capture downstream keeps only the LAST ~2000
-    // chars of output, and the full line (96 times + 96 loads + the
+    // chars of output, and the full line (220 times + 220 loads + the
     // contended name array) exceeds that — round 6 lost its entire times
     // map this way, and rounds 8/9 lost the TOTAL because the contended
     // array was appended to the final line too. The final line is a
     // compact summary that must ALWAYS survive the tail capture, so it
     // carries only fixed-size fields: total, n, slowest-5, peak load1m,
-    // the subset marker, and the contended COUNT (the full name list
-    // lives on the full line above and in stderr). At 5 query names of
-    // ≤40 chars the line stays well under 500 chars at any catalog size.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir","n_queries":${results.size}$subsetFlag$contendedFull}""")
+    // the subset marker, and the contended/failed COUNTS (the full name
+    // lists live on the full line above and in stderr). build.sbt sets
+    // `showSuccess := false` so this compact line is also the LITERAL
+    // last line of stdout — sbt's own `[success] Total time` epilogue
+    // broke last-line JSON parsers for three rounds.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1m":$loads,"sf":"$sfDir","n_queries":${results.size}$subsetFlag$contendedFull$failedFull}""")
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val maxLoad = f"${if (results.nonEmpty) results.map(_._3).max else 0.0}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest5":$slowest,"max_load1m":$maxLoad$subsetFlag,"contended_n":${contended.size}}""")
+    val maxLoad = f"${if (sweep.nonEmpty) sweep.map(_._3).max else 0.0}%.1f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest5":$slowest,"max_load1m":$maxLoad$subsetFlag,"contended_n":${contended.size},"failed_n":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
