@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.ArtifactIO
+import graft.core.{ArtifactIO, CommitLog}
 
 /** DELETION VECTORS — row-level deletes on immutable columnar storage
   * without rewriting data files (the Delta/Iceberg "merge-on-read
@@ -65,9 +65,9 @@ object DeletionVectors {
       .partitionBy("shard").orderBy(orderCols.map(col): _*)
     val withPos = df.withColumn("pos", row_number().over(w).cast("long"))
     val dir = s"$outDir/${BasePrefix}0"
-    ArtifactIO.delete(spark, s"$dir/${ArtifactIO.CommitMarker}")
+    CommitLog.begin(spark, dir)
     withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
-    ArtifactIO.commit(spark, dir)
+    CommitLog.publish(spark, dir)
     // |shards|-row driver collect: the manifest is metadata-scale
     val shards = withPos.select(col("shard").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -217,7 +217,7 @@ object DeletionVectors {
     val withPos = df.withColumn("pos",
       lit(appendId << PosShift) + row_number().over(w).cast("long"))
     val dir = s"$outDir/$AppendPrefix$appendId"
-    ArtifactIO.delete(spark, s"$dir/${ArtifactIO.CommitMarker}")
+    CommitLog.begin(spark, dir)
     withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     val n = spark.read.parquet(s"$dir/data").count()
     // Shards this batch INTRODUCES must enter the manifest, or read()'s
@@ -239,7 +239,7 @@ object DeletionVectors {
         (m ++ novel.map(s => (s, oldestV, oldestRoot)))
           .map(manifestLine(outDir)).mkString("\n"))
     }
-    ArtifactIO.commit(spark, dir)
+    CommitLog.publish(spark, dir)
     n
   }
 
@@ -270,10 +270,10 @@ object DeletionVectors {
   private def writeDv(spark: SparkSession, outDir: String, dvId: Long,
       rows: DataFrame): Long = {
     val dir = s"$outDir/$DvPrefix$dvId"
-    ArtifactIO.delete(spark, s"$dir/${ArtifactIO.CommitMarker}")
+    CommitLog.begin(spark, dir)
     rows.write.mode("overwrite").parquet(s"$dir/dv")
     val n = spark.read.parquet(s"$dir/dv").count()
-    ArtifactIO.commit(spark, dir)
+    CommitLog.publish(spark, dir)
     n
   }
 
@@ -339,7 +339,7 @@ object DeletionVectors {
     ArtifactIO.delete(spark, dir) // crashed previous attempt
     read(spark, outDir).filter(col("shard").isin(dirty: _*))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
-    ArtifactIO.commit(spark, dir)
+    CommitLog.publish(spark, dir)
     val m = m0.map { case (s, v, root) =>
       if (dirty.contains(s)) (s, newBaseId, outDir) else (s, v, root)
     }
@@ -350,5 +350,64 @@ object DeletionVectors {
       apps.foreach(v => ArtifactIO.delete(spark, s"$outDir/$AppendPrefix$v"))
     }
     dirty
+  }
+
+  // ------------------------------------------------------------------
+  // CONCURRENT WRITERS — the explicit-version API above assumes ONE
+  // writer picks ids (a stream's batch ids). Two ad-hoc writers (a
+  // takedown job racing a curation upsert) instead ALLOCATE their
+  // version through the shared commit log's atomic claim, which
+  // serializes them: the loser's claim conflicts and it probes to the
+  // next id, recomputing against the winner's now-committed state —
+  // optimistic concurrency, no lost updates (CommitLogSpec pins the
+  // interleavings).
+  // ------------------------------------------------------------------
+
+  /** Highest id any versioned piece of the table carries — the
+    * allocation floor that keeps ids monotonic ACROSS prefixes (a DV
+    * claimed at id 7 must also exceed append 6 and base 5).
+    */
+  private def versionFloor(spark: SparkSession, outDir: String): Long =
+    (committedDvs(spark, outDir) ++
+      ArtifactIO.committedVersions(spark, outDir, AppendPrefix) ++
+      (Seq(DvPrefix, AppendPrefix, BasePrefix)
+        .flatMap(p => CommitLog.claimed(spark, outDir, p))) ++
+      manifest(spark, outDir).map(_._2) :+ -1L).max
+
+  private def releaseClaim(spark: SparkSession, outDir: String, prefix: String,
+      id: Long): Unit =
+    ArtifactIO.delete(spark, s"$outDir/$prefix$id${CommitLog.ClaimSuffix}")
+
+  /** [[deleteWhere]] with commit-log id allocation. Returns (version id,
+    * positions deleted).
+    */
+  def deleteWhereConcurrent(spark: SparkSession, outDir: String,
+      pred: Column): (Long, Long) = {
+    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
+    val n = deleteWhere(spark, outDir, pred, id)
+    releaseClaim(spark, outDir, DvPrefix, id)
+    (id, n)
+  }
+
+  /** [[deleteMatching]] with commit-log id allocation. */
+  def deleteMatchingConcurrent(spark: SparkSession, outDir: String,
+      keys: DataFrame, joinCols: Seq[String]): (Long, Long) = {
+    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
+    val n = deleteMatching(spark, outDir, keys, joinCols, id)
+    releaseClaim(spark, outDir, DvPrefix, id)
+    (id, n)
+  }
+
+  /** [[upsert]] with commit-log id allocation (the id claims BOTH the
+    * DV and the append slot — one claim on the DV prefix, since ids are
+    * shared across prefixes by the [[versionFloor]] convention).
+    * Returns (version id, rows updated, rows appended).
+    */
+  def upsertConcurrent(spark: SparkSession, outDir: String, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String]): (Long, Long, Long) = {
+    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
+    val (nDel, nApp) = upsert(spark, outDir, batch, keyCols, orderCols, id)
+    releaseClaim(spark, outDir, DvPrefix, id)
+    (id, nDel, nApp)
   }
 }

@@ -807,4 +807,171 @@ SELECT sel.spec_id, sel.cluster, sel.n_rows, sel.min_id, sel.max_id,
        COALESCE(mr.match_rows, CAST(0 AS BIGINT)) AS match_rows
 FROM sel LEFT JOIN mr ON mr.spec_id = sel.spec_id AND mr.cluster = sel.cluster
 ORDER BY sel.spec_id, sel.cluster"""
+
+  /** ONE TABLE, THREE SUBSTRATES, ONE COMMIT LOG — the lakehouse
+    * transaction composition ([[graft.core.CommitLog]], round 11): the
+    * corpus lives as a deletion-vector table (16 id-range shards), its
+    * file statistics live as a stats-ONLY skipping index over the same
+    * files ([[graft.sources.SkippingIndex.buildStats]] — Iceberg's
+    * metadata-over-existing-files shape, no data copy), and per-row
+    * liveness is mirrored into a delta-state LWW chain whose CHANGE
+    * DATA FEED exposes every mutation. The lifecycle under the hash:
+    *
+    *  1. TAKEDOWN of every non-canonical content duplicate, with the
+    *     deletion-vector version id allocated through the commit log's
+    *     atomic claim ([[graft.operators.DeletionVectors
+    *     .deleteMatchingConcurrent]] — the id itself is hashed, so the
+    *     allocation protocol is under the gate);
+    *  2. CDF of the change (update rows flipping alive 1→0, counted and
+    *     checksummed through [[graft.streaming.DeltaState
+    *     .changesBetween]]);
+    *  3. PRUNED MASKED READS: a zone-map range probe and a bloom point
+    *     probe admit shards from the sidecars, and the data scan is the
+    *     DV table's `shard IN (…)` (PartitionFilters) with the
+    *     delete mask's broadcast anti-join on top — index pruning and
+    *     merge-on-read composing in one plan;
+    *  4. the JANITOR ([[graft.core.CommitLog.janitor]], the one
+    *     compaction entry point) folds the DV sidecars into rewritten
+    *     dirty shards under a log-allocated base id and folds the state
+    *     chain to its retention floor — after which the same pruned
+    *     reads and the same CDF must still hold (the post-fold rows).
+    *
+    * Scale: every audit collect is |shards|- or scalar-bounded; the
+    * corpus shuffles once (position assignment at writeBase) and the
+    * probes open only admitted shard directories.
+    */
+  def q221_lakehouse_txn(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.CommitLog
+    import graft.operators.DeletionVectors
+    import graft.sources.SkippingIndex
+    import graft.streaming.DeltaState
+    import graft.functions.PortableHash
+    import graft.text.Text
+    import s.implicits._
+    val out = tmp("graft_q221_lake_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh table per run (the fold mutates state)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
+    // 1-row driver scalars: shard width targeting 16 "files", point key
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val w = math.ceil((maxId + 1) / 16.0).toLong
+    val h = d.filter(col("doc_id") === 42).select("fp").head.getLong(0)
+    val base = d.withColumn("shard", expr(s"doc_id div $w"))
+    val (table, skip, state) = (s"$out/table", s"$out/skip", s"$out/state")
+    DeletionVectors.writeBase(base, table, Seq("doc_id"))
+    SkippingIndex.buildStats(base.withColumn("cluster", col("shard")), skip,
+      "cluster", Seq("doc_id"), "fp")
+    val layout = Seq(DeltaState.Table("live", DeltaState.Lww(Seq("doc_id"))))
+    DeltaState.writeDelta(s, state, 0L, layout,
+      Seq("live" -> base.select(col("doc_id"), lit(1L).as("alive"))))
+    // takedown: non-canonical duplicates by fingerprint, id from the log
+    val live0 = DeletionVectors.read(s, table)
+    val keepers = live0.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val dupIds = live0.join(keepers, Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    val (txnId, nDel) = DeletionVectors.deleteMatchingConcurrent(s, table, dupIds, Seq("doc_id"))
+    DeltaState.writeDelta(s, state, 1L, layout,
+      Seq("live" -> dupIds.select(col("doc_id"), lit(0L).as("alive"))))
+    def cdfAgg(): (Long, Long, Long) = {
+      val r = DeltaState.changesBetween(s, state, layout.head, 0L, 1L).get.agg(
+        coalesce(sum(when(col("change") === "update" &&
+          col("pre_alive") === 1L && col("post_alive") === 0L, 1L)), lit(0L)).as("n_upd"),
+        coalesce(sum(when(col("change") === "update", col("doc_id") % 1000000007L)), lit(0L)).as("ck"),
+        coalesce(sum(when(col("change") === "insert", 1L)), lit(0L)).as("n_ins")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val cdf1 = cdfAgg()
+    // pruned masked reads: sidecar admission -> DV-table PartitionFilters scan
+    val (lo, hi) = (3 * w + 1, 5 * w + w / 2)
+    val rSel = SkippingIndex.selectRange(s, skip, "doc_id", lo, hi)
+    val pSel = SkippingIndex.selectPoint(s, skip, h)
+    def rangeAgg(): (Long, Long) = {
+      val r = DeletionVectors.read(s, table)
+        .filter(col("shard").isin(rSel: _*) && col("doc_id").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum((col("doc_id") * 31 + col("n_chars")) % 1000000007L), lit(0L)).as("ck")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val r1 = rangeAgg()
+    val pointN = DeletionVectors.read(s, table)
+      .filter(col("shard").isin(pSel: _*) && col("fp") === h).count()
+    // the ONE compaction entry point, on both mutated substrates
+    val jr = CommitLog.janitor(s, table)
+    CommitLog.janitor(s, state)
+    val r2 = rangeAgg()
+    val cdf2 = cdfAgg()
+    val rows: Seq[(String, Long, Long)] =
+      rSel.map(c => ("admit_range", c, 1L)) ++
+      pSel.map(c => ("admit_point", c, 1L)) ++
+      Seq(
+        ("takedown", 0L, txnId),
+        ("takedown", 1L, nDel),
+        ("cdf", 0L, cdf1._1), ("cdf", 1L, cdf1._2), ("cdf", 2L, cdf1._3),
+        ("range_read", 0L, r1._1), ("range_read", 1L, r1._2),
+        ("point_read", 0L, pointN),
+        ("janitor", 0L, jr.removed.size.toLong),
+        ("janitor", 1L, jr.removed.map(_ % 1000000007L).sum),
+        ("postfold_range", 0L, r2._1), ("postfold_range", 1L, r2._2),
+        ("postfold_cdf", 0L, cdf2._1))
+    rows.toDF("section", "k", "v").orderBy("section", "k", "v")
+  }
+
+  val q221Sql: String = {
+    import graft.sources.SkippingIndex.{probeA1, probeB1, probeA2, probeB2, P, Words, WordBits}
+    val bits = Words * WordBits
+    raw"""WITH d AS (SELECT doc_id, n_chars, ${QueriesDedup.polyHashSql(s"array_to_string(${QueriesText.ToksSql}, ' ')")} AS fp FROM documents),
+wv AS (SELECT CAST(ceil((max(doc_id) + 1) / 16.0) AS BIGINT) AS w FROM d),
+c AS (SELECT doc_id, n_chars, fp, doc_id // w AS shard FROM d CROSS JOIN wv),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM c GROUP BY fp),
+dup AS (SELECT c.doc_id, c.shard FROM c JOIN keep ON keep.fp = c.fp WHERE c.doc_id <> keep.keep_id),
+live AS (SELECT c.* FROM c JOIN keep ON keep.fp = c.fp AND c.doc_id = keep.keep_id),
+st AS (SELECT shard, min(doc_id) AS min_id, max(doc_id) AS max_id FROM c GROUP BY shard),
+bounds AS (SELECT 3 * w + 1 AS lo, 5 * w + w // 2 AS hi FROM wv),
+admit_r AS (SELECT st.shard FROM st CROSS JOIN bounds b
+            WHERE st.min_id <= b.hi AND st.max_id >= b.lo),
+pk AS (SELECT fp AS h FROM d WHERE doc_id = 42),
+bloom AS (SELECT shard, bp // $WordBits AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bp % $WordBits AS INTEGER)) AS mask
+          FROM (SELECT shard, (((fp % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp FROM c
+                UNION ALL
+                SELECT shard, (((fp % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp FROM c)
+          GROUP BY shard, word),
+pb AS (SELECT (((h % $P) * $probeA1 + $probeB1) % $P) % $bits AS bp0,
+              (((h % $P) * $probeA2 + $probeB2) % $P) % $bits AS bp1 FROM pk),
+admit_p AS (SELECT st.shard FROM st CROSS JOIN pb
+            LEFT JOIN bloom b1 ON b1.shard = st.shard AND b1.word = pb.bp0 // $WordBits
+              AND (b1.mask & (CAST(1 AS BIGINT) << CAST(pb.bp0 % $WordBits AS INTEGER))) <> 0
+            LEFT JOIN bloom b2 ON b2.shard = st.shard AND b2.word = pb.bp1 // $WordBits
+              AND (b2.mask & (CAST(1 AS BIGINT) << CAST(pb.bp1 % $WordBits AS INTEGER))) <> 0
+            WHERE b1.shard IS NOT NULL AND b2.shard IS NOT NULL),
+rr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(COALESCE(sum((live.doc_id * 31 + live.n_chars) % 1000000007), 0) AS BIGINT) AS ck
+       FROM live JOIN admit_r ON admit_r.shard = live.shard
+       CROSS JOIN bounds b WHERE live.doc_id BETWEEN b.lo AND b.hi),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM live JOIN admit_p ON admit_p.shard = live.shard
+       CROSS JOIN pk WHERE live.fp = pk.h),
+td AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(COALESCE(sum(doc_id % 1000000007), 0) AS BIGINT) AS ck FROM dup),
+dsh AS (SELECT DISTINCT shard FROM dup),
+dirty AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(COALESCE(sum(shard % 1000000007), 0) AS BIGINT) AS ck FROM dsh)
+SELECT section, k, v FROM (
+  SELECT 'admit_range' AS section, shard AS k, CAST(1 AS BIGINT) AS v FROM admit_r
+  UNION ALL SELECT 'admit_point', shard, CAST(1 AS BIGINT) FROM admit_p
+  UNION ALL SELECT 'takedown', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL SELECT 'takedown', CAST(1 AS BIGINT), n FROM td
+  UNION ALL SELECT 'cdf', CAST(0 AS BIGINT), n FROM td
+  UNION ALL SELECT 'cdf', CAST(1 AS BIGINT), ck FROM td
+  UNION ALL SELECT 'cdf', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL SELECT 'range_read', CAST(0 AS BIGINT), n FROM rr
+  UNION ALL SELECT 'range_read', CAST(1 AS BIGINT), ck FROM rr
+  UNION ALL SELECT 'point_read', CAST(0 AS BIGINT), n FROM pt
+  UNION ALL SELECT 'janitor', CAST(0 AS BIGINT), n FROM dirty
+  UNION ALL SELECT 'janitor', CAST(1 AS BIGINT), ck FROM dirty
+  UNION ALL SELECT 'postfold_range', CAST(0 AS BIGINT), n FROM rr
+  UNION ALL SELECT 'postfold_range', CAST(1 AS BIGINT), ck FROM rr
+  UNION ALL SELECT 'postfold_cdf', CAST(0 AS BIGINT), n FROM td
+) ORDER BY section, k, v"""
+  }
 }

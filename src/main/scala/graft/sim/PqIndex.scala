@@ -199,8 +199,24 @@ object PqIndex {
     * SEPARATE inputs — the persisted-artifact shape: the compressed
     * codes table (M bytes/vector) is the scan side, and the full
     * embeddings are touched only to re-rank the k winners per query.
+    *
+    * Since round 11 this routes through the LOOKUP-TABLE kernel
+    * ([[adcTopKSplitLut]] semantics): the query batch is driver-bounded
+    * by the serving convention, so the per-candidate work is M array
+    * reads instead of d multiply-adds — bit-equal distances (PqSpec
+    * pins full-result equality against [[adcTopKSplitExpr]]), so every
+    * oracle replays unchanged.
     */
   def adcTopKSplit(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: Model, k: Int): DataFrame =
+    adcTopKSplitLut(codes, corpus, queries, model, k)
+
+  /** The expression-arithmetic formulation (d multiply-adds per
+    * candidate row, no driver-side query collect) — the path for
+    * UNBOUNDED query batches, and the cross-check reference the LUT
+    * kernel is spec-pinned against.
+    */
+  def adcTopKSplitExpr(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
       model: Model, k: Int): DataFrame = {
     val candidates = codes
       .select(col("vec_id"), col("codes"))
@@ -654,25 +670,58 @@ object PqIndex {
     */
   def adcTopKIvfResidual(indexed: DataFrame, queries: DataFrame,
       ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // Probe selection and per-cell query residuals stay IN-PLAN (the
+    // engine's own float arithmetic picks the cells), then the
+    // |queries|×nprobe probe rows — driver-bounded by the serving
+    // convention — collect once and each becomes a per-(query, cell)
+    // M×ksub lookup table, so the per-candidate work in the probed
+    // cells is M array reads (bit-equal to the expression path —
+    // PqSpec pins full-result equality).
+    val probeRows = residualProbes(queries, ivf, nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        queryLut(r.getSeq[Float](2).toArray, pq)))
+    val lutDf = probeRows.toSeq.toDF("query_id", "cluster", "__lut")
+    val candidates = indexed
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(broadcast(lutDf), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(org.apache.spark.sql.graft.AdcLookup.adc(col("codes"), col("__lut")), 6)
+          .as("adc_dist"))
+    rankAndRerank(candidates, indexed, queries, k)
+  }
+
+  /** Expression-arithmetic residual IVF-PQ (unbounded query batches /
+    * the LUT cross-check reference).
+    */
+  def adcTopKIvfResidualExpr(indexed: DataFrame, queries: DataFrame,
+      ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val candidates = indexed
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(residualProbes(queries, ivf, nprobe), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDist(pq).as("adc_dist"))
+    rankAndRerank(candidates, indexed, queries, k)
+  }
+
+  /** Each probe row carries the query's residual AGAINST THAT CELL as
+    * its ADC query vector: (query_id, cluster, query_vec = residual).
+    */
+  private def residualProbes(queries: DataFrame, ivf: IvfIndex.Model,
+      nprobe: Int): DataFrame = {
     val cellScores: Seq[Column] = ivf.centroids.toSeq.zipWithIndex.map { case (ctr, j) =>
       val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
       struct((lit(ctr.map(x => x * x).sum) -
         lit(2.0) * VectorExpressions.dotF32(col("query_vec"), cLit)).as("s"),
         lit(j).as("c"))
     }
-    // each probe row carries the query's residual AGAINST THAT CELL as
-    // its ADC query vector
-    val probes = queries
+    queries
       .withColumn("__probe", explode(slice(array_sort(array(cellScores: _*)), 1, nprobe)))
       .withColumn("cluster", col("__probe.c"))
       .select(col("query_id"), col("cluster"),
         residualCol(col("query_vec"), col("cluster"), ivf).as("query_vec"))
-    val candidates = indexed
-      .select(col("vec_id"), col("cluster"), col("codes"))
-      .join(probes, Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcDist(pq).as("adc_dist"))
-    rankAndRerank(candidates, indexed, queries, k)
   }
 
   /** IVF-PQ (the faiss composite index): candidates come from the
@@ -686,23 +735,51 @@ object PqIndex {
     */
   def adcTopKIvf(indexed: DataFrame, queries: DataFrame,
       ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // Raw-vector PQ: the lookup table depends on the query alone (not
+    // the probed cell), so one M×ksub table per query broadcasts next
+    // to the in-plan probe join — per-candidate work is M array reads.
+    val lutDf = queries.select(col("query_id"), col("query_vec")).collect()
+      .map(r => (r.getLong(0), queryLut(r.getSeq[Float](1).toArray, pq)))
+      .toSeq.toDF("query_id", "__lut")
+    val candidates = indexed
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(ivfProbes(queries, ivf, nprobe), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(org.apache.spark.sql.graft.AdcLookup.adc(col("codes"), col("__lut")), 6)
+          .as("adc_dist"))
+    rankAndRerank(candidates, indexed, queries, k)
+  }
+
+  /** Expression-arithmetic IVF-PQ (unbounded query batches / the LUT
+    * cross-check reference).
+    */
+  def adcTopKIvfExpr(indexed: DataFrame, queries: DataFrame,
+      ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val candidates = indexed
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(ivfProbes(queries, ivf, nprobe), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDist(pq).as("adc_dist"))
+    rankAndRerank(candidates, indexed, queries, k)
+  }
+
+  private def ivfProbes(queries: DataFrame, ivf: IvfIndex.Model,
+      nprobe: Int): DataFrame = {
     val cellScores: Seq[Column] = ivf.centroids.toSeq.zipWithIndex.map { case (ctr, j) =>
       val cLit = array(ctr.map(x => lit(x.toFloat)): _*)
       struct((lit(ctr.map(x => x * x).sum) -
         lit(2.0) * VectorExpressions.dotF32(col("query_vec"), cLit)).as("s"),
         lit(j).as("c"))
     }
-    val probes = queries
-      .withColumn("__probe", explode(slice(array_sort(array(cellScores: _*)), 1, nprobe)))
-      .select(col("query_id"), col("query_vec"), col("__probe.c").as("cluster"))
     // No broadcast hint: AQE sizes the probe side at runtime (the
     // IvfIndex.annTopK convention — a huge query batch shuffles on
     // `cluster` instead of OOMing the driver).
-    val candidates = indexed
-      .select(col("vec_id"), col("cluster"), col("codes"))
-      .join(probes, Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcDist(pq).as("adc_dist"))
-    rankAndRerank(candidates, indexed, queries, k)
+    queries
+      .withColumn("__probe", explode(slice(array_sort(array(cellScores: _*)), 1, nprobe)))
+      .select(col("query_id"), col("query_vec"), col("__probe.c").as("cluster"))
   }
 }

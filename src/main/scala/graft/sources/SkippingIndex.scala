@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.{ArtifactIO, CommitLog}
 import graft.functions.PortableHash
 
 /** FILE-LEVEL DATA-SKIPPING INDEX — the lakehouse table-format feature
@@ -23,6 +24,29 @@ import graft.functions.PortableHash
   * like every table format's manifest), and the data scan is driven by
   * `cluster IN (…)`, which Spark turns into PartitionFilters — files
   * outside the selection are never opened.
+  *
+  * STORAGE is versioned through the shared [[CommitLog]] (round 11 —
+  * before that, appends wrote `mode("append")` straight into the live
+  * cluster directories, so a RETRIED append duplicated data rows while
+  * its sidecars overwrote, and nothing marked a torn build):
+  *
+  *  - `base_v=<id>/{data,stats,bloom}` — a snapshot superseding every
+  *    version ≤ id (the initial [[build]] is `base_v=0`);
+  *  - `v=<id>/{data,stats,bloom}`      — one append batch's delta;
+  *  - `_INDEX`                          — the column descriptor
+  *    (cluster/range/bloom columns), so a generic janitor can
+  *    [[compact]] without knowing the table;
+  *  - every version dir is published by the commit marker AFTER its
+  *    three tables land — a torn write is invisible, and a REPLAYED
+  *    append overwrites its own version dir instead of duplicating
+  *    rows (the same replayable-publication contract as
+  *    [[graft.streaming.DeltaState]]).
+  *
+  * Readers fold the newest committed base with the committed deltas
+  * above it. All three sidecar aggregates are MERGEABLE sketches
+  * (count → sum, zone map → min/max, bloom → bit-or), so the fold is
+  * metadata-scale and ingestion never recomputes global statistics
+  * (the Iceberg "metadata is mergeable manifests" property).
   *
   * The bloom is built from PORTABLE arithmetic only ([[PortableHash]]
   * coefficients, mod 2^31−1, positions into `Words`×63-bit words) so an
@@ -55,6 +79,10 @@ object SkippingIndex {
   val (probeA1, probeB1) = PortableHash.minHashCoeffs(101)
   val (probeA2, probeB2) = PortableHash.minHashCoeffs(102)
 
+  val VersionPrefix = "v="
+  val BasePrefix = "base_v="
+  val IndexFile = "_INDEX"
+
   /** Bit position of probe `j` (0/1) for hash column `h` (values in
     * [0, 2^31): both probes stay in Long range — a·h < 2^62).
     */
@@ -69,46 +97,85 @@ object SkippingIndex {
     ((h % P) * a + b) % P % (Words * WordBits)
   }
 
-  /** Write `df` clustered by `clusterCol` (one partition directory per
-    * cluster — the "file" granule) plus the two stats sidecars:
-    * `stats` (cluster, n_rows, min/max per range column) and `bloom`
-    * (cluster, word, mask) over `bloomCol` (a Long hash column, e.g. a
-    * portable document fingerprint). One pass for the data, one
-    * aggregation pass each for the sidecars — at production scale the
-    * sidecars are emitted by the same write job's task-commit stats.
-    *
-    * Sidecars are VERSIONED and MERGEABLE: both are sketches whose
-    * merge is associative (count → sum, zone map → min/max, bloom →
-    * bit-or), so [[append]] writes only the BATCH's sidecar delta and
-    * readers fold versions at metadata scale — ingestion never
-    * recomputes global statistics (the Iceberg "metadata is mergeable
-    * manifests" property).
+  /** Initial write: the whole table as snapshot `base_v=0` (data
+    * clustered by `clusterCol` — one partition directory per cluster,
+    * the "file" granule — plus the stats and bloom sidecars), and the
+    * `_INDEX` descriptor that makes the table self-describing for the
+    * generic janitor.
     */
   def build(df: DataFrame, outDir: String, clusterCol: String,
       rangeCols: Seq[String], bloomCol: String): Unit = {
-    df.write.mode("overwrite").partitionBy(clusterCol).parquet(s"$outDir/data")
-    writeSidecars(df, outDir, clusterCol, rangeCols, bloomCol, 0L)
+    val spark = df.sparkSession
+    ArtifactIO.writeAtomicString(spark, s"$outDir/$IndexFile",
+      s"$clusterCol|${rangeCols.mkString(",")}|$bloomCol")
+    writeVersion(df, s"$outDir/${BasePrefix}0", clusterCol, rangeCols, bloomCol)
   }
 
-  /** Append a batch: data files land INSIDE the existing cluster
-    * directories (no rewrite), and the batch's own sidecar aggregates
-    * land as version `appendId` — O(batch) everywhere. The caller's
-    * cluster assignment must be ingestion-stable (same cluster function
-    * as [[build]]).
+  /** Sidecars-ONLY build: statistics over a table whose data lives
+    * ELSEWHERE (Iceberg's "metadata over existing files" — at
+    * production scale the stats are emitted by the data writer's own
+    * task commits, so the index never re-reads the table it described).
+    * Writes `_INDEX` + a `base_v=0` holding stats and bloom but no data
+    * copy; [[selectRange]]/[[selectPoint]] work as usual and the
+    * admitted clusters drive the EXTERNAL table's pruned scan (e.g. a
+    * deletion-vector table's `shard IN (…)` — the q221 composition).
+    * [[compact]] on such an index folds the mergeable sidecars only.
+    */
+  def buildStats(df: DataFrame, outDir: String, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String): Unit = {
+    val spark = df.sparkSession
+    ArtifactIO.writeAtomicString(spark, s"$outDir/$IndexFile",
+      s"$clusterCol|${rangeCols.mkString(",")}|$bloomCol")
+    writeVersion(df, s"$outDir/${BasePrefix}0", clusterCol, rangeCols, bloomCol,
+      withData = false)
+  }
+
+  /** Append a batch's sidecar aggregates to a stats-only index (the
+    * maintenance twin of [[buildStats]] — same replayable-version
+    * contract as [[append]]).
+    */
+  def appendStats(df: DataFrame, outDir: String, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String, appendId: Long): Unit = {
+    val spark = df.sparkSession
+    val others = (committedBases(spark, outDir) ++
+      committedDeltas(spark, outDir).filter(_ != appendId) :+ -1L).max
+    require(appendId > others,
+      s"appendId $appendId must exceed every other committed version (max $others)")
+    writeVersion(df, s"$outDir/$VersionPrefix$appendId", clusterCol, rangeCols, bloomCol,
+      withData = false)
+  }
+
+  /** Append a batch as delta version `appendId`: one O(batch) data
+    * write plus the batch's own mergeable sidecar aggregates, all in
+    * the version's OWN directory — the live base files are never
+    * touched, and a RETRIED append overwrites its own version instead
+    * of duplicating rows (pre-round-11 `mode("append")` did exactly
+    * that). The caller's cluster assignment must be ingestion-stable
+    * (same cluster function as [[build]]); `appendId` must exceed every
+    * OTHER committed version (validated — replay of its own id is the
+    * one legitimate reuse).
     */
   def append(df: DataFrame, outDir: String, clusterCol: String,
       rangeCols: Seq[String], bloomCol: String, appendId: Long): Unit = {
-    df.write.mode("append").partitionBy(clusterCol).parquet(s"$outDir/data")
-    writeSidecars(df, outDir, clusterCol, rangeCols, bloomCol, appendId)
+    val spark = df.sparkSession
+    val others = (committedBases(spark, outDir) ++
+      committedDeltas(spark, outDir).filter(_ != appendId) :+ -1L).max
+    require(appendId > others,
+      s"appendId $appendId must exceed every other committed version (max $others)")
+    writeVersion(df, s"$outDir/$VersionPrefix$appendId", clusterCol, rangeCols, bloomCol)
   }
 
-  private def writeSidecars(df: DataFrame, outDir: String, clusterCol: String,
-      rangeCols: Seq[String], bloomCol: String, v: Long): Unit = {
+  private def writeVersion(df: DataFrame, vdir: String, clusterCol: String,
+      rangeCols: Seq[String], bloomCol: String, withData: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    CommitLog.begin(spark, vdir) // torn-replay window: marker off before overwrite
+    if (withData)
+      df.write.mode("overwrite").partitionBy(clusterCol).parquet(s"$vdir/data")
     val aggs = count(lit(1)).as("n_rows") +:
       rangeCols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
     df.groupBy(col(clusterCol).as("cluster"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$outDir/stats/v=$v")
+      .write.mode("overwrite").parquet(s"$vdir/stats")
     val probes = Seq(0, 1).map(j =>
       df.select(col(clusterCol).as("cluster"), bitposCol(col(bloomCol), j).as("bp")))
       .reduce(_ unionByName _)
@@ -116,25 +183,37 @@ object SkippingIndex {
       .select(col("cluster"), (col("bp") / WordBits).cast("long").as("word"),
         expr(s"shiftleft(cast(1 as bigint), cast(bp % $WordBits as int))").as("m"))
       .groupBy("cluster", "word").agg(bit_or(col("m")).as("mask"))
-      .write.mode("overwrite").parquet(s"$outDir/bloom/v=$v")
+      .write.mode("overwrite").parquet(s"$vdir/bloom")
+    CommitLog.publish(spark, vdir)
   }
 
-  /** The committed sidecar version directories of `side` (stats/bloom),
-    * read separately and unioned so the `v=` dir name never partition-
-    * infers into the schema.
+  private def committedBases(spark: SparkSession, outDir: String): Seq[Long] =
+    CommitLog.committed(spark, outDir, BasePrefix)
+
+  private def committedDeltas(spark: SparkSession, outDir: String): Seq[Long] =
+    CommitLog.committed(spark, outDir, VersionPrefix)
+
+  /** The version directories a reader folds: the newest committed base
+    * plus every committed delta above it — a compaction that published
+    * a newer base supersedes the folded pieces by version arithmetic,
+    * so a reader racing the janitor's GC is consistent either way.
     */
-  private def sideUnion(spark: SparkSession, outDir: String, side: String): DataFrame = {
-    val dirs = graft.core.ArtifactIO.list(spark, s"$outDir/$side")
-      .filter(_.startsWith("v=")).sorted
-      .map(d => s"$outDir/$side/$d")
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  def visibleVersionDirs(spark: SparkSession, outDir: String): Seq[String] = {
+    val base = committedBases(spark, outDir).lastOption
+    val deltas = committedDeltas(spark, outDir).filter(v => base.forall(v > _))
+    (base.map(v => s"$outDir/$BasePrefix$v").toSeq ++
+      deltas.map(v => s"$outDir/$VersionPrefix$v"))
   }
 
-  /** Number of sidecar versions currently folded at read time (1 after
-    * a build; +1 per append until a rewrite compacts them).
+  /** Number of storage versions folded at read time (1 after a build;
+    * +1 per append until [[compact]] folds them).
     */
   def sideVersionCount(spark: SparkSession, outDir: String): Long =
-    graft.core.ArtifactIO.list(spark, s"$outDir/stats").count(_.startsWith("v=")).toLong
+    visibleVersionDirs(spark, outDir).size.toLong
+
+  private def sideUnion(spark: SparkSession, outDir: String, side: String): DataFrame =
+    visibleVersionDirs(spark, outDir).map(d => spark.read.parquet(s"$d/$side"))
+      .reduce(_ unionByName _)
 
   /** The stats sidecar with versions FOLDED by merge kind (count → sum,
     * zone map → min/max) — one row per cluster, metadata scale.
@@ -181,13 +260,57 @@ object SkippingIndex {
     (hits.head intersect hits(1)).toSeq.sorted
   }
 
-  /** Read ONLY the selected clusters: the `isin` lands in the scan's
-    * PartitionFilters, so unselected directories are never opened
-    * (plan- and metric-asserted in SkippingIndexSpec).
+  /** Read ONLY the selected clusters across the visible versions: each
+    * version's `isin` lands in its scan's PartitionFilters, so
+    * unselected directories are never opened (plan- and metric-asserted
+    * in SkippingIndexSpec).
     */
   def readClusters(spark: SparkSession, outDir: String, ids: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$outDir/data")
-      .filter(col("cluster").isin(ids: _*))
+    visibleVersionDirs(spark, outDir)
+      .map(d => spark.read.parquet(s"$d/data").filter(col("cluster").isin(ids: _*)))
+      .reduce(_ unionByName _)
+
+  /** Fold every visible version into one snapshot `base_v=<newId>` (the
+    * small-file / OPTIMIZE compaction): data rewritten clustered, fresh
+    * single-version sidecars, superseded versions deleted AFTER the new
+    * base commits — a racing reader folds either chain to the same
+    * rows. Column descriptor comes from `_INDEX`, so the generic
+    * janitor ([[CommitLog.janitor]]) needs no table-specific knowledge.
+    * Returns the superseded version ids.
+    */
+  def compact(spark: SparkSession, outDir: String, newId: Long): Seq[Long] = {
+    val bases = committedBases(spark, outDir)
+    val deltas = committedDeltas(spark, outDir)
+    require((bases ++ deltas :+ -1L).max < newId,
+      s"compaction id $newId must exceed every committed version")
+    val Array(clusterCol, rangeCsv, bloomCol) =
+      ArtifactIO.readString(spark, s"$outDir/$IndexFile").split("\\|", -1)
+    val rangeCols = rangeCsv.split(",").toSeq.filter(_.nonEmpty)
+    val visible = visibleVersionDirs(spark, outDir)
+    if (visible.forall(d => ArtifactIO.exists(spark, s"$d/data"))) {
+      val union = visible.map(d => spark.read.parquet(s"$d/data"))
+        .reduce(_ unionByName _)
+        // partition-dir readback can widen/narrow the cluster column type;
+        // pin it so every generation's layout stays union-compatible
+        .withColumn(clusterCol, col(clusterCol).cast("long"))
+      writeVersion(union, s"$outDir/$BasePrefix$newId", clusterCol, rangeCols, bloomCol)
+    } else {
+      // stats-only index ([[buildStats]]): fold the mergeable sidecars
+      // themselves — count → sum / zone → min-max / bloom → bit-or —
+      // at metadata scale, no data to rewrite
+      val vdir = s"$outDir/$BasePrefix$newId"
+      CommitLog.begin(spark, vdir)
+      stats(spark, outDir).write.mode("overwrite").parquet(s"$vdir/stats")
+      sideUnion(spark, outDir, "bloom")
+        .groupBy("cluster", "word").agg(bit_or(col("mask")).as("mask"))
+        .write.mode("overwrite").parquet(s"$vdir/bloom")
+      CommitLog.publish(spark, vdir)
+    }
+    val superseded = bases.filter(_ < newId) ++ deltas.filter(_ < newId)
+    bases.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$BasePrefix$v"))
+    deltas.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$VersionPrefix$v"))
+    superseded.sorted
+  }
 
   // ------------------------------------------------------------------
   // PARTITION-SPEC EVOLUTION (the Iceberg table-evolution contract):
@@ -195,8 +318,8 @@ object SkippingIndex {
   // generation under `spec=<id>/`. Evolving the spec = writing new
   // data under a NEW spec id — history is never rewritten (zero data
   // movement), and the directory listing is the spec manifest, exactly
-  // like the sidecars' version dirs. Old specs retire as their files
-  // age out or compaction rewrites them under the current spec.
+  // like the version dirs. Old specs retire as their files age out or
+  // compaction rewrites them under the current spec.
   // ------------------------------------------------------------------
 
   /** Write `df` as layout generation `specId` of the multi-spec table
@@ -210,7 +333,7 @@ object SkippingIndex {
 
   /** The live layout generations of a multi-spec table, oldest first. */
   def liveSpecs(spark: SparkSession, outDir: String): Seq[Long] =
-    graft.core.ArtifactIO.list(spark, outDir).filter(_.startsWith("spec="))
+    ArtifactIO.list(spark, outDir).filter(_.startsWith("spec="))
       .map(_.stripPrefix("spec=").toLong).sorted
 
   /** Range read ACROSS every live layout generation: each spec prunes

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.ArtifactIO
+import graft.core.{ArtifactIO, CommitLog}
 
 /** DELTA-LOG storage for the version-chained streaming sink states
   * (aggMaint / joinMaint / boilerMaint / hllMaint): each micro-batch
@@ -66,13 +66,13 @@ object DeltaState {
   def writeDelta(spark: SparkSession, outDir: String, batchId: Long,
       layout: Seq[Table], tables: Seq[(String, DataFrame)]): Unit = {
     val vdir = s"$outDir/$DeltaPrefix$batchId"
-    ArtifactIO.delete(spark, s"$vdir/${ArtifactIO.CommitMarker}")
+    CommitLog.begin(spark, vdir)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$vdir/$name")
     }
     if (!ArtifactIO.exists(spark, s"$outDir/$LayoutFile"))
       ArtifactIO.writeAtomicString(spark, s"$outDir/$LayoutFile", layoutString(layout))
-    ArtifactIO.commit(spark, vdir)
+    CommitLog.publish(spark, vdir)
   }
 
   /** The state of `table` as of versions STRICTLY BELOW `cutoffExclusive`
@@ -269,7 +269,7 @@ object DeltaState {
             asOf(spark, outDir, t, Some(target + 1)).foreach(
               _.write.mode("overwrite").parquet(s"$baseDir/${t.name}"))
           }
-          ArtifactIO.commit(spark, baseDir)
+          CommitLog.publish(spark, baseDir)
           deltas.filter(_ <= target).map { id =>
             ArtifactIO.delete(spark, s"$outDir/$DeltaPrefix$id"); id
           } ++ bases.filter(_ < target).map { id =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sim.{PqIndex, Similarity}
+import graft.sim.{IvfIndex, PqIndex, Similarity}
 
 class PqSpec extends SparkSpec {
   import spark.implicits._
@@ -51,10 +51,11 @@ class PqSpec extends SparkSpec {
       res(PqIndex.adcTopK(enc, q, model, 10)))
   }
 
-  test("lookup-table ADC is bit-equal to the HOF formulation, distances included") {
-    // The LUT path must be a pure physical rewrite: same candidates,
-    // same ROUNDED DISTANCES to the last bit, same ranks — on both the
-    // init codebook and a Lloyd-trained one (non-trivial cell values).
+  test("lookup-table ADC is bit-equal to the expression formulation, distances included") {
+    // The LUT path (the round-11 DEFAULT serving kernel) must be a pure
+    // physical rewrite: same candidates, same ROUNDED DISTANCES to the
+    // last bit, same ranks — on both the init codebook and a
+    // Lloyd-trained one (non-trivial cell values).
     val trained = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 3)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -63,10 +64,34 @@ class PqSpec extends SparkSpec {
         .as[(Long, Long, Double, Long)].collect().toSeq.sorted
     Seq(model, trained).foreach { m =>
       val enc = PqIndex.encode(emb, m)
-      val hof = rows(PqIndex.adcTopKSplit(enc, emb, q, m, 10))
-      val lut = rows(PqIndex.adcTopKSplitLut(enc, emb, q, m, 10))
-      assert(hof == lut, s"LUT ADC diverged from HOF ADC for ksub=${m.ksub}")
+      val expr = rows(PqIndex.adcTopKSplitExpr(enc, emb, q, m, 10))
+      val lut = rows(PqIndex.adcTopKSplit(enc, emb, q, m, 10))
+      assert(expr == lut, s"LUT ADC diverged from expression ADC for ksub=${m.ksub}")
     }
+  }
+
+  test("LUT default is bit-equal on the IVF-PQ and residual-IVF-PQ serving paths too") {
+    // The q122/q128 kernels: probe selection and residuals stay
+    // in-plan, only the per-candidate distance moves to the lookup
+    // table — full-result equality against the expression paths.
+    val ivf = IvfIndex.train(emb, k = 16, iters = 0)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_dist", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val pqRaw = PqIndex.train(emb, numSub = 8, ksub = 16, iters = 0)
+    val idxRaw = PqIndex.encode(IvfIndex.assign(emb, ivf), pqRaw)
+    assert(rows(PqIndex.adcTopKIvf(idxRaw, q, ivf, pqRaw, 10, nprobe = 4)) ==
+      rows(PqIndex.adcTopKIvfExpr(idxRaw, q, ivf, pqRaw, 10, nprobe = 4)),
+      "IVF-PQ LUT diverged from the expression path")
+    val pqRes = PqIndex.trainResiduals(emb, ivf, numSub = 8, ksub = 16, iters = 0)
+    val idxRes = IvfIndex.assign(emb, ivf)
+      .withColumn("codes", PqIndex.codesCol(
+        PqIndex.residualCol(col("embedding"), col("cluster"), ivf), pqRes))
+    assert(rows(PqIndex.adcTopKIvfResidual(idxRes, q, ivf, pqRes, 10, nprobe = 4)) ==
+      rows(PqIndex.adcTopKIvfResidualExpr(idxRes, q, ivf, pqRes, 10, nprobe = 4)),
+      "residual IVF-PQ LUT diverged from the expression path")
   }
 
   test("ADC top-k recall vs brute force is reasonable") {

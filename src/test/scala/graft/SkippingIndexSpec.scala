@@ -29,7 +29,7 @@ class SkippingIndexSpec extends SparkSpec {
     dir
   }
 
-  private lazy val base = spark.read.parquet(s"$out/data")
+  private lazy val base = spark.read.parquet(s"$out/base_v=0/data")
     .select(col("doc_id"), col("fp"), col("cluster").cast("long").as("cluster"))
 
   test("zone-map range admission: exactly the overlapping clusters") {
@@ -82,7 +82,7 @@ class SkippingIndexSpec extends SparkSpec {
     assert(scans.nonEmpty, "expected a v1 parquet scan")
     assert(scans.head.partitionFilters.exists(_.toString.contains("cluster")),
       s"cluster filter not in PartitionFilters: ${scans.head.partitionFilters}")
-    val allFiles = new java.io.File(s"$out/data").listFiles()
+    val allFiles = new java.io.File(s"$out/base_v=0/data").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("cluster="))
     val read = scans.head.metrics("numFiles").value
     assert(read <= sel.size, s"scan read $read files for ${sel.size} clusters")
@@ -97,15 +97,15 @@ class SkippingIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     def bloomFold(dir: String) = {
       // fold the version union by bit_or — the read-side merge semantic
-      val u = spark.read.parquet(new java.io.File(s"$dir/bloom").listFiles()
-        .filter(_.getName.startsWith("v=")).map(_.getAbsolutePath): _*)
+      val u = spark.read.parquet(
+        SkippingIndex.visibleVersionDirs(spark, dir).map(d => s"$d/bloom"): _*)
       u.groupBy("cluster", "word").agg(bit_or(col("mask")).as("mask"))
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     }
     // incremental: build on evens, append odds
     val inc = java.nio.file.Files.createTempDirectory("graft-skip-inc").toFile.getAbsolutePath
     SkippingIndex.build(d.filter(col("doc_id") % 2 === 0), inc, "cluster", Seq("doc_id"), "fp")
-    val v0Files = new java.io.File(s"$inc/stats/v=0").listFiles().map(f => f.getName -> f.length).toMap
+    val v0Files = new java.io.File(s"$inc/base_v=0/stats").listFiles().map(f => f.getName -> f.length).toMap
     SkippingIndex.append(d.filter(col("doc_id") % 2 =!= 0), inc, "cluster", Seq("doc_id"), "fp", 1L)
     // from-scratch reference over the full corpus
     val full = java.nio.file.Files.createTempDirectory("graft-skip-full").toFile.getAbsolutePath
@@ -116,14 +116,51 @@ class SkippingIndexSpec extends SparkSpec {
       "folded incremental stats must equal the from-scratch zone maps")
     assert(bloomFold(inc) == bloomFold(full),
       "bit-or-folded incremental blooms must equal the from-scratch masks")
-    // the append touched nothing in the existing sidecar version
-    val v0After = new java.io.File(s"$inc/stats/v=0").listFiles().map(f => f.getName -> f.length).toMap
+    // the append touched nothing in the existing base version
+    val v0After = new java.io.File(s"$inc/base_v=0/stats").listFiles().map(f => f.getName -> f.length).toMap
     assert(v0After == v0Files, "append must not rewrite existing sidecar versions")
-    // and the data landed inside the existing cluster dirs (no second data root)
+    // and the folded read serves the full corpus across both versions
     val total = SkippingIndex.readClusters(spark, inc,
       SkippingIndex.stats(spark, inc).select(col("cluster").cast("long"))
         .collect().map(_.getLong(0)).toSeq).count()
     assert(total == d.count())
+  }
+
+  test("replayed append is idempotent; torn append invisible; compact folds to one version") {
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cluster", expr("doc_id div 16"))
+    val root = java.nio.file.Files.createTempDirectory("graft-skip-replay").toFile.getAbsolutePath
+    SkippingIndex.build(d.filter(col("doc_id") % 2 === 0), root, "cluster", Seq("doc_id"), "doc_id")
+    val odds = d.filter(col("doc_id") % 2 =!= 0)
+    SkippingIndex.append(odds, root, "cluster", Seq("doc_id"), "doc_id", 1L)
+    def allRows() = SkippingIndex.readClusters(spark, root,
+      SkippingIndex.stats(spark, root).select(col("cluster").cast("long"))
+        .collect().map(_.getLong(0)).toSeq)
+    val n = d.count()
+    assert(allRows().count() == n)
+    // RETRIED append with the same id: before the versioned layout this
+    // mode("append")-ed a second copy of every odd row into the live
+    // cluster directories — permanent silent duplication
+    SkippingIndex.append(odds, root, "cluster", Seq("doc_id"), "doc_id", 1L)
+    assert(allRows().count() == n, "replayed append duplicated rows")
+    val statsAfterReplay = SkippingIndex.stats(spark, root)
+      .agg(sum("n_rows")).head.getLong(0)
+    assert(statsAfterReplay == n, s"sidecar n_rows $statsAfterReplay after replay, want $n")
+    // torn append: tables on disk but no commit marker → invisible
+    graft.core.ArtifactIO.delete(spark, s"$root/v=2")
+    odds.limit(5).write.mode("overwrite").partitionBy("cluster").parquet(s"$root/v=2/data")
+    assert(allRows().count() == n, "uncommitted version leaked into the read")
+    assert(SkippingIndex.sideVersionCount(spark, root) == 2L)
+    // compact: one snapshot, identical reads, superseded versions gone
+    val ids = allRows().select("doc_id").collect().map(_.getLong(0)).sorted
+    val folded = SkippingIndex.compact(spark, root, 10L)
+    assert(folded == Seq(0L, 1L), s"expected versions 0,1 superseded, got $folded")
+    assert(SkippingIndex.sideVersionCount(spark, root) == 1L)
+    assert(allRows().select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(ids),
+      "compaction changed the read")
+    assert(!new java.io.File(s"$root/base_v=0").exists && !new java.io.File(s"$root/v=1").exists,
+      "superseded versions not retired")
   }
 
   test("partition-spec evolution: per-spec pruning unions to the exact predicate, old spec untouched") {
@@ -136,7 +173,7 @@ class SkippingIndexSpec extends SparkSpec {
     SkippingIndex.buildSpec(d.filter(col("doc_id") % 4 =!= 0)
       .withColumn("cluster", expr("doc_id div 32")), root, 0L,
       "cluster", Seq("doc_id"), "doc_id")
-    val spec0Files = new java.io.File(s"$root/spec=0/data").listFiles()
+    val spec0Files = new java.io.File(s"$root/spec=0/base_v=0/data").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     SkippingIndex.buildSpec(d.filter(col("doc_id") % 4 === 0)
       .withColumn("cluster", expr("doc_id div 8")), root, 1L,
@@ -159,7 +196,7 @@ class SkippingIndexSpec extends SparkSpec {
       "cross-spec pruned union must equal the plain predicate scan")
     // evolving the spec moved zero historical bytes: spec 0's layout
     // (its cluster directories) is exactly what the original build wrote
-    val spec0After = new java.io.File(s"$root/spec=0/data").listFiles()
+    val spec0After = new java.io.File(s"$root/spec=0/base_v=0/data").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(spec0After == spec0Files, "spec evolution must not rewrite old-spec data")
   }
