@@ -103,6 +103,83 @@ object Multimodal {
       (_, bytes) => (checksum(bytes), features(bytes))
   }
 
+  /** A REAL in-sandbox codec closing the [[MediaDecoder]] loop with no
+    * native dependency: `javax.imageio` PNG (pure JVM, headless-safe).
+    * [[renderPng]] encodes a deterministic grayscale test pattern per
+    * id — pixel(i) = (id·31 + i) mod 256 at a fixed width×height — into
+    * genuine PNG bytes, and [[PngDecoder]] decodes those bytes back
+    * through the codec and derives its features from the DECODED
+    * raster: width, height, pixel sum, dark-pixel count, max pixel.
+    * PNG is lossless, so decoded pixels equal the source arithmetic —
+    * which is what makes the round trip ORACLE-CHECKABLE (q222): DuckDB
+    * replays the pattern arithmetic directly, and any codec bug, raster
+    * misread, or byte corruption on either leg breaks the hash.
+    */
+  object PngCodec {
+    def encode(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((mediaId * 31 + y * w + x) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Render the deterministic test pattern for every id as real PNG
+    * payloads — (media_id, media, meta) in the standard ingestion
+    * shape. Encoding runs inside the partition map (executor-side,
+    * like any decode/encode stage).
+    */
+  def renderPng(ids: Dataset[Long], w: Int, h: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.map(id => (id, PngCodec.encode(id, w, h)))
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("image/png").as("kind"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** The real-codec [[MediaDecoder]]: ImageIO PNG decode per payload,
+    * features from the decoded raster. checksum = pixel sum; feature =
+    * [width, height, dark-pixel count (< 128), max pixel] — all exact
+    * in Float at these magnitudes. `open()` does the per-partition
+    * codec setup (disable ImageIO's disk cache — in-memory streams).
+    */
+  object PngDecoder extends MediaDecoder {
+    override def open(): (String, Array[Byte]) => (Long, Array[Float]) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      (_, bytes) => {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L; var dark = 0L; var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = raster.getSample(x, y, 0)
+            sum += p
+            if (p < 128) dark += 1
+            if (p > mx) mx = p
+            x += 1
+          }
+          y += 1
+        }
+        (sum, Array(w.toFloat, h.toFloat, dark.toFloat, mx.toFloat))
+      }
+    }
+  }
+
   /** Batched per-partition decode — the Scala analog of mapInPandas: one
     * iterator per partition, so per-partition setup (codec, model —
     * [[MediaDecoder.open]]) runs once per task, not once per row. The

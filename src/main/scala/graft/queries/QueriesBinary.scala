@@ -209,4 +209,53 @@ r AS (SELECT query_id, vec_id, cosine_sim,
       FROM cand)
 SELECT query_id, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
+
+  private val PngW = 32
+  private val PngH = 16
+
+  /** REAL-CODEC multimodal round trip ([[graft.multimodal.Multimodal
+    * .PngDecoder]], round 11 — the decoder boundary exercised by an
+    * actual codec, not the stub): per document, a deterministic
+    * grayscale test pattern (pixel(i) = (doc_id·31 + i) mod 256 at
+    * 32×16) is ENCODED to genuine PNG bytes with `javax.imageio`, the
+    * payload flows through the standard binary-column pipeline, and
+    * [[graft.multimodal.Multimodal.PngDecoder]] DECODES it back —
+    * features (width, height, pixel sum, dark-pixel count, max pixel)
+    * come from the decoded raster, never from the source arithmetic.
+    * PNG is lossless, so the oracle replays the pattern directly: any
+    * codec bug, raster misread, or payload corruption on either leg
+    * fails the hash. The PNG byte size itself is deliberately NOT in
+    * the output (deflate output is encoder-version-dependent — the one
+    * non-portable fact of the round trip).
+    *
+    * Scale: encode+decode are narrow per-row partition maps behind the
+    * once-per-partition `open()` (the mapInPandas shape); no shuffle
+    * until the final order-by presentation.
+    */
+  def q222_png_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    val payloads = Multimodal.renderPng(ids, PngW, PngH)
+    Multimodal.extractFeatures(payloads, Multimodal.PngDecoder).toDF()
+      .select(col("media_id"),
+        col("checksum").as("px_sum"),
+        col("feature")(0).cast("long").as("width"),
+        col("feature")(1).cast("long").as("height"),
+        col("feature")(2).cast("long").as("n_dark"),
+        col("feature")(3).cast("long").as("px_max"))
+      .orderBy("media_id")
+  }
+
+  val q222Sql: String =
+    raw"""WITH px AS (
+  SELECT d.doc_id, (d.doc_id * 31 + t.i) % 256 AS p
+  FROM documents d, range(0, ${PngW * PngH}) t(i))
+SELECT doc_id AS media_id,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST($PngW AS BIGINT) AS width,
+       CAST($PngH AS BIGINT) AS height,
+       CAST(sum(CASE WHEN p < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+       CAST(max(p) AS BIGINT) AS px_max
+FROM px GROUP BY doc_id ORDER BY media_id"""
 }

@@ -123,4 +123,27 @@ class MultimodalSpec extends SparkSpec {
         "largest partition's closure must have counted all its rows")
     } finally m.unpersist()
   }
+
+  test("real PNG codec round trip: genuine PNG bytes out, decoded features equal the source pattern") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (w, h) = (32, 16)
+    val ids = spark.range(0, 50).as[Long]
+    val payloads = Multimodal.renderPng(ids, w, h)
+    // the payloads are REAL PNGs: magic signature, not our own framing
+    val heads = payloads.select(hex(substring(col("media"), 1, 8)))
+      .distinct().collect().map(_.getString(0))
+    assert(heads.toSeq == Seq("89504E470D0A1A0A"), s"not a PNG signature: ${heads.toSeq}")
+    // features come from the DECODED raster and must equal the source
+    // arithmetic exactly (PNG is lossless)
+    val feats = Multimodal.extractFeatures(payloads, Multimodal.PngDecoder).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      val expected = (0 until w * h).map(i => (f.media_id * 31 + i) % 256)
+      assert(f.checksum == expected.sum, s"pixel sum mismatch for ${f.media_id}")
+      assert(f.feature.toSeq == Seq(w.toFloat, h.toFloat,
+        expected.count(_ < 128).toFloat, expected.max.toFloat),
+        s"decoded features mismatch for ${f.media_id}")
+    }
+  }
 }
