@@ -26,6 +26,74 @@ object Run {
         println(f"[time] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         spark.catalog.clearCache()
       } finally spark.stop()
+    case "lifecycle" :: dir :: Nil =>
+      // Scale probe for the two composed streaming lifecycles the
+      // catalog gates on bounded fixtures (q190 doc window, q162 order
+      // window): run them UNBOUNDED on `dir` (pass an 8x corpus) and
+      // report wall time per phase plus per-batch bytes written, so
+      // SCALING.md carries measured evidence that per-batch delta IO
+      // stays O(batch) while accumulated state grows.
+      val spark = Sessions.local("graft-lifecycle")
+      import org.apache.spark.sql.functions._
+      def du(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      def timed[T](label: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[lifecycle] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+      try {
+        // --- the q190 composition, unbounded: 3 curation batches + re-clean
+        val out1 = "/tmp/graft_lifecycle_curate"
+        graft.core.ArtifactIO.delete(spark, out1)
+        val d = graft.core.Tables(spark, dir, "documents").select("doc_id", "text")
+        val gate = graft.queries.QueriesText.repetitionKeep _
+        (0 until 3).foreach { b =>
+          val before = du(out1)
+          timed(s"curate batch $b") {
+            graft.streaming.StreamingJobs.curateStream(out1, gate = gate)(
+              d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+          }
+          println(s"[lifecycle] curate batch $b bytes written: ${du(out1) - before}")
+        }
+        timed("reclean") {
+          graft.streaming.StreamingJobs.recleanCurated(spark, out1, gate = gate)
+        }
+        val kept = timed("curated read") {
+          graft.streaming.StreamingJobs.curatedDocs(spark, out1).count()
+        }
+        println(s"[lifecycle] curated docs: $kept, state bytes: ${du(out1)}")
+        // --- the q219 composition on the full events table: 4 Sum-delta
+        // batches, fold, as-of serve
+        import graft.streaming.DeltaState
+        val out2 = "/tmp/graft_lifecycle_features"
+        graft.core.ArtifactIO.delete(spark, out2)
+        val ev = graft.core.Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").cast("timestamp").cast("long").as("sec"),
+            round(col("value")).cast("long").as("v"),
+            pmod(col("event_id"), lit(4)).as("b"))
+        val layout = Seq(DeltaState.Table("daily", DeltaState.Sum(Seq("user_id", "day"))))
+        (0 to 3).foreach { i =>
+          val before = du(out2)
+          timed(s"feature delta $i") {
+            DeltaState.writeDelta(spark, out2, i.toLong, layout,
+              Seq("daily" -> ev.filter(col("b") === i)
+                .groupBy(col("user_id"), floor(col("sec") / 86400).as("day"))
+                .agg(count(lit(1)).as("n_day"), sum("v").as("v_day"))))
+          }
+          println(s"[lifecycle] feature delta $i bytes written: ${du(out2) - before}")
+        }
+        val n = timed("fold + read") {
+          DeltaState.asOf(spark, out2, layout.head).get.count()
+        }
+        println(s"[lifecycle] daily state rows: $n, state bytes: ${du(out2)}")
+      } finally spark.stop()
     case "srpauto" :: dir :: rest =>
       // Capacity probe: occupancy-targeted SRP near-dup vs the fixed q40
       // band config on the same embeddings — the scaling comparison
