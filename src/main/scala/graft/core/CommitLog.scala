@@ -191,9 +191,14 @@ object CommitLog {
       JanitorReport("delta-state", graft.streaming.DeltaState.compact(spark, dir, math.max(keep, 2)))
     else if (ArtifactIO.exists(spark, s"$dir/${graft.operators.DeletionVectors.ManifestFile}")) {
       val dv = graft.operators.DeletionVectors
+      // the floor clears LIVE CLAIMS too: a new base id below an
+      // in-flight append's claimed id would hide that append's rows
+      // via the version guard the moment it commits
       val floor = (committed(spark, dir, dv.BasePrefix) ++
         committed(spark, dir, dv.DvPrefix) ++
         committed(spark, dir, dv.AppendPrefix) ++
+        claimed(spark, dir, dv.DvPrefix) ++
+        claimed(spark, dir, dv.AppendPrefix) ++
         dv.shardVersions(spark, dir).collect().map(_.getLong(1)).toSeq :+ -1L).max
       val newBaseId = allocate(spark, dir, dv.BasePrefix, floor)
       val removed = dv.compactApply(spark, dir, newBaseId)

@@ -163,6 +163,43 @@ class SkippingIndexSpec extends SparkSpec {
       "superseded versions not retired")
   }
 
+  test("stats-only index (metadata over an external table): admission equal to the data-backed index; sidecar-fold compaction") {
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cluster", expr("doc_id div 16"))
+    val ext = java.nio.file.Files.createTempDirectory("graft-skip-ext").toFile.getAbsolutePath
+    val full = java.nio.file.Files.createTempDirectory("graft-skip-extref").toFile.getAbsolutePath
+    SkippingIndex.buildStats(d.filter(col("doc_id") % 3 === 0), ext, "cluster", Seq("doc_id"), "doc_id")
+    SkippingIndex.appendStats(d.filter(col("doc_id") % 3 === 1), ext, "cluster", Seq("doc_id"), "doc_id", 1L)
+    SkippingIndex.appendStats(d.filter(col("doc_id") % 3 === 2), ext, "cluster", Seq("doc_id"), "doc_id", 2L)
+    SkippingIndex.build(d, full, "cluster", Seq("doc_id"), "doc_id")
+    // no data copy anywhere in the stats-only index
+    val dataDirs = SkippingIndex.visibleVersionDirs(spark, ext)
+      .count(v => new java.io.File(s"$v/data").exists)
+    assert(dataDirs == 0, "stats-only index copied data")
+    val (lo, hi) = (40L, 199L)
+    def admit(dir: String) = SkippingIndex.selectRange(spark, dir, "doc_id", lo, hi)
+    assert(admit(ext) == admit(full), "stats-only admission must equal the data-backed index")
+    val keys = d.filter(col("doc_id") < 20).select("doc_id").collect().map(_.getLong(0))
+    keys.foreach { h =>
+      assert(SkippingIndex.selectPoint(spark, ext, h) == SkippingIndex.selectPoint(spark, full, h),
+        s"bloom admission diverged for key $h")
+    }
+    // compaction takes the SIDECAR-FOLD path (no data to rewrite):
+    // admissions unchanged, versions folded to one
+    val statsBefore = SkippingIndex.stats(spark, ext)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val folded = SkippingIndex.compact(spark, ext, 10L)
+    assert(folded == Seq(0L, 1L, 2L) && SkippingIndex.sideVersionCount(spark, ext) == 1L)
+    val statsAfter = SkippingIndex.stats(spark, ext)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(statsAfter == statsBefore, "sidecar fold changed the folded statistics")
+    assert(admit(ext) == admit(full))
+    keys.take(5).foreach { h =>
+      assert(SkippingIndex.selectPoint(spark, ext, h) == SkippingIndex.selectPoint(spark, full, h))
+    }
+  }
+
   test("partition-spec evolution: per-spec pruning unions to the exact predicate, old spec untouched") {
     // History under spec 0 (coarse width 32), post-evolution batch under
     // spec 1 (fine width 8) — the q213 shape. The reader plans each spec
