@@ -1309,4 +1309,65 @@ SELECT k.split, count(*) AS n_docs, CAST(sum(k.n_chars) AS BIGINT) AS sum_chars,
 FROM k CROSS JOIN xc CROSS JOIN xn
 GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
   }
+
+  /** INCREMENTAL NEAR-DUP INDEX MAINTENANCE — the LSH twin of the
+    * vector index's O(delta) story (q191/q216), closing the gap that
+    * q16/q100/q101 recompute the EXISTING side from scratch on every
+    * ingest. The banded MinHash index is persisted as a SetU delta-log
+    * chain ([[graft.streaming.DeltaState]], the shared commit log): a
+    * doc's band rows depend on its own text alone, so maintaining the
+    * index under ingest is EXACTLY appending the batch's band rows —
+    * one O(batch) shingle+signature pass, no old document re-hashed,
+    * with compaction/retention/time travel inherited from the chain.
+    * Serving joins the BATCH's band rows (delta-scale) against the
+    * folded index on (band, band_sig) — the candidate set for "does
+    * anything in this batch collide with anything ever ingested
+    * (including itself)" — then verifies exact 5-shingle Jaccard ≥ 0.8
+    * on the candidates (the q16 parameters: 128 hashes × bands of 4,
+    * miss prob ≈ 5e-8 at τ=0.8). Oracle: exact Jaccard restricted to
+    * pairs with at least one batch-side doc — so the hash also
+    * certifies that the INCREMENTALLY built index finds exactly the
+    * pairs a full rebuild would (band rows are per-doc, hence
+    * incremental ∪ == rebuild; DedupSpec pins it structurally).
+    *
+    * Scale: per-ingest cost is O(batch shingles + band collisions);
+    * the index fold is metadata over the chain's committed versions;
+    * the exact verify touches only candidate docs' shingles.
+    */
+  def q223_lsh_index_maint(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DeltaState
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val base = d.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+    val batch = d.filter(pmod(col("doc_id"), lit(4)) === 3)
+    val out = QueriesSources.tmp("graft_q223_lsh_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh chain per run
+    val layout = Seq(DeltaState.Table("bands",
+      DeltaState.SetU(Seq("band", "band_sig", "doc_id"))))
+    def bandRows(df: DataFrame) = Dedup.lshBandsFromArray(
+      Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
+    DeltaState.writeDelta(s, out, 0L, layout, Seq("bands" -> bandRows(base)))
+    DeltaState.writeDelta(s, out, 1L, layout, Seq("bands" -> bandRows(batch)))
+    val index = DeltaState.asOf(s, out, layout.head).get
+    val nb = s.read.parquet(s"$out/${DeltaState.DeltaPrefix}1/bands")
+    val cands = nb.select(col("band"), col("band_sig"), col("doc_id").as("new_id"))
+      .join(index.select(col("band"), col("band_sig"), col("doc_id").as("other_id")),
+        Seq("band", "band_sig"))
+      .filter(col("new_id") =!= col("other_id"))
+      .select(least(col("new_id"), col("other_id")).as("doc_id_a"),
+        greatest(col("new_id"), col("other_id")).as("doc_id_b"))
+      .distinct()
+    val sh = Dedup.shingleHashes(d, 5).persist()
+    Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** q16's exact-Jaccard oracle restricted to pairs with a batch-side
+    * (doc_id ≡ 3 mod 4) member.
+    */
+  val q223Sql: String = {
+    val base = jaccardOracle(5, "0.8")
+    base.replace("ORDER BY doc_id_a, doc_id_b",
+      "AND (doc_id_a % 4 = 3 OR doc_id_b % 4 = 3)\nORDER BY doc_id_a, doc_id_b")
+  }
 }

@@ -117,6 +117,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH band index is per-doc, hence incrementally maintainable: base ∪ batch band rows == full rebuild; served pairs == full-run pairs") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"), col("text"))
+    val base = d.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+    val batch = d.filter(pmod(col("doc_id"), lit(4)) === 3)
+    def bandRows(df: org.apache.spark.sql.DataFrame) = Dedup.lshBandsFromArray(
+      Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "band_sig")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // the index invariant the O(delta) maintenance rests on: a doc's
+    // band rows depend on its own text alone
+    assert(rows(bandRows(base)) ++ rows(bandRows(batch)) == rows(bandRows(d)),
+      "incrementally built band index must equal the full rebuild")
+    // and the served result: the q223 catalog entry's pairs equal the
+    // full minHashNearDup run restricted to batch-involving pairs
+    val full = Dedup.minHashNearDup(d, shingleN = 5, threshold = 0.8)
+      .filter(col("doc_id_a") % 4 === 3 || col("doc_id_b") % 4 === 3)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = graft.queries.QueriesDedup.q223_lsh_index_maint(spark, sf("sf0.001"))
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == full, s"incremental serving diverged: ${served.diff(full)} / ${full.diff(served)}")
+  }
+
   test("removeSpans at production width w=50: removal matches the planted truth exactly") {
     // 12 documents of doc-unique filler tokens; docs 0, 4, 8 share a
     // 60-token planted span appended at position 80. At w=50 the only
