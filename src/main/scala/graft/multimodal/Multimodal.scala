@@ -180,6 +180,122 @@ object Multimodal {
     }
   }
 
+  /** REAL image RESIZE through the codec (the brief's missing
+    * multimodal transform): decode the PNG, 2×2 box-mean downscale on
+    * the raster (integer floor division — replayable arithmetic, unlike
+    * library scalers' filter kernels), re-ENCODE to PNG. Runs per
+    * partition like every decode stage; the output is a genuine PNG
+    * payload half the size in each dimension.
+    */
+  def resizePngHalf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "media")
+      .map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+        val (w, h) = (img.getWidth / 2, img.getHeight / 2)
+        val src = img.getRaster
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val m = (src.getSample(2 * x, 2 * y, 0) + src.getSample(2 * x + 1, 2 * y, 0) +
+              src.getSample(2 * x, 2 * y + 1, 0) + src.getSample(2 * x + 1, 2 * y + 1, 0)) / 4
+            dst.setSample(x, y, 0, m)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (r.getAs[Long]("media_id"), bos.toByteArray)
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("image/png").as("kind"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** REAL audio codec — 16-bit mono PCM WAV through `javax.sound.
+    * sampled` (pure JVM, headless-safe): [[encodeWav]] writes a
+    * deterministic sample pattern through `AudioSystem.write` (RIFF
+    * container produced by the real encoder), and [[WavDecoder]] parses
+    * it back through `AudioSystem.getAudioInputStream`. PCM is
+    * lossless, so decoded samples equal the source arithmetic — the
+    * same oracle-checkable round-trip shape as the PNG path.
+    */
+  object WavCodec {
+    val SampleRate = 8000f
+
+    /** Sample i of payload `mediaId`: a full-range deterministic
+      * pattern, s(i) = ((id·31 + i·7919) mod 4001) − 2000.
+      */
+    def sample(mediaId: Long, i: Int): Int =
+      (((mediaId * 31 + i.toLong * 7919) % 4001) - 2000).toInt
+
+    def encode(mediaId: Long, nSamples: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = sample(mediaId, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Render the deterministic WAV payloads — (media_id, media, meta). */
+  def renderWav(ids: Dataset[Long], nSamples: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.map(id => (id, WavCodec.encode(id, nSamples)))
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("audio/wav").as("kind"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** The real-codec audio [[MediaDecoder]]: parse the WAV container
+    * with `AudioSystem`, features from the decoded 16-bit samples.
+    * checksum = signed sample sum; feature = [n_samples, min, max,
+    * count of non-negative samples] — all exact in Float at these
+    * magnitudes.
+    */
+  object WavDecoder extends MediaDecoder {
+    override def open(): (String, Array[Byte]) => (Long, Array[Float]) = {
+      (_, bytes) => {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unexpected decoded format: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var nonneg = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          if (s >= 0) nonneg += 1
+          i += 1
+        }
+        (sum, Array(n.toFloat, mn.toFloat, mx.toFloat, nonneg.toFloat))
+      }
+    }
+  }
+
   /** Batched per-partition decode — the Scala analog of mapInPandas: one
     * iterator per partition, so per-partition setup (codec, model —
     * [[MediaDecoder.open]]) runs once per task, not once per row. The

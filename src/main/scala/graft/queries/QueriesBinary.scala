@@ -258,4 +258,84 @@ SELECT doc_id AS media_id,
        CAST(sum(CASE WHEN p < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
        CAST(max(p) AS BIGINT) AS px_max
 FROM px GROUP BY doc_id ORDER BY media_id"""
+
+  /** REAL-CODEC image RESIZE (the brief's multimodal transform, on top
+    * of q222's round trip): decode the genuine PNG, 2×2 box-mean
+    * downscale ON THE RASTER (integer floor division — replayable
+    * arithmetic, where a library scaler's filter kernel would not be),
+    * re-encode to PNG with the real codec, decode AGAIN, and take the
+    * features from the final decoded raster — so the hash covers two
+    * full codec round trips plus the transform. Oracle: the 2×2 block
+    * means of the deterministic pattern, in pure integer SQL.
+    */
+  def q224_png_resize(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    val resized = Multimodal.resizePngHalf(Multimodal.renderPng(ids, PngW, PngH))
+    Multimodal.extractFeatures(resized, Multimodal.PngDecoder).toDF()
+      .select(col("media_id"),
+        col("checksum").as("px_sum"),
+        col("feature")(0).cast("long").as("width"),
+        col("feature")(1).cast("long").as("height"),
+        col("feature")(2).cast("long").as("n_dark"),
+        col("feature")(3).cast("long").as("px_max"))
+      .orderBy("media_id")
+  }
+
+  val q224Sql: String =
+    raw"""WITH px AS (
+  SELECT d.doc_id,
+         ( (d.doc_id * 31 + ((t.j // ${PngW / 2}) * 2) * $PngW + (t.j % ${PngW / 2}) * 2) % 256
+         + (d.doc_id * 31 + ((t.j // ${PngW / 2}) * 2) * $PngW + (t.j % ${PngW / 2}) * 2 + 1) % 256
+         + (d.doc_id * 31 + ((t.j // ${PngW / 2}) * 2 + 1) * $PngW + (t.j % ${PngW / 2}) * 2) % 256
+         + (d.doc_id * 31 + ((t.j // ${PngW / 2}) * 2 + 1) * $PngW + (t.j % ${PngW / 2}) * 2 + 1) % 256
+         ) // 4 AS p
+  FROM documents d, range(0, ${(PngW / 2) * (PngH / 2)}) t(j))
+SELECT doc_id AS media_id,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(${PngW / 2} AS BIGINT) AS width,
+       CAST(${PngH / 2} AS BIGINT) AS height,
+       CAST(sum(CASE WHEN p < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+       CAST(max(p) AS BIGINT) AS px_max
+FROM px GROUP BY doc_id ORDER BY media_id"""
+
+  private val WavN = 256
+
+  /** REAL-CODEC audio decode (`javax.sound.sampled`, pure JVM): per
+    * document, a deterministic full-range 16-bit PCM pattern is written
+    * through the real WAV encoder (`AudioSystem.write` builds the RIFF
+    * container) and parsed back through `AudioSystem.
+    * getAudioInputStream`; features (sample sum / count / min / max /
+    * non-negative count) come from the DECODED samples. PCM is
+    * lossless, so the oracle replays the pattern arithmetic — a
+    * container-parse or sample-order bug on either leg fails the hash.
+    * Same per-partition `open()` amortization shape as every decoder.
+    */
+  def q225_wav_features(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    val payloads = Multimodal.renderWav(ids, WavN)
+    Multimodal.extractFeatures(payloads, Multimodal.WavDecoder).toDF()
+      .select(col("media_id"),
+        col("checksum").as("s_sum"),
+        col("feature")(0).cast("long").as("n_samples"),
+        col("feature")(1).cast("long").as("s_min"),
+        col("feature")(2).cast("long").as("s_max"),
+        col("feature")(3).cast("long").as("n_nonneg"))
+      .orderBy("media_id")
+  }
+
+  val q225Sql: String =
+    raw"""WITH sm AS (
+  SELECT d.doc_id, ((d.doc_id * 31 + t.i * 7919) % 4001) - 2000 AS s
+  FROM documents d, range(0, $WavN) t(i))
+SELECT doc_id AS media_id,
+       CAST(sum(s) AS BIGINT) AS s_sum,
+       CAST($WavN AS BIGINT) AS n_samples,
+       CAST(min(s) AS BIGINT) AS s_min,
+       CAST(max(s) AS BIGINT) AS s_max,
+       CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
+FROM sm GROUP BY doc_id ORDER BY media_id"""
 }

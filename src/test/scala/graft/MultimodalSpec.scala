@@ -146,4 +146,46 @@ class MultimodalSpec extends SparkSpec {
         s"decoded features mismatch for ${f.media_id}")
     }
   }
+
+  test("PNG resize: two codec round trips + 2x2 box mean, pixel-exact against the arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (w, h) = (32, 16)
+    val ids = spark.range(0, 30).as[Long]
+    val resized = Multimodal.resizePngHalf(Multimodal.renderPng(ids, w, h))
+    // the resized payloads are themselves genuine PNGs
+    val heads = resized.select(hex(substring(col("media"), 1, 8)))
+      .distinct().collect().map(_.getString(0))
+    assert(heads.toSeq == Seq("89504E470D0A1A0A"))
+    val feats = Multimodal.extractFeatures(resized, Multimodal.PngDecoder).collect()
+    feats.foreach { f =>
+      def p(i: Long) = (f.media_id * 31 + i) % 256
+      val m = for (r <- 0 until h / 2; c <- 0 until w / 2) yield
+        (p(2 * r * w + 2 * c) + p(2 * r * w + 2 * c + 1) +
+          p((2 * r + 1) * w + 2 * c) + p((2 * r + 1) * w + 2 * c + 1)) / 4
+      assert(f.checksum == m.sum, s"resized pixel sum mismatch for ${f.media_id}")
+      assert(f.feature.toSeq == Seq((w / 2).toFloat, (h / 2).toFloat,
+        m.count(_ < 128).toFloat, m.max.toFloat))
+    }
+  }
+
+  test("WAV codec round trip: real RIFF container out, decoded samples equal the source pattern") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 256
+    val ids = spark.range(0, 30).as[Long]
+    val payloads = Multimodal.renderWav(ids, n)
+    // genuine WAV container: RIFF....WAVE magic
+    val heads = payloads.select(hex(substring(col("media"), 1, 4)),
+      hex(substring(col("media"), 9, 4))).distinct().collect()
+    assert(heads.length == 1 && heads(0).getString(0) == "52494646" &&
+      heads(0).getString(1) == "57415645", s"not a RIFF/WAVE container: ${heads.toSeq}")
+    val feats = Multimodal.extractFeatures(payloads, Multimodal.WavDecoder).collect()
+    feats.foreach { f =>
+      val s = (0 until n).map(i => Multimodal.WavCodec.sample(f.media_id, i))
+      assert(f.checksum == s.map(_.toLong).sum, s"sample sum mismatch for ${f.media_id}")
+      assert(f.feature.toSeq == Seq(n.toFloat, s.min.toFloat, s.max.toFloat,
+        s.count(_ >= 0).toFloat))
+    }
+  }
 }
