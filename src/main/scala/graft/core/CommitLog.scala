@@ -119,7 +119,27 @@ object CommitLog {
       throw new CommitConflict(s"$prefix$id under $dir is already committed")
     if (!atomicCreate(spark, s"$dir/$prefix$id$ClaimSuffix"))
       throw new CommitConflict(s"$prefix$id under $dir is claimed by another writer")
+    validateClaim(spark, dir, prefix, id)
   }
+
+  /** Post-create re-check closing the TOCTOU between [[claim]]'s
+    * isCommitted check and its atomic create: [[publishExclusive]]
+    * creates the marker THEN deletes the winner's claim, so a racer
+    * whose isCommitted check ran before the marker landed can re-create
+    * the claim file after it is deleted and believe it owns an already-
+    * committed id — its begin()/overwrite would then trample committed
+    * data. Re-checking AFTER the create is sound: a commit marker can
+    * only appear for an id whose claim the committer held, so if the
+    * marker exists now, this claim is the stale-racer case — release it
+    * and conflict.
+    */
+  private[graft] def validateClaim(spark: SparkSession, dir: String,
+      prefix: String, id: Long): Unit =
+    if (ArtifactIO.isCommitted(spark, s"$dir/$prefix$id")) {
+      ArtifactIO.delete(spark, s"$dir/$prefix$id$ClaimSuffix")
+      throw new CommitConflict(
+        s"$prefix$id under $dir was committed while being claimed (raced a publishExclusive)")
+    }
 
   /** Allocate the next free version id above `floor`, every committed id
     * and every live claim, reserving it via [[claim]]; racing allocators
@@ -191,6 +211,11 @@ object CommitLog {
       JanitorReport("delta-state", graft.streaming.DeltaState.compact(spark, dir, math.max(keep, 2)))
     else if (ArtifactIO.exists(spark, s"$dir/${graft.operators.DeletionVectors.ManifestFile}")) {
       val dv = graft.operators.DeletionVectors
+      // RETENTION-WINDOW GC: physically retire only the sidecars an
+      // EARLIER pass folded — a reader that listed the chain just before
+      // this pass's fold can still open every file it saw (Delta's
+      // vacuum-after-retention; the window is one janitor interval).
+      dv.vacuumSidecars(spark, dir)
       // the floor clears LIVE CLAIMS too: a new base id below an
       // in-flight append's claimed id would hide that append's rows
       // via the version guard the moment it commits
@@ -201,17 +226,20 @@ object CommitLog {
         claimed(spark, dir, dv.AppendPrefix) ++
         dv.shardVersions(spark, dir).collect().map(_.getLong(1)).toSeq :+ -1L).max
       val newBaseId = allocate(spark, dir, dv.BasePrefix, floor)
-      val removed = dv.compactApply(spark, dir, newBaseId)
+      val removed = dv.compactApply(spark, dir, newBaseId, gc = false)
       ArtifactIO.delete(spark, s"$dir/${dv.BasePrefix}$newBaseId$ClaimSuffix")
       JanitorReport("deletion-vectors", removed)
     } else if (ArtifactIO.exists(spark, s"$dir/${graft.sources.SkippingIndex.IndexFile}")) {
       val si = graft.sources.SkippingIndex
-      val vs = committed(spark, dir, si.VersionPrefix) ++
-        committed(spark, dir, si.BasePrefix)
-      if (vs.size <= keep) JanitorReport("skipping-index", Seq.empty)
+      // same retention-window GC: versions a previous pass superseded
+      si.vacuum(spark, dir)
+      val live = si.visibleVersionDirs(spark, dir).size
+      if (live <= keep) JanitorReport("skipping-index", Seq.empty)
       else {
+        val vs = committed(spark, dir, si.VersionPrefix) ++
+          committed(spark, dir, si.BasePrefix)
         val newId = allocate(spark, dir, si.BasePrefix, vs.max)
-        val removed = si.compact(spark, dir, newId)
+        val removed = si.compact(spark, dir, newId, gc = false)
         ArtifactIO.delete(spark, s"$dir/${si.BasePrefix}$newId$ClaimSuffix")
         JanitorReport("skipping-index", removed)
       }

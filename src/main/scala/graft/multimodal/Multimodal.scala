@@ -219,6 +219,103 @@ object Multimodal {
           length(col("media")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** REAL LOSSY codec — `javax.imageio` JPEG (pure JVM, headless-safe):
+    * the dominant real-world image format, with the gating story lossy
+    * compression forces (unlike PNG/PCM, decoded pixels are NOT the
+    * source arithmetic, so only invariant facts are oracle-checkable).
+    * Two deterministic test patterns:
+    *
+    *  - BLOCK-CONSTANT ([[renderJpegBlocks]]): every 8×8 JPEG block is
+    *    one value on a 16-step grid. At compression quality 1.0 the
+    *    DCT of such a block is DC-only and the DC quantization step is
+    *    1, so the round trip is PIXEL-EXACT — MultimodalSpec pins this
+    *    EXHAUSTIVELY: the pattern depends only on id mod 256, and all
+    *    256 residues round-trip with zero error, so exactness holds for
+    *    every id. A lossy container whose content provably survives is
+    *    what makes a full-arithmetic oracle possible (q228).
+    *
+    *  - RAMP ([[renderJpegRamp]]): q222's per-pixel ramp at quality
+    *    0.95, genuinely lossy (measured max |err| = 7, again exhaustive
+    *    over the 256 pattern classes). Gate-able facts are the lossy
+    *    survivors: dimensions, and the band-quantized error bound
+    *    floor(maxAbsErr/16) = 0 with the quantization inside BOTH
+    *    engines' arithmetic.
+    */
+  object JpegCodec {
+    def encode(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+
+    /** Block-constant grayscale: 8×8 block b = ((id·37 + b·16) mod 256). */
+    def blockImage(mediaId: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = (y / 8) * (w / 8) + (x / 8)
+          raster.setSample(x, y, 0, ((mediaId * 37 + b * 16) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** q222's per-pixel ramp: pixel(i) = (id·31 + i) mod 256. */
+    def rampImage(mediaId: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((mediaId * 31 + y * w + x) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+  }
+
+  /** Block-constant JPEG payloads at quality 1.0 (the pixel-exact leg). */
+  def renderJpegBlocks(ids: Dataset[Long], w: Int, h: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.map(id => (id, JpegCodec.encode(JpegCodec.blockImage(id, w, h), 1.0f)))
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("image/jpeg").as("kind"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Ramp JPEG payloads at the given quality (the genuinely-lossy leg). */
+  def renderJpegRamp(ids: Dataset[Long], w: Int, h: Int, quality: Float): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.map(id => (id, JpegCodec.encode(JpegCodec.rampImage(id, w, h), quality)))
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("image/jpeg").as("kind"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** ImageIO sniffs the container from the bytes, so the PNG decoder IS
+    * the JPEG decoder — aliased for call-site clarity.
+    */
+  val JpegDecoder: MediaDecoder = PngDecoder
+
   /** REAL audio codec — 16-bit mono PCM WAV through `javax.sound.
     * sampled` (pure JVM, headless-safe): [[encodeWav]] writes a
     * deterministic sample pattern through `AudioSystem.write` (RIFF

@@ -66,7 +66,11 @@ object DeletionVectors {
     val withPos = df.withColumn("pos", row_number().over(w).cast("long"))
     val dir = s"$outDir/${BasePrefix}0"
     CommitLog.begin(spark, dir)
-    withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+    // an EMPTY base writes unpartitioned so the directory keeps a
+    // readable schema (partitionBy on zero rows writes no files at all);
+    // later appends anchor on it via the manifest derivation
+    if (df.isEmpty) withPos.write.mode("overwrite").parquet(s"$dir/data")
+    else withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     CommitLog.publish(spark, dir)
     // |shards|-row driver collect: the manifest is metadata-scale
     val shards = withPos.select(col("shard").cast("long")).distinct()
@@ -80,15 +84,52 @@ object DeletionVectors {
     * which is what makes [[clone]] zero-copy: a clone's manifest
     * references the source's immutable base files by path; its own
     * writes land locally. Absent root = this table's own directory.
+    *
+    * Shards a committed APPEND introduced that the file does not list
+    * are DERIVED here (from the append dirs' `shard=` partition
+    * directories — a metadata-scale listing, no data read), anchored at
+    * the oldest base entry, which serves them zero rows; the append
+    * itself carries the data, visible because anchor version <
+    * append id. Deriving at read time — instead of having [[appendRows]]
+    * read-modify-write the shared file — removes the manifest write
+    * race entirely: after [[writeBase]] the only manifest MUTATOR is
+    * [[compactApply]], which runs under a commit-log-allocated base id
+    * (the ADVICE-r11 lost-entry window). `_MANIFEST` itself stays an
+    * atomic single-object rewrite.
     */
-  private def manifest(spark: SparkSession, outDir: String): Seq[(Long, Long, String)] =
-    ArtifactIO.readString(spark, s"$outDir/$ManifestFile")
+  private def manifest(spark: SparkSession, outDir: String): Seq[(Long, Long, String)] = {
+    val fileEntries = ArtifactIO.readString(spark, s"$outDir/$ManifestFile")
       .split("\n").toSeq.filter(_.nonEmpty).map { l =>
         l.split("\\|") match {
           case Array(s, v) => (s.toLong, v.toLong, outDir)
           case Array(s, v, root) => (s.toLong, v.toLong, root)
         }
       }
+    val known = fileEntries.map(_._1).toSet
+    val novel = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
+      .flatMap { id =>
+        ArtifactIO.list(spark, s"$outDir/$AppendPrefix$id/data")
+          .filter(_.startsWith("shard="))
+          .map(_.stripPrefix("shard="))
+          .filter(s => s.nonEmpty && s.forall(c => c.isDigit || c == '-'))
+          .map(_.toLong)
+      }.distinct.filterNot(known).sorted
+    if (novel.isEmpty) fileEntries
+    else {
+      val (anchorV, anchorRoot) =
+        if (fileEntries.nonEmpty) { val e = fileEntries.minBy(_._2); (e._2, e._3) }
+        else {
+          // writeBase ran on an EMPTY DataFrame: no per-shard entries,
+          // but base_v=<min> still anchors the derived ones (schema-only)
+          val bases = ArtifactIO.committedVersions(spark, outDir, BasePrefix)
+          require(bases.nonEmpty,
+            s"table at $outDir has no manifest entries and no committed base version — " +
+              "writeBase must run before appends")
+          (bases.min, outDir)
+        }
+      fileEntries ++ novel.map(s => (s, anchorV, anchorRoot))
+    }
+  }
 
   /** The manifest as a DataFrame `(shard, base_version)` — metadata
     * scale (|shards| rows), for audits over which shards a compaction
@@ -131,9 +172,17 @@ object DeletionVectors {
   private def committedDvs(spark: SparkSession, outDir: String): Seq[Long] =
     ArtifactIO.committedVersions(spark, outDir, DvPrefix)
 
+  /** Committed DV union in `(floor, below)`. Sidecars at or below
+    * `floor` (the manifest's max base version) are provably FOLDED —
+    * a compaction's base id exceeds every sidecar id live at fold time
+    * and rewrites every shard those sidecars touch, and no later
+    * sidecar can land at or below it ([[readBefore]]/[[appendRows]]
+    * monotonicity) — so skipping them is free correctness-wise and
+    * makes retention-retained debris cost zero read IO.
+    */
   private def dvUnion(spark: SparkSession, outDir: String,
-      below: Long = Long.MaxValue): Option[DataFrame] = {
-    val vs = committedDvs(spark, outDir).filter(_ < below)
+      below: Long = Long.MaxValue, floor: Long = -1L): Option[DataFrame] = {
+    val vs = committedDvs(spark, outDir).filter(v => v < below && v > floor)
     if (vs.isEmpty) None
     else Some(vs.map(v => spark.read.parquet(s"$outDir/$DvPrefix$v/dv"))
       .reduce(_ unionByName _))
@@ -171,16 +220,42 @@ object DeletionVectors {
     readWithCutoff(spark, outDir, v)
   }
 
-  private def readWithCutoff(spark: SparkSession, outDir: String, below: Long): DataFrame = {
+  /** Reads fold O(unfolded sidecar versions) files — bounded in any
+    * healthy table by the janitor. A janitor-less table must degrade
+    * LOUDLY, not linearly: past this many unfolded DV+append versions
+    * the read refuses and names the fix. Override (e.g. for a one-off
+    * migration read) with -Dgraft.dv.maxUnfoldedVersions=N.
+    */
+  def maxUnfoldedVersions: Int =
+    sys.props.get("graft.dv.maxUnfoldedVersions").map(_.toInt).getOrElse(128)
+
+  private def readWithCutoff(spark: SparkSession, outDir: String, below: Long,
+      guarded: Boolean = true): DataFrame = {
     val m = manifest(spark, outDir)
+    // sidecars at or below the manifest floor are folded (retention
+    // debris awaiting vacuum) — free to skip, see [[dvUnion]]
+    val floor = (m.map(_._2) :+ -1L).max
+    val unfolded = committedDvs(spark, outDir).count(_ > floor) +
+      ArtifactIO.committedVersions(spark, outDir, AppendPrefix).count(_ > floor)
+    require(!guarded || unfolded <= maxUnfoldedVersions,
+      s"$unfolded unfolded sidecar versions under $outDir exceed " +
+        s"graft.dv.maxUnfoldedVersions=$maxUnfoldedVersions — run CommitLog.janitor " +
+        "to fold the chain (or raise the property for a one-off read)")
     val byVersion = m.groupBy(e => (e._3, e._2)).toSeq.sortBy(_._1)
-    val base = byVersion.map { case ((root, v), entries) =>
-      val shards = entries.map(_._1)
-      spark.read.parquet(s"$root/$BasePrefix$v/data")
-        .filter(col("shard").isin(shards: _*))
-    }.reduce(_ unionByName _)
+    val base =
+      if (byVersion.nonEmpty) byVersion.map { case ((root, v), entries) =>
+        val shards = entries.map(_._1)
+        spark.read.parquet(s"$root/$BasePrefix$v/data")
+          .filter(col("shard").isin(shards: _*))
+      }.reduce(_ unionByName _)
+      else {
+        // empty-base table, no appends yet: serve the (schema-only) base
+        val bases = ArtifactIO.committedVersions(spark, outDir, BasePrefix)
+        require(bases.nonEmpty, s"no manifest entries and no committed base under $outDir")
+        spark.read.parquet(s"$outDir/$BasePrefix${bases.min}/data")
+      }
     val withAppends = ArtifactIO.committedVersions(spark, outDir, AppendPrefix)
-      .filter(_ < below)
+      .filter(id => id < below && id > floor)
       .foldLeft(base) { (acc, id) =>
         // version guard: include only shards still served by an OLDER base
         val visibleShards = m.filter(_._2 < id).map(_._1)
@@ -189,7 +264,7 @@ object DeletionVectors {
           spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
             .filter(col("shard").isin(visibleShards: _*)))
       }
-    dvUnion(spark, outDir, below) match {
+    dvUnion(spark, outDir, below, floor) match {
       case Some(dv) =>
         withAppends.join(broadcast(dv.select(col("shard"), col("pos"))),
           Seq("shard", "pos"), "left_anti")
@@ -205,7 +280,7 @@ object DeletionVectors {
     * version guard in [[read]] depends on it).
     */
   def appendRows(spark: SparkSession, outDir: String, df: DataFrame,
-      orderCols: Seq[String], appendId: Long): Long = {
+      orderCols: Seq[String], appendId: Long, commit: Boolean = true): Long = {
     require(df.columns.contains("shard"), "appendRows needs a 'shard' column")
     val m = manifest(spark, outDir)
     // the version guard in read() is arithmetic on ids — it only holds if
@@ -220,26 +295,12 @@ object DeletionVectors {
     CommitLog.begin(spark, dir)
     withPos.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     val n = spark.read.parquet(s"$dir/data").count()
-    // Shards this batch INTRODUCES must enter the manifest, or read()'s
-    // per-shard visibility filter hides their rows forever and the next
-    // compaction GCs them unfolded (the ADVICE-r10 silent-loss window).
-    // New entries point at the oldest existing base (which serves them
-    // zero rows — the append carries the data, visible because that base
-    // version < appendId). Manifest first, marker second: a crash
-    // in between leaves an empty-but-listed shard, which a replay of
-    // this appendId repairs; the reverse order would leave committed
-    // rows no compaction ever folds.
-    val known = m.map(_._1).toSet
-    val batchShards = spark.read.parquet(s"$dir/data")
-      .select(col("shard").cast("long")).distinct().collect().map(_.getLong(0))
-    val novel = batchShards.filterNot(known).sorted
-    if (novel.nonEmpty) {
-      val (_, oldestV, oldestRoot) = m.minBy(_._2)
-      ArtifactIO.writeAtomicString(spark, s"$outDir/$ManifestFile",
-        (m ++ novel.map(s => (s, oldestV, oldestRoot)))
-          .map(manifestLine(outDir)).mkString("\n"))
-    }
-    CommitLog.publish(spark, dir)
+    // Shards this batch INTRODUCES need no manifest write here: the
+    // manifest derivation lists every committed append's shard=
+    // directories at read time (see [[manifest]]) — the marker create
+    // below is the whole commit, so no shared-file read-modify-write
+    // can race another writer
+    if (commit) CommitLog.publish(spark, dir)
     n
   }
 
@@ -258,22 +319,23 @@ object DeletionVectors {
     * Returns (rows updated, rows appended).
     */
   def upsert(spark: SparkSession, outDir: String, batch: DataFrame,
-      keyCols: Seq[String], orderCols: Seq[String], v: Long): (Long, Long) = {
+      keyCols: Seq[String], orderCols: Seq[String], v: Long,
+      commit: Boolean = true): (Long, Long) = {
     val predecessor = readBefore(spark, outDir, v)
     val nDel = writeDv(spark, outDir, v,
       predecessor.join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .select(col("shard"), col("pos")))
-    val nApp = appendRows(spark, outDir, batch, orderCols, v)
+        .select(col("shard"), col("pos")), commit)
+    val nApp = appendRows(spark, outDir, batch, orderCols, v, commit)
     (nDel, nApp)
   }
 
   private def writeDv(spark: SparkSession, outDir: String, dvId: Long,
-      rows: DataFrame): Long = {
+      rows: DataFrame, commit: Boolean = true): Long = {
     val dir = s"$outDir/$DvPrefix$dvId"
     CommitLog.begin(spark, dir)
     rows.write.mode("overwrite").parquet(s"$dir/dv")
     val n = spark.read.parquet(s"$dir/dv").count()
-    CommitLog.publish(spark, dir)
+    if (commit) CommitLog.publish(spark, dir)
     n
   }
 
@@ -309,9 +371,16 @@ object DeletionVectors {
     * DVs + appends itself), and after the flip the version guard in
     * [[read]] hides every folded append (base version > append id)
     * while leftover DVs anti-join positions that are already gone —
-    * so the GC pass (separable via `gc = false`, the vacuum job) has
-    * no read-visibility effect whenever it runs. Returns the rewritten
-    * shard ids.
+    * so GC has no read-VISIBILITY effect whenever it runs. Physical
+    * file existence is another matter: `gc = true` deletes the folded
+    * sidecars immediately, and a reader that LISTED the chain before
+    * the fold would open deleted paths — concurrent-reader deployments
+    * use `gc = false` and retire sidecars one retention window later
+    * via [[vacuumSidecars]] (what [[graft.core.CommitLog.janitor]]
+    * does). The manifest rewrite here is the only post-writeBase
+    * manifest mutation (appends derive their entries at read time), and
+    * it runs under the janitor's log-allocated base id — run one
+    * janitor at a time. Returns the rewritten shard ids.
     */
   def compactApply(spark: SparkSession, outDir: String, newBaseId: Long,
       gc: Boolean = true): Seq[Long] = {
@@ -323,11 +392,15 @@ object DeletionVectors {
     val maxSeen = (dvs ++ apps ++ manifest(spark, outDir).map(_._2) :+ -1L).max
     require(newBaseId > maxSeen,
       s"newBaseId $newBaseId must exceed every committed DV/append id and base version (max $maxSeen)")
-    // |shards|-bounded driver collects (metadata scale)
-    val dvShards = dvUnion(spark, outDir).map(_.select(col("shard").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
     val m0 = manifest(spark, outDir)
-    val appShards = apps.flatMap { id =>
+    // sidecars at or below the floor were folded by an earlier pass
+    // (retention debris awaiting vacuum) — they contribute no dirt
+    val floor = (m0.map(_._2) :+ -1L).max
+    // |shards|-bounded driver collects (metadata scale)
+    val dvShards = dvUnion(spark, outDir, floor = floor)
+      .map(_.select(col("shard").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    val appShards = apps.filter(_ > floor).flatMap { id =>
       val visible = m0.filter(_._2 < id).map(_._1).toSet
       spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
         .select(col("shard").cast("long")).distinct()
@@ -337,7 +410,9 @@ object DeletionVectors {
     if (dirty.isEmpty) return Seq.empty
     val dir = s"$outDir/$BasePrefix$newBaseId"
     ArtifactIO.delete(spark, dir) // crashed previous attempt
-    read(spark, outDir).filter(col("shard").isin(dirty: _*))
+    // unguarded: this IS the fold the chain-length guard points at
+    readWithCutoff(spark, outDir, Long.MaxValue, guarded = false)
+      .filter(col("shard").isin(dirty: _*))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     CommitLog.publish(spark, dir)
     val m = m0.map { case (s, v, root) =>
@@ -356,12 +431,131 @@ object DeletionVectors {
   // CONCURRENT WRITERS — the explicit-version API above assumes ONE
   // writer picks ids (a stream's batch ids). Two ad-hoc writers (a
   // takedown job racing a curation upsert) instead ALLOCATE their
-  // version through the shared commit log's atomic claim, which
-  // serializes them: the loser's claim conflicts and it probes to the
-  // next id, recomputing against the winner's now-committed state —
-  // optimistic concurrency, no lost updates (CommitLogSpec pins the
-  // interleavings).
+  // version through the shared commit log's atomic claim. Allocation
+  // alone does NOT serialize the SNAPSHOTS: a writer holding id N runs
+  // readBefore(N) while a lower-id writer is claimed-but-uncommitted,
+  // and if that writer then commits, N's mutation was computed against
+  // a stale view (two same-key upserts would each mask the old row and
+  // each append a copy — a duplicate key; the ADVICE-r11 lost update).
+  // So [[commitValidated]] adds the two missing pieces of optimistic
+  // concurrency (Delta's ConcurrentModificationException pattern):
+  //
+  //  1. WAIT for every lower claimed id to resolve before reading —
+  //     bounded; a crashed claimant surfaces as a loud CommitConflict
+  //     naming the stale claim, never as silent corruption;
+  //  2. VALIDATE at publish: the mutation's tables are written
+  //     UNCOMMITTED, and markers land only if the committed-sidecar
+  //     set + manifest the snapshot saw are unchanged and no lower
+  //     claim appeared — otherwise the attempt is discarded and
+  //     recomputed at a fresh id against the now-newer state.
+  //
+  // Between validation and the marker create no lower id can commit:
+  // a committing writer needs a lower LIVE claim, validation saw none,
+  // and allocation only probes ABOVE this writer's own live claim —
+  // sound for every writer that allocates through the log (the
+  // explicit-id API stays single-writer by contract). CommitLogSpec
+  // pins the interleavings including the genuine same-key race.
   // ------------------------------------------------------------------
+
+  /** How long a log-allocating writer waits for LOWER claimed ids to
+    * resolve before declaring them crashed (override with
+    * -Dgraft.dv.claimWaitMs=N).
+    */
+  def claimWaitMs: Long =
+    sys.props.get("graft.dv.claimWaitMs").map(_.toLong).getOrElse(30000L)
+
+  /** Live claims below `below` whose version has NOT committed — an
+    * in-flight (or crashed) writer this snapshot must wait out. A claim
+    * whose version IS committed is resolved: its effect is visible and
+    * [[snapshotToken]] captures it (claim files can linger when an
+    * explicit-id writer committed without releasing, or in
+    * publishExclusive's marker-then-delete gap).
+    */
+  private def lowerClaims(spark: SparkSession, outDir: String, below: Long): Seq[String] =
+    Seq(DvPrefix, AppendPrefix, BasePrefix).flatMap { p =>
+      CommitLog.claimed(spark, outDir, p).filter(_ < below)
+        .filterNot(id => ArtifactIO.isCommitted(spark, s"$outDir/$p$id"))
+        .map(id => s"$p$id")
+    }
+
+  /** Everything a `readBefore(below)` snapshot depends on: the committed
+    * sidecar ids it folds and the manifest bytes. Equal tokens ⇒ equal
+    * snapshots.
+    */
+  private def snapshotToken(spark: SparkSession, outDir: String,
+      below: Long): (Seq[Long], Seq[Long], String) =
+    (committedDvs(spark, outDir).filter(_ < below),
+      ArtifactIO.committedVersions(spark, outDir, AppendPrefix).filter(_ < below),
+      ArtifactIO.readString(spark, s"$outDir/$ManifestFile"))
+
+  private def awaitLowerClaims(spark: SparkSession, outDir: String, id: Long): Unit = {
+    val deadline = System.nanoTime() + claimWaitMs * 1000000L
+    var pending = lowerClaims(spark, outDir, id)
+    while (pending.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      pending = lowerClaims(spark, outDir, id)
+    }
+    if (pending.nonEmpty)
+      throw new CommitLog.CommitConflict(
+        s"claims below $id on $outDir unresolved after ${claimWaitMs}ms " +
+          s"(${pending.mkString(", ")}) — a crashed writer's claim must be " +
+          "released (CommitLog.releaseStaleClaims, or manually) before later " +
+          "snapshots can validate")
+  }
+
+  /** The optimistic-concurrency harness shared by the *Concurrent
+    * wrappers: allocate → wait out lower claims → snapshot → run `body`
+    * (which writes its version dirs UNCOMMITTED and returns them) →
+    * revalidate → publish-or-discard, retrying a discarded attempt at a
+    * fresh id. `body` gets the claimed id; returns (id, body result).
+    */
+  private def commitValidated[T](spark: SparkSession, outDir: String)
+      (body: Long => (Seq[String], T)): (Long, T) = {
+    var attempts = 0
+    while (attempts < 8) {
+      val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
+      val ok =
+        try {
+          awaitLowerClaims(spark, outDir, id)
+          val snap = snapshotToken(spark, outDir, id)
+          val (dirs, result) = body(id)
+          if (snapshotToken(spark, outDir, id) == snap &&
+              lowerClaims(spark, outDir, id).isEmpty) {
+            // DV marker before append marker: a reader in the gap sees
+            // the masked rows gone but not yet their replacements —
+            // momentary under-read, never a duplicate key
+            dirs.foreach(d => CommitLog.publish(spark, d))
+            Some(result)
+          } else {
+            dirs.foreach(d => ArtifactIO.delete(spark, d))
+            None
+          }
+        } finally releaseClaim(spark, outDir, DvPrefix, id)
+      ok match {
+        case Some(result) => return (id, result)
+        case None => attempts += 1
+      }
+    }
+    throw new CommitLog.CommitConflict(
+      s"writer on $outDir lost the snapshot-validation race $attempts times — retry later")
+  }
+
+  /** Physically delete sidecars an earlier [[compactApply]] already
+    * folded (committed DV/append ids strictly below the newest manifest
+    * base version — invisible to [[read]] since that fold). Run one
+    * retention window after the fold, the way [[CommitLog.janitor]]
+    * does at the start of each pass, so a reader that listed the chain
+    * just before the fold never opens a deleted path. Returns the
+    * retired ids.
+    */
+  def vacuumSidecars(spark: SparkSession, outDir: String): Seq[Long] = {
+    val floor = (manifest(spark, outDir).map(_._2) :+ -1L).max
+    val dead = committedDvs(spark, outDir).filter(_ < floor).map((DvPrefix, _)) ++
+      ArtifactIO.committedVersions(spark, outDir, AppendPrefix).filter(_ < floor)
+        .map((AppendPrefix, _))
+    dead.foreach { case (p, v) => ArtifactIO.delete(spark, s"$outDir/$p$v") }
+    dead.map(_._2).sorted
+  }
 
   /** Highest id any versioned piece of the table carries — the
     * allocation floor that keeps ids monotonic ACROSS prefixes (a DV
@@ -378,36 +572,43 @@ object DeletionVectors {
       id: Long): Unit =
     ArtifactIO.delete(spark, s"$outDir/$prefix$id${CommitLog.ClaimSuffix}")
 
-  /** [[deleteWhere]] with commit-log id allocation. Returns (version id,
-    * positions deleted).
+  /** [[deleteWhere]] with commit-log id allocation and commit-time
+    * snapshot validation. Returns (version id, positions deleted).
     */
   def deleteWhereConcurrent(spark: SparkSession, outDir: String,
-      pred: Column): (Long, Long) = {
-    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
-    val n = deleteWhere(spark, outDir, pred, id)
-    releaseClaim(spark, outDir, DvPrefix, id)
-    (id, n)
-  }
+      pred: Column): (Long, Long) =
+    commitValidated(spark, outDir) { id =>
+      val n = writeDv(spark, outDir, id,
+        readBefore(spark, outDir, id).filter(pred).select(col("shard"), col("pos")),
+        commit = false)
+      (Seq(s"$outDir/$DvPrefix$id"), n)
+    }
 
-  /** [[deleteMatching]] with commit-log id allocation. */
+  /** [[deleteMatching]] with commit-log id allocation and commit-time
+    * snapshot validation.
+    */
   def deleteMatchingConcurrent(spark: SparkSession, outDir: String,
-      keys: DataFrame, joinCols: Seq[String]): (Long, Long) = {
-    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
-    val n = deleteMatching(spark, outDir, keys, joinCols, id)
-    releaseClaim(spark, outDir, DvPrefix, id)
-    (id, n)
-  }
+      keys: DataFrame, joinCols: Seq[String]): (Long, Long) =
+    commitValidated(spark, outDir) { id =>
+      val n = writeDv(spark, outDir, id,
+        readBefore(spark, outDir, id).join(keys, joinCols, "left_semi")
+          .select(col("shard"), col("pos")),
+        commit = false)
+      (Seq(s"$outDir/$DvPrefix$id"), n)
+    }
 
-  /** [[upsert]] with commit-log id allocation (the id claims BOTH the
-    * DV and the append slot — one claim on the DV prefix, since ids are
-    * shared across prefixes by the [[versionFloor]] convention).
-    * Returns (version id, rows updated, rows appended).
+  /** [[upsert]] with commit-log id allocation and commit-time snapshot
+    * validation (the id claims BOTH the DV and the append slot — one
+    * claim on the DV prefix, since ids are shared across prefixes by the
+    * [[versionFloor]] convention). Returns (version id, rows updated,
+    * rows appended).
     */
   def upsertConcurrent(spark: SparkSession, outDir: String, batch: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String]): (Long, Long, Long) = {
-    val id = CommitLog.allocate(spark, outDir, DvPrefix, versionFloor(spark, outDir))
-    val (nDel, nApp) = upsert(spark, outDir, batch, keyCols, orderCols, id)
-    releaseClaim(spark, outDir, DvPrefix, id)
+    val (id, (nDel, nApp)) = commitValidated(spark, outDir) { id =>
+      val counts = upsert(spark, outDir, batch, keyCols, orderCols, id, commit = false)
+      (Seq(s"$outDir/$DvPrefix$id", s"$outDir/$AppendPrefix$id"), counts)
+    }
     (id, nDel, nApp)
   }
 }

@@ -338,4 +338,139 @@ SELECT doc_id AS media_id,
        CAST(max(s) AS BIGINT) AS s_max,
        CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
 FROM sm GROUP BY doc_id ORDER BY media_id"""
+
+  /** THE MEDIA STORAGE BOUNDARY (round-12 top verdict item): q222/q224/
+    * q225 render payloads in-plan — a real pipeline reads blobs written
+    * EARLIER, so payload corruption in the storage round trip was
+    * invisible to the gate. This query closes it: the PNG payloads are
+    * WRITTEN to storage through both shapes a 100 TB multimodal corpus
+    * uses — a parquet binary column (payload co-located with metadata)
+    * and one blob file per asset read back via Spark's `binaryFile`
+    * source (the object-store image-dump shape) — and the features are
+    * decoded from the READ-BACK bytes on each leg. Both legs must
+    * reproduce q222's oracle exactly; a torn write, mangled binary
+    * round trip, or path→id mismatch on either leg fails the hash.
+    * MultimodalSpec additionally asserts the decode stage's scans ARE
+    * the written tables (no in-plan render lineage).
+    */
+  def q226_png_storage(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val out = QueriesSources.tmp("graft_q226_media_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh store per run
+    val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    val payloads = Multimodal.renderPng(ids, PngW, PngH)
+    payloads.write.mode("overwrite").parquet(s"$out/parquet")
+    val filesDir = s"$out/files"
+    graft.core.ArtifactIO.mkdirs(s, filesDir)
+    // one .png blob per asset, written executor-side (the export shape;
+    // local[_] shares the filesystem the way executors share a store)
+    payloads.select("media_id", "media").foreachPartition {
+      it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(filesDir, s"${r.getLong(0)}.png"),
+            r.getAs[Array[Byte]](1))
+        }
+    }
+    def features(media: DataFrame, leg: String) =
+      Multimodal.extractFeatures(media, Multimodal.PngDecoder).toDF()
+        .select(lit(leg).as("leg"), col("media_id"),
+          col("checksum").as("px_sum"),
+          col("feature")(0).cast("long").as("width"),
+          col("feature")(1).cast("long").as("height"),
+          col("feature")(2).cast("long").as("n_dark"),
+          col("feature")(3).cast("long").as("px_max"))
+    val fromParquet = s.read.parquet(s"$out/parquet")
+    val fromFiles = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(filesDir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("media_id"),
+        col("content").as("media"),
+        struct(lit("image/png").as("kind"),
+          col("length").cast("long").as("n_bytes")).as("meta"))
+    features(fromParquet, "parquet")
+      .unionByName(features(fromFiles, "binary_file"))
+      .orderBy("leg", "media_id")
+  }
+
+  val q226Sql: String =
+    raw"""WITH px AS (
+  SELECT d.doc_id, (d.doc_id * 31 + t.i) % 256 AS p
+  FROM documents d, range(0, ${PngW * PngH}) t(i)),
+f AS (
+  SELECT doc_id AS media_id,
+         CAST(sum(p) AS BIGINT) AS px_sum,
+         CAST($PngW AS BIGINT) AS width,
+         CAST($PngH AS BIGINT) AS height,
+         CAST(sum(CASE WHEN p < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+         CAST(max(p) AS BIGINT) AS px_max
+  FROM px GROUP BY doc_id),
+legs AS (SELECT 'binary_file' AS leg UNION ALL SELECT 'parquet')
+SELECT leg, media_id, px_sum, width, height, n_dark, px_max
+FROM legs, f ORDER BY leg, media_id"""
+
+  private val JpegQ = 0.95f
+
+  /** THE LOSSY-CODEC LEG (round-12 verdict item 6): real `javax.imageio`
+    * JPEG, gating only what survives lossy encode. Two sub-legs per
+    * document, joined on media_id:
+    *
+    *  - BLOCK-CONSTANT at quality 1.0: each 8×8 JPEG block is one value
+    *    on a 16-step grid, so the DCT is DC-only with quantization step
+    *    1 and the round trip is pixel-exact (MultimodalSpec pins this
+    *    exhaustively — the pattern depends only on id mod 256). Gated:
+    *    decoded dims + the band-quantized pixel sum (`div 8`, the
+    *    quantization replayed inside BOTH engines' arithmetic).
+    *
+    *  - RAMP at quality 0.95, genuinely lossy: gated facts are the
+    *    survivors — decoded dims and the banded error bound
+    *    floor(max |decoded − source| / 16) = 0 (measured max error 7,
+    *    exhaustive over the 256 pattern classes; a codec swap that
+    *    drifts past 15 fails loudly).
+    *
+    * Full-hash pixel gating stays on the PNG path (q222/q224/q226).
+    */
+  def q228_jpeg_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    val blocks = Multimodal.extractFeatures(
+      Multimodal.renderJpegBlocks(ids, PngW, PngH), Multimodal.JpegDecoder).toDF()
+      .select(col("media_id"),
+        col("feature")(0).cast("long").as("width"),
+        col("feature")(1).cast("long").as("height"),
+        expr("checksum div 8").as("px_sum_q8"))
+    val ramp = Multimodal.renderJpegRamp(ids, PngW, PngH, JpegQ)
+      .select("media_id", "media")
+      .map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var maxErr = 0
+        var i = 0
+        while (i < w * h) {
+          val src = ((id * 31 + i) % 256).toInt
+          val dec = img.getRaster.getSample(i % w, i / w, 0)
+          if (math.abs(dec - src) > maxErr) maxErr = math.abs(dec - src)
+          i += 1
+        }
+        (id, w.toLong, h.toLong, (maxErr / 16).toLong)
+      }.toDF("media_id", "ramp_w", "ramp_h", "ramp_err_q16")
+    blocks.join(ramp, Seq("media_id")).orderBy("media_id")
+  }
+
+  val q228Sql: String =
+    raw"""WITH blk AS (
+  SELECT d.doc_id, (d.doc_id * 37 + t.b * 16) % 256 AS v
+  FROM documents d, range(0, ${(PngW / 8) * (PngH / 8)}) t(b))
+SELECT doc_id AS media_id,
+       CAST($PngW AS BIGINT) AS width,
+       CAST($PngH AS BIGINT) AS height,
+       CAST((64 * sum(v)) // 8 AS BIGINT) AS px_sum_q8,
+       CAST($PngW AS BIGINT) AS ramp_w,
+       CAST($PngH AS BIGINT) AS ramp_h,
+       CAST(0 AS BIGINT) AS ramp_err_q16
+FROM blk GROUP BY doc_id ORDER BY media_id"""
 }

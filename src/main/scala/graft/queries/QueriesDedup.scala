@@ -1370,4 +1370,94 @@ GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
     base.replace("ORDER BY doc_id_a, doc_id_b",
       "AND (doc_id_a % 4 = 3 OR doc_id_b % 4 = 3)\nORDER BY doc_id_a, doc_id_b")
   }
+
+  /** NEAR-DUP INDEX TAKEDOWN (round-12 verdict item 2): q223's SetU band
+    * chain is grow-only, so taken-down documents would keep serving
+    * candidate pairs forever. Composed here with DV-liveness the way
+    * q202 does for the vector index, through every phase:
+    *
+    *  1. incremental index: base delta + batch delta (q223's chain);
+    *  2. TAKEDOWN: the doc store is a deletion-vector table; the
+    *     takedown ids (doc_id ≡ 2 mod 7) delete through the commit
+    *     log's allocated id (gated: the id itself);
+    *  3. SERVE pre-fold: liveness is a runtime pre-filter — band rows
+    *     semi-joined against the live set BEFORE the band self-join, so
+    *     dead docs neither pair with others nor with each other;
+    *  4. FOLD: SetU cannot shrink, so the takedown fold is a GENERATION
+    *     ROLL (the vector-index rebase pattern): a new chain seeded with
+    *     only survivors' band rows — dead rows leave STORAGE;
+    *  5. SERVE post-fold from the new generation with NO liveness
+    *     filter: identical pairs prove the fold itself dropped every
+    *     dead band row (hashed as a separate phase).
+    *
+    * DedupSpec pins incremental-with-deletes == rebuild-from-survivors
+    * at the band-row level. Scale: band self-join is the candidate
+    * filter (never all-pairs), the liveness semi-join broadcasts
+    * (delete-scale), the roll is O(index), and serving off the rolled
+    * generation pays zero per-query liveness cost.
+    */
+  def q227_lsh_takedown(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DeltaState
+    import graft.operators.DeletionVectors
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val out = QueriesSources.tmp("graft_q227_lshtd_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh chain per run
+    val (docsTable, chain, chain2) = (s"$out/docs", s"$out/bands", s"$out/bands_g2")
+    val layout = Seq(DeltaState.Table("bands",
+      DeltaState.SetU(Seq("band", "band_sig", "doc_id"))))
+    def bandRows(df: DataFrame) = Dedup.lshBandsFromArray(
+      Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
+    DeltaState.writeDelta(s, chain, 0L, layout,
+      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) =!= 3))))
+    DeltaState.writeDelta(s, chain, 1L, layout,
+      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) === 3))))
+    DeletionVectors.writeBase(
+      d.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard")),
+      docsTable, Seq("doc_id"))
+    val takedown = d.filter(pmod(col("doc_id"), lit(7)) === 2).select("doc_id")
+    val (txnId, _) =
+      DeletionVectors.deleteMatchingConcurrent(s, docsTable, takedown, Seq("doc_id"))
+    val live = DeletionVectors.read(s, docsTable).select("doc_id")
+    val sh = Dedup.shingleHashes(d, 5).persist()
+    def serve(index: DataFrame): DataFrame = {
+      val cands = index
+        .select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
+        .join(index.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b")),
+          Seq("band", "band_sig"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.8)
+        .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
+    val index1 = DeltaState.asOf(s, chain, layout.head).get
+    val survivorBands = index1.join(live, Seq("doc_id"), "left_semi")
+    val pre = serve(survivorBands)
+    DeltaState.writeDelta(s, chain2, 0L, layout, Seq("bands" -> survivorBands))
+    val post = serve(DeltaState.asOf(s, chain2, layout.head).get)
+    pre.select(lit("pre_fold").as("phase"), col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .unionByName(post.select(lit("post_fold").as("phase"),
+        col("doc_id_a"), col("doc_id_b"), col("jaccard")))
+      .unionByName(takedown.select(lit("takedown").as("phase"),
+        col("doc_id").as("doc_id_a"), lit(txnId).as("doc_id_b"), lit(0.0).as("jaccard")))
+      .orderBy("phase", "doc_id_a", "doc_id_b")
+  }
+
+  /** Survivor-pair oracle (both ids ≢ 2 mod 7), replayed for both
+    * serving phases, plus the takedown rows with the deterministic
+    * log-allocated transaction id (1 on a fresh table).
+    */
+  val q227Sql: String = {
+    val survivors = jaccardOracle(5, "0.8")
+      .replace("WHERE CAST(c AS DOUBLE)",
+        "WHERE doc_id_a % 7 <> 2 AND doc_id_b % 7 <> 2 AND CAST(c AS DOUBLE)")
+      .replace("ORDER BY doc_id_a, doc_id_b", "")
+    raw"""WITH pairs AS ($survivors),
+phases AS (SELECT 'pre_fold' AS phase UNION ALL SELECT 'post_fold')
+SELECT phase, doc_id_a, doc_id_b, jaccard FROM phases, pairs
+UNION ALL
+SELECT 'takedown' AS phase, doc_id AS doc_id_a, CAST(1 AS BIGINT) AS doc_id_b,
+       CAST(0.0 AS DOUBLE) AS jaccard
+FROM documents WHERE doc_id % 7 = 2
+ORDER BY phase, doc_id_a, doc_id_b"""
+  }
 }

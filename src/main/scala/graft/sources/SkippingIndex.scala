@@ -272,13 +272,21 @@ object SkippingIndex {
 
   /** Fold every visible version into one snapshot `base_v=<newId>` (the
     * small-file / OPTIMIZE compaction): data rewritten clustered, fresh
-    * single-version sidecars, superseded versions deleted AFTER the new
-    * base commits — a racing reader folds either chain to the same
-    * rows. Column descriptor comes from `_INDEX`, so the generic
-    * janitor ([[CommitLog.janitor]]) needs no table-specific knowledge.
-    * Returns the superseded version ids.
+    * single-version sidecars. Column descriptor comes from `_INDEX`, so
+    * the generic janitor ([[CommitLog.janitor]]) needs no table-specific
+    * knowledge. Returns the superseded version ids.
+    *
+    * GC of the superseded directories is decoupled: with `gc = true`
+    * (the single-writer-no-concurrent-readers convenience) they are
+    * deleted immediately AFTER the new base commits — note a reader that
+    * captured [[visibleVersionDirs]] BEFORE the commit would then open
+    * deleted directories, so concurrent-reader deployments must use
+    * `gc = false` and retire superseded versions in a LATER [[vacuum]]
+    * pass (the retention window — what [[CommitLog.janitor]] does, and
+    * why Delta/Iceberg keep superseded files for a retention period).
     */
-  def compact(spark: SparkSession, outDir: String, newId: Long): Seq[Long] = {
+  def compact(spark: SparkSession, outDir: String, newId: Long,
+      gc: Boolean = true): Seq[Long] = {
     val bases = committedBases(spark, outDir)
     val deltas = committedDeltas(spark, outDir)
     require((bases ++ deltas :+ -1L).max < newId,
@@ -307,10 +315,29 @@ object SkippingIndex {
       CommitLog.publish(spark, vdir)
     }
     val superseded = bases.filter(_ < newId) ++ deltas.filter(_ < newId)
-    bases.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$BasePrefix$v"))
-    deltas.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$VersionPrefix$v"))
+    if (gc) {
+      bases.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$BasePrefix$v"))
+      deltas.filter(_ < newId).foreach(v => ArtifactIO.delete(spark, s"$outDir/$VersionPrefix$v"))
+    }
     superseded.sorted
   }
+
+  /** Physically delete version directories an earlier [[compact]]
+    * already superseded (every committed base/delta strictly below the
+    * newest committed base — invisible to [[visibleVersionDirs]] by
+    * version arithmetic since that fold). Run one retention window
+    * after the fold (the janitor runs it at the START of each pass), so
+    * a reader that captured its directory listing just before the fold
+    * never opens a deleted path. Returns the retired version ids.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Seq[Long] =
+    committedBases(spark, outDir).lastOption.toSeq.flatMap { newest =>
+      val deadB = committedBases(spark, outDir).filter(_ < newest)
+      val deadD = committedDeltas(spark, outDir).filter(_ < newest)
+      deadB.foreach(v => ArtifactIO.delete(spark, s"$outDir/$BasePrefix$v"))
+      deadD.foreach(v => ArtifactIO.delete(spark, s"$outDir/$VersionPrefix$v"))
+      (deadB ++ deadD).sorted
+    }
 
   // ------------------------------------------------------------------
   // PARTITION-SPEC EVOLUTION (the Iceberg table-evolution contract):

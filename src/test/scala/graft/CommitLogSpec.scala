@@ -115,6 +115,29 @@ class CommitLogSpec extends SparkSpec {
     assert(idB > 1L && liveIds(dir).subsetOf(afterA))
   }
 
+  test("atomicCreate's non-local branch (HDFS-style create(overwrite=false)) via a scheme double") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", "graft.MockSchemeFs")
+    conf.set("fs.mock.impl.disable.cache", "true")
+    try {
+      val dir = s"mock://${tmp("graft-cl-mock")}"
+      // the claim goes through FileSystem.create(p, overwrite=false),
+      // not the NIO O_EXCL local fast path — the branch the HDFS/S3
+      // deployment notes describe, executed instead of documented
+      CommitLog.claim(spark, dir, "v=", 1L)
+      intercept[CommitLog.CommitConflict] { CommitLog.claim(spark, dir, "v=", 1L) }
+      // full exclusive publication lifecycle on the same scheme
+      ArtifactIO.mkdirs(spark, s"$dir/v=1")
+      CommitLog.publishExclusive(spark, s"$dir/v=1")
+      assert(ArtifactIO.isCommitted(spark, s"$dir/v=1"))
+      intercept[CommitLog.CommitConflict] { CommitLog.publishExclusive(spark, s"$dir/v=1") }
+      assert(CommitLog.claimed(spark, dir, "v=").isEmpty, "publish must release the claim")
+    } finally {
+      conf.unset("fs.mock.impl")
+      conf.unset("fs.mock.impl.disable.cache")
+    }
+  }
+
   test("janitor dispatches by descriptor: deletion-vector table folds under an allocated base id") {
     val dir = freshDvTable()
     DeletionVectors.deleteWhereConcurrent(spark, dir, col("n_chars") < 200)
@@ -122,10 +145,82 @@ class CommitLogSpec extends SparkSpec {
     val report = CommitLog.janitor(spark, dir)
     assert(report.substrate == "deletion-vectors" && report.removed.nonEmpty)
     assert(liveIds(dir) == view, "janitor fold changed the view")
-    assert(ArtifactIO.committedVersions(spark, dir, DeletionVectors.DvPrefix).isEmpty,
-      "folded DV sidecars should be gone")
-    // a second pass has nothing to do
+    // retention window: the folded sidecar is INVISIBLE (version
+    // arithmetic) but still on disk, so a reader that listed the chain
+    // just before the fold can still open every file it saw
+    assert(ArtifactIO.committedVersions(spark, dir, DeletionVectors.DvPrefix).nonEmpty,
+      "folded DV sidecars must survive one retention window")
+    // the NEXT pass vacuums them (and has nothing new to fold)
     assert(CommitLog.janitor(spark, dir).removed.isEmpty)
+    assert(ArtifactIO.committedVersions(spark, dir, DeletionVectors.DvPrefix).isEmpty,
+      "second pass should vacuum the folded sidecars")
+    assert(liveIds(dir) == view, "vacuum changed the view")
+  }
+
+  test("claim TOCTOU guard: a claim landing after the id committed is released and conflicts") {
+    val dir = tmp("graft-cl-toctou")
+    // the raced state: publishExclusive created the marker and deleted
+    // the winner's claim; the loser's stale isCommitted check already
+    // passed, and its atomic create then re-creates the claim file
+    ArtifactIO.mkdirs(spark, s"$dir/v=2")
+    CommitLog.publishExclusive(spark, s"$dir/v=2")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/v=2${CommitLog.ClaimSuffix}"))
+    intercept[CommitLog.CommitConflict] {
+      CommitLog.validateClaim(spark, dir, "v=", 2L)
+    }
+    assert(CommitLog.claimed(spark, dir, "v=").isEmpty,
+      "the raced claim must be released, or the committed id stays claimed forever")
+    // and the full claim() path still conflicts up front on a committed id
+    intercept[CommitLog.CommitConflict] { CommitLog.claim(spark, dir, "v=", 2L) }
+  }
+
+  test("GENUINE same-key upsert race: snapshot validation leaves exactly one live copy") {
+    import spark.implicits._
+    val dir = freshDvTable()
+    val nBefore = DeletionVectors.read(spark, dir).count()
+    val keyInBase = liveIds(dir).contains(500L)
+    // two writers upsert the SAME key concurrently — pre-validation this
+    // was the lost-update corruption: each masked the base row, each
+    // appended a copy, leaving a duplicate key
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(7777L, 8888L).map { marker =>
+      new Thread(() => {
+        try {
+          DeletionVectors.upsertConcurrent(spark, dir,
+            Seq((500L, marker, 500L % 8)).toDF("doc_id", "n_chars", "shard"),
+            Seq("doc_id"), Seq("doc_id"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent upserts should serialize, got $errs")
+    val copies = DeletionVectors.read(spark, dir)
+      .filter(col("doc_id") === 500L).select("n_chars")
+      .collect().map(_.getLong(0)).toSeq
+    assert(copies.size == 1,
+      s"duplicate key after racing upserts: n_chars copies $copies")
+    assert(Set(7777L, 8888L).contains(copies.head), "surviving copy must be one of the writers'")
+    val nWant = if (keyInBase) nBefore else nBefore + 1
+    assert(DeletionVectors.read(spark, dir).count() == nWant, "row count drifted")
+  }
+
+  test("a crashed lower claim blocks later snapshots LOUDLY, and resolves once released") {
+    import spark.implicits._
+    val dir = freshDvTable()
+    // writer A claimed an id and died — its claim never resolves
+    CommitLog.claim(spark, dir, DeletionVectors.DvPrefix, 1L)
+    System.setProperty("graft.dv.claimWaitMs", "300")
+    try {
+      val e = intercept[CommitLog.CommitConflict] {
+        DeletionVectors.deleteWhereConcurrent(spark, dir, col("n_chars") < 150)
+      }
+      assert(e.getMessage.contains("dv_v=1"), s"conflict must name the stale claim: ${e.getMessage}")
+      // operator releases the debris; the writer then commits cleanly
+      ArtifactIO.delete(spark, s"$dir/${DeletionVectors.DvPrefix}1${CommitLog.ClaimSuffix}")
+      val (id, n) = DeletionVectors.deleteWhereConcurrent(spark, dir, col("n_chars") < 150)
+      // the released id was never committed, so re-allocating it is legal
+      assert(id >= 1L && n > 0)
+    } finally System.clearProperty("graft.dv.claimWaitMs")
   }
 
   test("janitor dispatches by descriptor: skipping index folds when versions exceed keep") {
@@ -164,4 +259,12 @@ class CommitLogSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want && got == Map("a" -> 4L, "b" -> 8L))
   }
+}
+
+/** A `mock://` scheme backed by the local filesystem — the standard
+  * Hadoop-test trick for executing a FileSystem-API code path (here
+  * CommitLog.atomicCreate's non-`file` branch) without a real cluster.
+  */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
 }

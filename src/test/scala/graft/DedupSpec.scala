@@ -402,4 +402,37 @@ class DedupSpec extends SparkSpec {
       .filter(col("nch") > 8).count()
     assert(nBig > 0, "degenerate fixture: no doc exceeded the forced threshold")
   }
+
+  test("LSH index takedown: incremental-with-deletes == rebuild-from-survivors (band-row level)") {
+    import graft.streaming.DeltaState
+    val d = docs.select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft-lsh-td").toFile.getAbsolutePath
+    val layout = Seq(DeltaState.Table("bands",
+      DeltaState.SetU(Seq("band", "band_sig", "doc_id"))))
+    def bandRows(df: org.apache.spark.sql.DataFrame) = Dedup.lshBandsFromArray(
+      Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("band").cast("long"), col("band_sig").cast("string"),
+        col("doc_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // incremental chain: two deltas, then a takedown generation roll
+    DeltaState.writeDelta(spark, s"$out/g1", 0L, layout,
+      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) =!= 3))))
+    DeltaState.writeDelta(spark, s"$out/g1", 1L, layout,
+      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) === 3))))
+    val live = d.filter(pmod(col("doc_id"), lit(7)) =!= 2).select("doc_id")
+    val rolled = DeltaState.asOf(spark, s"$out/g1", layout.head).get
+      .join(live, Seq("doc_id"), "left_semi")
+    DeltaState.writeDelta(spark, s"$out/g2", 0L, layout, Seq("bands" -> rolled))
+    val incremental = key(DeltaState.asOf(spark, s"$out/g2", layout.head).get)
+    // from-scratch rebuild over only the survivor documents
+    val rebuild = key(bandRows(d.join(live, Seq("doc_id"), "left_semi")))
+    assert(incremental == rebuild,
+      s"generation roll diverged from rebuild: ${incremental.size} vs ${rebuild.size} band rows")
+    assert(incremental.nonEmpty)
+    // and no dead doc's band rows survive in STORAGE (not just in the view)
+    val deadInStore = DeltaState.asOf(spark, s"$out/g2", layout.head).get
+      .filter(pmod(col("doc_id"), lit(7)) === 2).count()
+    assert(deadInStore == 0, "the fold left dead band rows in storage")
+  }
 }

@@ -222,6 +222,58 @@ class DeletionVectorsSpec extends SparkSpec {
     }
   }
 
+  test("EMPTY-base table lifecycle: appends visible, deletable, compactable (no minBy crash)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv-empty").toFile.getAbsolutePath
+    val schema = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .limit(0)
+    DeletionVectors.writeBase(schema, dir, Seq("doc_id"))
+    assert(DeletionVectors.read(spark, dir).count() == 0)
+    // pre-fix this crashed with UnsupportedOperationException (minBy on
+    // an empty manifest); now the derived entries anchor on base_v=0
+    val batch = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("doc_id", "n_chars", "shard")
+    assert(DeletionVectors.appendRows(spark, dir, batch, Seq("doc_id"), 1L) == 2)
+    assert(liveIds(dir) == Set(1L, 2L))
+    DeletionVectors.deleteWhere(spark, dir, col("doc_id") === 1L, 2L)
+    assert(liveIds(dir) == Set(2L))
+    DeletionVectors.compactApply(spark, dir, 10L)
+    assert(liveIds(dir) == Set(2L), "compaction of the empty-base table changed the view")
+  }
+
+  test("chain-length guard: a janitor-less sidecar chain refuses loudly, and folds back to readable") {
+    val dir = freshTable()
+    (1L to 4L).foreach(v => DeletionVectors.deleteWhere(spark, dir, col("doc_id") === v, v))
+    val view = liveIds(dir)
+    System.setProperty("graft.dv.maxUnfoldedVersions", "3")
+    try {
+      val e = intercept[IllegalArgumentException] { DeletionVectors.read(spark, dir).count() }
+      assert(e.getMessage.contains("janitor"), s"guard must name the fix: ${e.getMessage}")
+      // folding the chain brings the table back under the guard
+      graft.core.CommitLog.janitor(spark, dir)
+      graft.core.CommitLog.janitor(spark, dir) // second pass vacuums the retained sidecars
+      assert(liveIds(dir) == view)
+    } finally System.clearProperty("graft.dv.maxUnfoldedVersions")
+  }
+
+  test("vacuumSidecars retires only what a fold superseded; pre-fold sidecars stay one window") {
+    val dir = freshTable()
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 150, 1L)
+    // nothing folded yet: vacuum must not touch the live sidecar
+    assert(DeletionVectors.vacuumSidecars(spark, dir).isEmpty)
+    val view = liveIds(dir)
+    DeletionVectors.compactApply(spark, dir, 5L, gc = false)
+    // folded but within the retention window: still on disk, view unchanged
+    assert(graft.core.ArtifactIO.committedVersions(spark, dir, DeletionVectors.DvPrefix) == Seq(1L))
+    assert(liveIds(dir) == view)
+    // a post-fold sidecar is NOT retired by the vacuum
+    DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 160, 6L)
+    val view2 = liveIds(dir)
+    assert(DeletionVectors.vacuumSidecars(spark, dir) == Seq(1L))
+    assert(graft.core.ArtifactIO.committedVersions(spark, dir, DeletionVectors.DvPrefix) == Seq(6L))
+    assert(liveIds(dir) == view2, "vacuum changed the view")
+  }
+
   test("zero-copy clone: no data copied, sidecar state carried, branches isolated both ways") {
     val dir = freshTable()
     DeletionVectors.deleteWhere(spark, dir, col("n_chars") < 150, 1L)

@@ -188,4 +188,86 @@ class MultimodalSpec extends SparkSpec {
         s.count(_ >= 0).toFloat))
     }
   }
+
+  test("JPEG block-constant @ q1.0: round trip pixel-exact, EXHAUSTIVE over all 256 pattern classes") {
+    import graft.multimodal.Multimodal.JpegCodec
+    // blockImage depends only on id mod 256, so 256 ids cover EVERY
+    // payload this pattern can produce at this size: exactness here is
+    // exactness for all ids at all scale factors (the q228 oracle's
+    // load-bearing fact)
+    (0L until 256L).foreach { id =>
+      val img = JpegCodec.blockImage(id, 32, 16)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(JpegCodec.encode(img, 1.0f)))
+      assert(dec.getWidth == 32 && dec.getHeight == 16)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 32) {
+          assert(dec.getRaster.getSample(x, y, 0) == img.getRaster.getSample(x, y, 0),
+            s"id=$id pixel ($x,$y) drifted through the q1.0 block-constant round trip")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("JPEG ramp @ q0.95: genuinely lossy, error bounded < 16, re-encode converges (fixpoint drift <= 2)") {
+    import graft.multimodal.Multimodal.JpegCodec
+    var sawLoss = false
+    (0L until 256L).foreach { id => // exhaustive: ramp depends on id mod 256
+      val img = JpegCodec.rampImage(id, 32, 16)
+      val d1 = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(JpegCodec.encode(img, 0.95f)))
+      assert(d1.getWidth == 32 && d1.getHeight == 16, "lossy encode must preserve dims")
+      var maxE1 = 0; var maxE2 = 0
+      val d2 = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(JpegCodec.encode(d1, 0.95f)))
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 32) {
+          maxE1 = math.max(maxE1, math.abs(
+            d1.getRaster.getSample(x, y, 0) - img.getRaster.getSample(x, y, 0)))
+          maxE2 = math.max(maxE2, math.abs(
+            d2.getRaster.getSample(x, y, 0) - d1.getRaster.getSample(x, y, 0)))
+          x += 1
+        }
+        y += 1
+      }
+      if (maxE1 > 0) sawLoss = true
+      assert(maxE1 < 16, s"id=$id ramp error $maxE1 crossed the q228 quantization band")
+      assert(maxE2 <= 2, s"id=$id decode(encode(decode)) drifted $maxE2 — re-encode must converge")
+    }
+    assert(sawLoss, "fixture degenerate: the lossy leg was lossless, the invariant-only gating is vacuous")
+  }
+
+  test("q226 storage boundary: the decode stages scan the WRITTEN tables, not in-plan renders") {
+    val df = graft.queries.QueriesBinary.q226_png_storage(spark, sf("sf0.001"))
+    // both storage legs present as FILE SCANS rooted in the written store
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }
+    assert(rels.size == 2, s"expected exactly the two storage-leg scans, got ${rels.size}")
+    val paths = rels.flatMap(_.location.rootPaths.map(_.toString))
+    assert(paths.forall(_.contains("graft_q226_media_")),
+      s"decode lineage must come from the written store, scans: $paths")
+    val fmts = rels.map(_.fileFormat.getClass.getSimpleName.toLowerCase)
+    assert(fmts.exists(_.contains("parquet")), s"parquet leg scan missing: $fmts")
+    assert(fmts.exists(_.contains("binary")), s"binaryFile leg scan missing: $fmts")
+    // and NO lineage from the source documents table (the render+write
+    // happened eagerly; the returned plan must read only the store)
+    assert(!paths.exists(_.contains("documents")), "decode plan still reads the source table")
+    // the two legs agree end-to-end (row-level, not just hash)
+    val rows = df.collect()
+    val byLeg = rows.groupBy(_.getString(0)).map { case (leg, rs) =>
+      leg -> rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    }
+    assert(byLeg("parquet") == byLeg("binary_file"),
+      "parquet and binaryFile legs decoded different features")
+    assert(byLeg("parquet").nonEmpty)
+  }
 }

@@ -272,4 +272,33 @@ class SkippingIndexSpec extends SparkSpec {
     assert(statRows.exists { case (c, n) => n > live.getOrElse(c, 0L) },
       "fixture degenerate: no cluster is dirty — the upper-bound claim is vacuous")
   }
+
+  test("compact with gc=false: a reader's pre-fold listing stays openable; vacuum retires it one window later") {
+    val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cluster", expr("doc_id div 16"))
+    val root = java.nio.file.Files.createTempDirectory("graft-skip-ret").toFile.getAbsolutePath
+    SkippingIndex.build(d.filter(col("doc_id") % 2 === 0), root, "cluster", Seq("doc_id"), "doc_id")
+    SkippingIndex.append(d.filter(col("doc_id") % 2 =!= 0), root, "cluster", Seq("doc_id"), "doc_id", 1L)
+    // a racing reader captured its version listing BEFORE the fold
+    val preFold = SkippingIndex.visibleVersionDirs(spark, root)
+    val n = d.count()
+    val folded = SkippingIndex.compact(spark, root, 10L, gc = false)
+    assert(folded == Seq(0L, 1L))
+    // post-fold readers see only the new base...
+    assert(SkippingIndex.sideVersionCount(spark, root) == 1L)
+    // ...while the pre-fold reader can still open every directory it
+    // listed (the FileNotFound race eager GC had)
+    preFold.foreach { dir =>
+      assert(spark.read.parquet(s"$dir/data").count() > 0, s"pre-fold listing lost $dir")
+    }
+    // one retention window later the janitor's vacuum retires them
+    assert(SkippingIndex.vacuum(spark, root) == Seq(0L, 1L))
+    preFold.foreach(dir => assert(!new java.io.File(dir).exists, s"vacuum left $dir"))
+    val sel = SkippingIndex.stats(spark, root).select(col("cluster").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(SkippingIndex.readClusters(spark, root, sel).count() == n)
+    // idempotent: nothing left to retire
+    assert(SkippingIndex.vacuum(spark, root).isEmpty)
+  }
 }

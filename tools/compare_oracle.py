@@ -28,6 +28,13 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# subset mode mirrors Verify's SPARK_GRAFT_VERIFY_QUERIES (local iteration)
+_subset = os.environ.get("GRAFT_COMPARE_QUERIES")
+if _subset:
+    keep = set(_subset.split(","))
+    unknown = keep - set(oracle)
+    assert not unknown, f"GRAFT_COMPARE_QUERIES names not in oracle_sql.json: {sorted(unknown)}"
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 NON_PRIMITIVE = ("[]", "STRUCT", "MAP(", "UNION(", "LIST(")
 
