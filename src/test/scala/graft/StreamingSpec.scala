@@ -750,6 +750,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curateStream multi-store crash injection: no torn state on any read path; replay converges to a never-crashed twin") {
+    // curateStream commits THREE stores per batch (boiler state, raw
+    // archive, curated table) WITHOUT a joint transaction — the doc
+    // argues a crash between any two is invisible because every write
+    // is idempotent and replay-driven. This test stops arguing and
+    // injects the two crash windows, checking every read path in the
+    // torn state and convergence after replay against a twin run that
+    // never crashed.
+    val docs = graft.core.Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val gate = graft.queries.QueriesText.repetitionKeep _
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-crash").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-curate-ref").toString
+    def part(b: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+    def curated(dir: String) = StreamingJobs.curatedDocs(spark, dir)
+      .select("doc_id", "text", "__batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    def raw(dir: String) = spark.read.parquet(s"$dir/raw")
+      .select("doc_id", "text", "__batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    def boilerDf(dir: String) = StreamingJobs.boilerMaintDf(spark, s"$dir/boiler")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 2).foreach { b =>
+      StreamingJobs.curateStream(out, gate = gate)(part(b), b.toLong)
+      StreamingJobs.curateStream(ref, gate = gate)(part(b), b.toLong)
+    }
+    val prefixCurated = curated(out)
+    val prefixRaw = raw(out)
+
+    // CRASH WINDOW 1 (batch 2): boiler state + raw committed, curated
+    // write never happens
+    val novel2 = StreamingJobs.boilerMaintIngest(s"$out/boiler", 5)(part(2), 2L)
+      .select("doc_id", "text")
+    StreamingJobs.idempotentParquetSink(s"$out/raw")(novel2, 2L)
+    // torn-window read paths: the curated table is EXACTLY the
+    // pre-crash prefix (never a partial batch), raw is ahead by the
+    // crashed batch's dir (its consumer recleanCurated is replay-safe)
+    assert(curated(out) == prefixCurated, "torn window leaked a partial curated batch")
+    assert(raw(out).map(_._3).contains(2) && (raw(out) -- prefixRaw).forall(_._3 == 2))
+    // replay through the normal body (what the stream's checkpoint
+    // does), and the same batch on the never-crashed twin
+    val nOut = StreamingJobs.curateStream(out, gate = gate)(part(2), 2L)
+    val nRef = StreamingJobs.curateStream(ref, gate = gate)(part(2), 2L)
+    assert(nOut == nRef, s"replayed admission count $nOut vs twin $nRef")
+    assert(curated(out) == curated(ref), "crashed run diverged from the twin (curated)")
+    assert(raw(out) == raw(ref), "crashed run diverged from the twin (raw)")
+    assert(boilerDf(out) == boilerDf(ref), "crashed run diverged from the twin (boiler state)")
+
+    // CRASH WINDOW 2 (batch 3): ONLY the boiler state commits — crash
+    // before even the raw write
+    StreamingJobs.boilerMaintIngest(s"$out/boiler", 5)(part(3), 3L)
+    assert(curated(out) == curated(ref) && raw(out) == raw(ref),
+      "state-only crash window must leave raw/curated untouched")
+    val nOut3 = StreamingJobs.curateStream(out, gate = gate)(part(3), 3L)
+    val nRef3 = StreamingJobs.curateStream(ref, gate = gate)(part(3), 3L)
+    assert(nOut3 == nRef3)
+    assert(curated(out) == curated(ref) && raw(out) == raw(ref) &&
+      boilerDf(out) == boilerDf(ref), "crash window 2 replay diverged from the twin")
+
+    // and the maintenance job is crash-oblivious too: re-clean both
+    // runs, stores stay equal
+    StreamingJobs.recleanCurated(spark, out, gate = gate)
+    StreamingJobs.recleanCurated(spark, ref, gate = gate)
+    assert(curated(out) == curated(ref), "re-clean diverged after the crash history")
+    assert(curated(out).nonEmpty)
+  }
+
   test("retention composes with replays: randomized delivery/replay/compaction schedules converge") {
     // Fixed-seed random schedules over four disjoint document batches:
     // each step delivers the next batch, MAY immediately redeliver it
