@@ -1234,4 +1234,86 @@ ORDER BY j.label_id"""
     * folded-incremental == recompute through the identical serve path.
     */
   val q219Sql: String = q215Sql
+
+  // ─── PII detection & redaction (q230) ────────────────────────────────
+  //
+  // The governance scan every training-data pipeline runs before release:
+  // detect personally-identifying spans (emails, long digit runs, IPv4
+  // literals), count them per document, and emit the REDACTED text's
+  // fingerprint so downstream stores can verify they hold the scrubbed
+  // copy. The patterns are deliberately restricted to the syntax subset
+  // where java.util.regex and RE2 (DuckDB) agree exactly — character
+  // classes, bounded counted repeats, \b — no backreferences or
+  // lookaround, so both engines find identical spans.
+  //
+  // The synthetic corpus contains no digits at all, so the scan would be
+  // vacuous on raw fixtures: every 7th document is enriched IN-PLAN with
+  // a deterministic contact line derived from its own doc_id (the oracle
+  // replays the same concat), and the other 6/7 prove the patterns are
+  // false-positive-free on clean text.
+  //
+  // Scale shape: a pure per-row projection — map-only over the corpus,
+  // no shuffle before the presentation sort; at 100 TB this is one
+  // codegen'd scan pass, the cheapest possible governance audit.
+
+  private[graft] val PiiEmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  private[graft] val PiiIpRe    = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  private[graft] val PiiNumRe   = raw"\d{7,}"
+
+  def q230_pii_redaction(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val contact = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example"), (col("doc_id") % 10).cast("string"),
+      lit(".com tel "), lpad(col("doc_id").cast("string"), 10, "7"),
+      lit(" ip "), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit("."), ((col("doc_id") * 13) % 256).cast("string"),
+      lit("."), ((col("doc_id") * 29) % 256).cast("string"))
+    val enriched = d.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, contact).otherwise(col("text")).as("text"))
+    // redaction order: emails first (the widest pattern), then IPs, then
+    // bare digit runs — identical chain in the oracle
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+        PiiIpRe, "<IP>"),
+      PiiNumRe, "<NUM>")
+    enriched.select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PiiIpRe)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(PiiNumRe)).cast("long").as("n_num"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted.cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val q230Sql: String =
+    raw"""WITH enr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example' || CAST(doc_id % 10 AS VARCHAR)
+                || '.com tel ' || lpad(CAST(doc_id AS VARCHAR), 10, '7')
+                || ' ip ' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g'),
+             '$PiiIpRe', '<IP>', 'g'),
+           '$PiiNumRe', '<NUM>', 'g') AS red
+  FROM enr)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '$PiiIpRe')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '$PiiNumRe')) AS BIGINT) AS n_num,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS fingerprint
+FROM r ORDER BY doc_id"""
 }

@@ -1373,4 +1373,176 @@ SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
        CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
        CAST(sum(err * err) AS BIGINT) AS sse_micro2
 FROM j GROUP BY bucket ORDER BY bucket"""
+
+  // ─── Trained Naive Bayes classifier (q229 / q231) ───────────────────
+  //
+  // q140's doc promises "a trained model would broadcast its coefficient
+  // vector identically" — this family delivers the trained model: a
+  // multinomial Naive Bayes language classifier with Laplace smoothing,
+  // trained on the labeled split (doc_id % 5 != 0) and scored on the
+  // held-out fifth. On this synthetic fixture the lang labels carry
+  // almost no lexical signal (the generator draws the same vocabulary
+  // for every lang), so accuracy ≈ the majority-class prior — the entry
+  // gates the TRAINING + SCORING ARITHMETIC, not fixture accuracy.
+  //
+  // Cross-engine determinism is the q124 fixed-point trick applied to
+  // the log domain: every ln() is taken of an exact integer ratio and
+  // immediately quantized to a BIGINT at 1e6 — crucially the evidence
+  // term is round(1e6·ln(cwc+1)), which is EXACTLY 0 for an absent
+  // (word, class) pair (ln 1), so the smoothed model factorizes as
+  //   score(d, c) = prior_f(c) + Σ_w tf_w·a(w,c) − nTok_v(d)·b_f(c)
+  // with a = round(1e6·ln(cwc+1)), b_f = round(1e6·ln(tot_c + |V|)):
+  // the (word × class) grid never materializes, the per-doc sums are
+  // exact integer arithmetic, and the argmax can never flip on libm
+  // ulps. Out-of-train-vocabulary tokens are ignored (the standard
+  // multinomial-NB convention), which keeps serving a semi-join.
+
+  /** train = doc_id % 5 != 0, held-out = the remaining fifth. */
+  private def nbSplit(d: DataFrame): (DataFrame, DataFrame) =
+    (d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+
+  /** NB sufficient statistic #1: per-(lang, word) token counts — a Sum
+    * monoid over document batches, which is what makes the model
+    * incrementally maintainable (q231).
+    */
+  def nbWordCounts(train: DataFrame): DataFrame =
+    train.select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cwc"))
+
+  /** NB sufficient statistic #2: per-class document counts (the prior). */
+  def nbClassDocs(train: DataFrame): DataFrame =
+    train.groupBy("lang").agg(count(lit(1)).as("n_docs_c"))
+
+  /** Score `test` docs against the model given by its sufficient
+    * statistics, returning one row per held-out doc: true label,
+    * argmax class, its fixed-point log-score, and the margin to the
+    * runner-up.
+    *
+    * Scale shape: the model tables are vocabulary-sized (cwc shuffles
+    * on (lang, word) with map-side combine; the class table is C rows).
+    * Serving is a keyed join on `word` between the held-out term
+    * frequencies and the evidence table, then a C-row broadcast grid
+    * and a per-doc argmax window partitioned by doc_id — no
+    * corpus × corpus pair ever forms, and the only unkeyed joins
+    * broadcast the 1-row |V| / n_train scalars and the C-row class
+    * table (bounded-cross-join whitelist).
+    */
+  def nbServe(cwc: DataFrame, classDocs: DataFrame, test: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = cwc.select("word").distinct()
+    val vRow = vocab.agg(count(lit(1)).cast("double").as("v"))
+    val totC = cwc.groupBy("lang").agg(sum("cwc").as("tot_c"))
+    val nTrain = classDocs.agg(sum("n_docs_c").cast("double").as("n_train"))
+    val cls = classDocs
+      .join(totC, Seq("lang"), "left").na.fill(0L, Seq("tot_c"))
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vRow))
+      .select(col("lang").as("cls_lang"),
+        round(lit(1000000.0) * log(col("n_docs_c").cast("double") / col("n_train")))
+          .cast("long").as("prior_f"),
+        round(lit(1000000.0) * log(col("tot_c").cast("double") + col("v")))
+          .cast("long").as("b_f"))
+    val aTab = cwc.select(col("word"), col("lang").as("cls_lang"),
+      round(lit(1000000.0) * log(col("cwc").cast("double") + lit(1.0)))
+        .cast("long").as("a"))
+    val docTf = test
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(vocab, Seq("word"), "left_semi")
+    val sumA = docTf.join(aTab, Seq("word"))
+      .groupBy("doc_id", "cls_lang").agg(sum(col("tf") * col("a")).as("sa"))
+    val nTok = docTf.groupBy("doc_id").agg(sum("tf").as("n_tok_v"))
+    val grid = test.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(cls))
+      .join(sumA, Seq("doc_id", "cls_lang"), "left")
+      .join(nTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("cls_lang"),
+        (col("prior_f") + coalesce(col("sa"), lit(0L))
+          - coalesce(col("n_tok_v"), lit(0L)) * col("b_f")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls_lang"))
+    grid
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("second", lead("score", 1).over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("lang"), col("cls_lang").as("pred_lang"),
+        col("score"), (col("score") - col("second")).as("margin"),
+        when(col("cls_lang") === col("lang"), lit(1)).otherwise(lit(0)).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained multinomial NB language classifier: one-shot batch
+    * training on the 4/5 split, held-out scoring (see the family doc
+    * above for the fixed-point decomposition and scale shape).
+    */
+  def q229_nb_langid(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = nbSplit(docs(s, dir))
+    nbServe(nbWordCounts(train), nbClassDocs(train), test)
+  }
+
+  val q229Sql: String =
+    raw"""WITH train AS (SELECT doc_id, lang, $ToksSql AS t FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, lang, $ToksSql AS t FROM documents WHERE doc_id % 5 = 0),
+cwc AS (SELECT lang, word, count(*) AS cwc
+        FROM (SELECT lang, unnest(t) AS word FROM train) GROUP BY 1, 2),
+v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM cwc),
+cd AS (SELECT lang, count(*) AS n_docs_c FROM train GROUP BY 1),
+nt AS (SELECT CAST(sum(n_docs_c) AS DOUBLE) AS n_train FROM cd),
+totc AS (SELECT lang, CAST(sum(cwc) AS BIGINT) AS tot_c FROM cwc GROUP BY 1),
+cls AS (SELECT cd.lang AS cls_lang,
+               CAST(round(1000000.0 * ln(CAST(cd.n_docs_c AS DOUBLE) / nt.n_train)) AS BIGINT) AS prior_f,
+               CAST(round(1000000.0 * ln(CAST(coalesce(totc.tot_c, 0) AS DOUBLE) + v.v)) AS BIGINT) AS b_f
+        FROM cd CROSS JOIN nt CROSS JOIN v LEFT JOIN totc ON totc.lang = cd.lang),
+a AS (SELECT word, lang AS cls_lang,
+             CAST(round(1000000.0 * ln(CAST(cwc AS DOUBLE) + 1.0)) AS BIGINT) AS a
+      FROM cwc),
+dtf AS (SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS word FROM test) GROUP BY 1, 2),
+dtfv AS (SELECT * FROM dtf WHERE word IN (SELECT word FROM cwc)),
+suma AS (SELECT doc_id, a.cls_lang, CAST(sum(tf * a.a) AS BIGINT) AS sa
+         FROM dtfv JOIN a USING (word) GROUP BY 1, 2),
+ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok_v FROM dtfv GROUP BY 1),
+grid AS (SELECT te.doc_id, te.lang, cls.cls_lang,
+                cls.prior_f + coalesce(suma.sa, 0) - coalesce(ntok.n_tok_v, 0) * cls.b_f AS score
+         FROM test te CROSS JOIN cls
+         LEFT JOIN suma ON suma.doc_id = te.doc_id AND suma.cls_lang = cls.cls_lang
+         LEFT JOIN ntok ON ntok.doc_id = te.doc_id),
+r AS (SELECT doc_id, lang, cls_lang, score,
+             row_number() OVER w AS rnk, lead(score) OVER w AS second
+      FROM grid WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, cls_lang))
+SELECT doc_id, lang, cls_lang AS pred_lang, score, score - second AS margin,
+       CASE WHEN cls_lang = lang THEN 1 ELSE 0 END AS correct
+FROM r WHERE rnk = 1 ORDER BY doc_id"""
+
+  /** The SAME classifier, its sufficient statistics maintained
+    * INCREMENTALLY: the (lang, word) counts and the class doc counts
+    * are Sum-kind delta-state tables fed by three training batches
+    * (doc_id % 3), one of which is REDELIVERED (replay must be a
+    * no-op), then compacted; serving folds the chain and runs q229's
+    * exact scorer. The oracle is q229's SQL verbatim — the hash match
+    * certifies folded-incremental training == one-shot batch training
+    * through the identical serve path (the q219/q215 pattern, applied
+    * to a model instead of a feature store). O(batch) maintenance:
+    * each delta is the batch's OWN counts; no batch touches
+    * accumulated state.
+    */
+  def q231_nb_stream_ivm(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DeltaState
+    import DeltaState.{Sum, Table}
+    val (train, test) = nbSplit(docs(s, dir))
+    val out = QueriesSources.tmp("graft_q231_nb_", dir)
+    graft.core.ArtifactIO.delete(s, out) // fresh chain per run
+    val layout = Seq(
+      Table("cwc", Sum(Seq("lang", "word"))),
+      Table("cls", Sum(Seq("lang"))))
+    def writeBatch(i: Int): Unit = {
+      val b = train.filter(col("doc_id") % 3 === i)
+      DeltaState.writeDelta(s, out, i.toLong, layout,
+        Seq("cwc" -> nbWordCounts(b), "cls" -> nbClassDocs(b)))
+    }
+    (0 to 2).foreach(writeBatch)
+    writeBatch(1) // redelivery: overwrites its own version, state unchanged
+    DeltaState.compact(s, out, keep = 2)
+    val cwcF = DeltaState.asOf(s, out, Table("cwc", Sum(Seq("lang", "word")))).get
+    val clsF = DeltaState.asOf(s, out, Table("cls", Sum(Seq("lang")))).get
+    nbServe(cwcF, clsF, test)
+  }
 }

@@ -263,7 +263,10 @@ object QueriesSpec {
     "q208_binary_ann" /* 5-query sig panel; rerank joins keyed */,
     "q209_maxsim" /* 2x4 query-token panel broadcast onto the corpus */,
     "q210_matryoshka_ann" /* 5-query prefix panel; rerank joins keyed */,
-    "q207_leakage_safe_split" /* two 1-row audit totals broadcast onto 3 split rows */)
+    "q207_leakage_safe_split" /* two 1-row audit totals broadcast onto 3 split rows */,
+    // 1-row |V|/n_train scalars + C-row class table broadcast onto the
+    // held-out docs (the trained-NB serving grid)
+    "q229_nb_langid", "q231_nb_stream_ivm")
 
   /** Queries allowed to plan an UNPARTITIONED Window — each frame runs
     * over a table bounded by construction (named per entry), never over
