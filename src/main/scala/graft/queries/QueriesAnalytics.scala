@@ -1235,16 +1235,18 @@ ORDER BY j.label_id"""
     */
   val q219Sql: String = q215Sql
 
-  // ─── PII detection & redaction (q230) ────────────────────────────────
+  // ─── PII detection & redaction, per-document ledger (q230) ──────────
   //
-  // The governance scan every training-data pipeline runs before release:
-  // detect personally-identifying spans (emails, long digit runs, IPv4
-  // literals), count them per document, and emit the REDACTED text's
-  // fingerprint so downstream stores can verify they hold the scrubbed
-  // copy. The patterns are deliberately restricted to the syntax subset
-  // where java.util.regex and RE2 (DuckDB) agree exactly — character
-  // classes, bounded counted repeats, \b — no backreferences or
-  // lookaround, so both engines find identical spans.
+  // q103_pii_redact is the corpus-level audit (email/phone counts +
+  // residual-zero per lang); q230 is its PER-DOCUMENT release ledger —
+  // the artifact a downstream store checks itself against: span counts
+  // per doc for THREE pattern families (emails, IPv4 literals, long
+  // digit runs — the latter two absent from q103), and the REDACTED
+  // text's md5 fingerprint, so "does the serving copy equal the
+  // scrubbed copy?" is one hash-join, not a re-scan. Patterns stay in
+  // the syntax subset where java.util.regex and RE2 (DuckDB) agree
+  // exactly — character classes, bounded counted repeats, \b — no
+  // backreferences or lookaround, so both engines find identical spans.
   //
   // The synthetic corpus contains no digits at all, so the scan would be
   // vacuous on raw fixtures: every 7th document is enriched IN-PLAN with
