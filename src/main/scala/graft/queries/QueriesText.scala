@@ -499,10 +499,20 @@ FROM scored GROUP BY doc_id ORDER BY avg_logprob, doc_id LIMIT 20"""
     // df cap scales with the corpus (the "term in >10% of docs is a
     // stopword" rule, floored for tiny fixtures): an absolute cap
     // degenerates at scale — at 10× the gate corpus it had emptied the
-    // usable vocabulary
+    // usable vocabulary. But the RELATIVE cap alone is only a stopword
+    // filter, not a work bound: per-term pair output is O(df²), so a
+    // term sitting just under n/10 on a big corpus is quadratic
+    // anyway — the round-12 32× reference caught exactly this (32
+    // replica-marker tokens at df 5 000 each slipped under the 16 000
+    // cap and cost 1 320 s of 400 M intermediate pairs; the 8× cap of
+    // 4 000 had excluded them). The ceiling bounds per-term pair work
+    // at ≤ 2 000²/2 regardless of corpus size — the standard stop-term
+    // treatment in set-similarity joins. It binds nothing below 20 000
+    // docs, so every gate-scale result is unchanged.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= greatest(lit(50L), expr("n_docs div 10")))
+      .filter(col("df") <= greatest(lit(50L),
+        least(expr("n_docs div 10"), lit(2000L))))
       .select("term", "df")
     val wt = tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(nDocs)) // one row: corpus size
@@ -533,7 +543,7 @@ FROM scored GROUP BY doc_id ORDER BY avg_logprob, doc_id LIMIT 20"""
            GROUP BY doc_id, term),
 nd AS (SELECT count(*) AS n_docs FROM documents),
 dfreq AS (SELECT term, df FROM (SELECT term, count(*) AS df FROM tf GROUP BY term) x, nd
-          WHERE df <= greatest(50, n_docs // 10)),
+          WHERE df <= greatest(50, least(n_docs // 10, 2000))),
 wt AS (SELECT tf.doc_id, tf.term,
               CAST(round(CAST(tf.tf AS DOUBLE) * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) * 10000.0) AS BIGINT) AS w
        FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
