@@ -174,18 +174,36 @@ SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45 ORDER BY v
   val Q98Tau = 0.95
   private val q98Params: (Int, Int) = Similarity.srpParams(Q98DesignN, Q98Tau)
 
+  /** Hot-bucket occupancy ceiling for q98's PINNED banding (round-13
+    * verdict item 1, the q124 pattern): with bands×bits fixed at the
+    * design point, per-bucket occupancy grows linearly with the corpus
+    * and the in-bucket candidate self-join quadratically (556 s at 32×
+    * before the cap; SCALING.md). 128 clears the measured max occupancy
+    * at every gate scale with ≥3× headroom (`graft.Run srp-occ`:
+    * sf0.001 max 14, sf0.01 max 12, sf0.1 max 42) — the ceiling binds
+    * NOTHING at the gates, hash-verified unchanged — and bounds total
+    * pair work at ≤ 17·256·128²/2 ≈ 36 M regardless of corpus size
+    * (at 32×, p50 occupancy is 231, so saturated buckets drop instead
+    * of exploding). Production uses srpNearDupPairsAuto, which re-derives
+    * the banding from n and keeps occupancy pinned by construction.
+    */
+  val Q98MaxBucket = 128
+
   def q98_srp_params(s: SparkSession, dir: String): DataFrame = {
     val (bands, bits) = q98Params
     val base = emb(s, dir).select("vec_id", "embedding")
     val planted = base.filter(col("vec_id") < 16)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Similarity.srpNearDupPairs(base.unionByName(planted), Q98Tau,
-        numBands = bands, planesPerBand = bits)
+        numBands = bands, planesPerBand = bits, maxBucket = Q98MaxBucket)
       .orderBy("vec_id_a", "vec_id_b")
   }
 
   /** Same oracle shape as q40Sql, with the srpParams-derived band/bit
-    * counts spliced in as literals and the planted-twin union in front.
+    * counts spliced in as literals, the planted-twin union in front, and
+    * the hot-bucket occupancy ceiling ([[Q98MaxBucket]]) expressed as a
+    * QUALIFY window count — the identical filter the Spark side applies
+    * before its candidate self-join.
     */
   val q98Sql: String = {
     val (bands, bits) = q98Params
@@ -199,8 +217,10 @@ sigs AS (SELECT e.vec_id, pl.pj // $bits AS band,
                 CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * pl.p[i])) >= 0
                               THEN CAST(1 AS BIGINT) << CAST(pl.pj % $bits AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
          FROM e, pl GROUP BY e.vec_id, pl.pj // $bits),
+live AS (SELECT vec_id, band, sig FROM sigs
+         QUALIFY count(*) OVER (PARTITION BY band, sig) <= $Q98MaxBucket),
 cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         FROM live a JOIN live b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
 p AS (SELECT c.vec_id_a, c.vec_id_b, ${cosSql("ea.v", "eb.v")} AS cosine_sim
       FROM cand c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b)
 SELECT vec_id_a, vec_id_b, cosine_sim FROM p WHERE cosine_sim >= $Q98Tau ORDER BY vec_id_a, vec_id_b"""

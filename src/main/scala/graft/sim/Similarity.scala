@@ -296,7 +296,8 @@ object Similarity {
   }
 
   def srpNearDupPairs(embeddings: DataFrame, threshold: Double,
-      numBands: Int = 24, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+      numBands: Int = 24, planesPerBand: Int = 8, dim: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val planes = hyperplanes(numBands * planesPerBand, dim)
     val e = embeddings.select(
       col("vec_id"), col("embedding"), normF32(col("embedding")).as("__n"))
@@ -304,9 +305,30 @@ object Similarity {
     // from ONE native single-pass expression (bit-exact twin of the
     // bucketId column formulation, which at 192 planes degrades codegen
     // and cost ~13 ms/row interpreted — see SrpBandSigs).
-    val banded = e.select(col("vec_id"),
+    val allBanded = e.select(col("vec_id"),
       posexplode(org.apache.spark.sql.graft.SrpBandSigs.sigs(col("embedding"), planes, planesPerBand))
         .as(Seq("band", "sig")))
+    // Hot-bucket occupancy ceiling: with PINNED (bands, bits) the sig
+    // space is fixed (numBands * 2^bits buckets), so occupancy — and the
+    // in-bucket candidate self-join, quadratic in it — grows linearly
+    // with the corpus (measured: 556 s at 32x the gate corpus,
+    // SCALING.md round-12 addendum). A bucket hotter than `maxBucket`
+    // carries no discriminative signal at high τ (the banding is
+    // saturated, not similar), so it is dropped BEFORE the self-join:
+    // total pair work is then ≤ buckets · maxBucket²/2 regardless of n.
+    // The window's (band, sig) shuffle is the same key the self-join
+    // needs, so the cap adds no extra exchange. The capacity-aware
+    // production rule (srpParams / srpNearDupPairsAuto) keeps occupancy
+    // pinned instead; this ceiling is the guard for pinned-parameter
+    // uses like q98. Recall tradeoff: a true pair whose EVERY band lands
+    // in a saturated bucket is missed — at τ ≥ 0.9 twins collide in all
+    // bands, so any one sub-cap bucket keeps the pair.
+    val banded =
+      if (maxBucket == Int.MaxValue) allBanded
+      else allBanded
+        .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "sig")))
+        .filter(col("__occ") <= maxBucket)
+        .drop("__occ")
     val ca = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_a"))
     val cb = banded.select(col("band"), col("sig"), col("vec_id").as("vec_id_b"))
     val candidates = ca.join(cb, Seq("band", "sig"))

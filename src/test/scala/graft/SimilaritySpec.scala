@@ -133,6 +133,55 @@ class SimilaritySpec extends SparkSpec {
     assert(key(Similarity.srpNearDupPairs(df, 0.95)) == brute)
   }
 
+  test("maxBucket ceiling binds nothing below it, drops saturated buckets above it") {
+    // Ceiling semantics (q98's scale guard, round-13): with a cap above
+    // every bucket's occupancy the output is bit-identical to uncapped;
+    // with a cap below a saturated bucket's occupancy, that bucket's
+    // candidates vanish — UNLESS the pair also collides in a sub-cap
+    // bucket of another band (twins collide in all bands, so dropping
+    // one band's bucket never loses them while any other stays live).
+    val rng = new scala.util.Random(21)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val dups = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id_a", "vec_id_b", "cosine_sim").as[(Long, Long, Double)].collect().sorted.toSeq
+    val uncapped = key(Similarity.srpNearDupPairs(df, 0.95))
+    assert(uncapped.size >= 10)
+    // 50 vectors total: occupancy can never exceed 50, so cap=50 is a
+    // no-op by construction — identical output.
+    assert(key(Similarity.srpNearDupPairs(df, 0.95, maxBucket = 50)) == uncapped)
+    // Twins collide in EVERY band; at cap=2 only buckets holding exactly
+    // a twin pair (occupancy 2) survive, so the 10 planted pairs are
+    // still found — saturated buckets (organic collisions beyond the
+    // pair) are dropped without losing them.
+    assert(key(Similarity.srpNearDupPairs(df, 0.95, maxBucket = 2)) == uncapped)
+    // cap=1 degenerates every bucket (a pair needs occupancy >= 2):
+    // the ceiling provably reaches the candidate stage.
+    assert(Similarity.srpNearDupPairs(df, 0.95, maxBucket = 1).isEmpty)
+  }
+
+  test("q98's ceiling clears the gate fixture's max occupancy with headroom") {
+    // The catalog entry's cap (128) must bind NOTHING at gate scales or
+    // the hash would shift; this pins the invariant on the spec fixture
+    // the same way `graft.Run srp-occ` measured it on the sf dirs
+    // (max occupancy 14/12/42 at sf0.001/0.01/0.1).
+    val (bands, bits) = Similarity.srpParams(graft.queries.QueriesSim.Q98DesignN,
+      graft.queries.QueriesSim.Q98Tau)
+    val planes = Similarity.hyperplanes(bands * bits, 64)
+    val maxOcc = emb.select(
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.graft.SrpBandSigs.sigs($"embedding", planes, bits))
+          .as(Seq("band", "sig")))
+      .groupBy("band", "sig").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    assert(maxOcc * 2 <= graft.queries.QueriesSim.Q98MaxBucket,
+      s"gate fixture max occupancy $maxOcc too close to the cap ${graft.queries.QueriesSim.Q98MaxBucket}")
+  }
+
   test("srpParams pins bucket occupancy and true-pair recall as n grows") {
     for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L); tau <- Seq(0.9, 0.95, 0.99)) {
       val (bands, bits) = Similarity.srpParams(n, tau)
