@@ -12,6 +12,14 @@ round certification is a tool run, not a manual diff:
     --eightx-sweep: same rule with a +2.0 s absolute allowance (longer
     runtimes, noisier), plus a report of the worst 8x/1x scale-ratio
     drifts against the reference's ratios.
+  * vs bench_32x.json (the 32x replica corpus), via --thirtytwox-sweep:
+    same rule with a +4.0 s allowance. The 32x leg is SUBSET-aware on
+    both sides (the reference excludes the pair-family operators whose
+    true output grows ~1024x on the replica corpus; SCALING.md) —
+    comparison runs on the intersection and prints what was skipped,
+    plus the worst 32x/1x ratio drifts. Round-12's two scale cliffs
+    (q124 1320.9 s, q98 556 s) were invisible at 8x; this leg is the
+    per-round guard that they stay fixed (round-13, verdict item 3).
 
 Sweep hygiene (same guards as fold_quiet.py): a sweep with failed
 queries, a subset marker, or sub-floor (< 50 ms) timings is rejected
@@ -32,18 +40,33 @@ import sys
 FLOOR = 0.05
 
 
-def load_sweep(path):
+def load_sweep(path, allow_subset=False):
     with open(path) as f:
         s = json.load(f)
     if s.get("failed"):
         sys.exit(f"REJECT {path}: sweep has failed queries {s['failed']}")
-    if s.get("subset"):
+    if s.get("subset") and not allow_subset:
         sys.exit(f"REJECT {path}: subset sweep cannot certify the catalog")
     q = s["queries"] if "queries" in s else s
     bad = {k: v for k, v in q.items() if v < FLOOR}
     if bad:
         sys.exit(f"REJECT {path}: sub-floor timings {bad}")
     return q
+
+
+def ratio_drift(tag, new_big, ref_big, quiet_ref, quiet_new):
+    """Worst (new big/1x) vs (reference big/1x) scale-ratio drifts."""
+    drifts = []
+    for k in set(new_big) & set(ref_big) & set(quiet_ref) & set(quiet_new):
+        if quiet_ref[k] >= FLOOR and quiet_new[k] >= FLOOR:
+            r_ref = ref_big[k] / quiet_ref[k]
+            r_new = new_big[k] / quiet_new[k]
+            if r_ref > 0:
+                drifts.append((k, r_ref, r_new, r_new / r_ref))
+    drifts.sort(key=lambda t: t[3], reverse=True)
+    print(f"[{tag}] worst scale-ratio drifts (new {tag}/1x vs reference {tag}/1x):")
+    for k, r_ref, r_new, d in drifts[:8]:
+        print(f"[{tag}]   {k}: ratio {r_new:.1f}x vs ref {r_ref:.1f}x (drift {d:.2f}x)")
 
 
 def compare(name, new, ref, abs_allow):
@@ -79,6 +102,8 @@ def main():
     ap.add_argument("--quiet", default="bench_quiet.json")
     ap.add_argument("--eightx-sweep")
     ap.add_argument("--eightx", default="bench_8x.json")
+    ap.add_argument("--thirtytwox-sweep")
+    ap.add_argument("--thirtytwox", default="bench_32x.json")
     args = ap.parse_args()
 
     new = load_sweep(args.sweep)
@@ -92,18 +117,14 @@ def main():
         ref8 = load_sweep(args.eightx)
         flags8, c_new8, c_ref8 = compare("8x", new8, ref8, abs_allow=2.0)
         all_flags += flags8
-        # scale-ratio drift: (new 8x / quiet 1x) vs (ref 8x / quiet 1x)
-        drifts = []
-        for k in set(c_new8) & set(ref) & set(new):
-            if ref[k] >= FLOOR and new[k] >= FLOOR:
-                r_ref = c_ref8[k] / ref[k]
-                r_new = c_new8[k] / new[k]
-                if r_ref > 0:
-                    drifts.append((k, r_ref, r_new, r_new / r_ref))
-        drifts.sort(key=lambda t: t[3], reverse=True)
-        print("[8x] worst scale-ratio drifts (new 8x/1x vs reference 8x/1x):")
-        for k, r_ref, r_new, d in drifts[:8]:
-            print(f"[8x]   {k}: ratio {r_new:.1f}x vs ref {r_ref:.1f}x (drift {d:.2f}x)")
+        ratio_drift("8x", c_new8, c_ref8, ref, new)
+
+    if args.thirtytwox_sweep:
+        new32 = load_sweep(args.thirtytwox_sweep, allow_subset=True)
+        ref32 = load_sweep(args.thirtytwox, allow_subset=True)
+        flags32, c_new32, c_ref32 = compare("32x", new32, ref32, abs_allow=4.0)
+        all_flags += flags32
+        ratio_drift("32x", c_new32, c_ref32, ref, new)
 
     if all_flags:
         sys.exit(f"{len(all_flags)} bench regression(s) flagged")
