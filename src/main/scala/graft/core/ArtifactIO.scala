@@ -120,6 +120,46 @@ object ArtifactIO {
     }
   }
 
+  /** One blob file per row (`<dir>/<id><ext>`), written EXECUTOR-side
+    * through the Hadoop [[FileSystem]] API — the per-asset export shape
+    * of a multimodal media store (q226's `files` leg). `java.nio` writes
+    * only ever hit the LOCAL filesystem; routing through
+    * `Path.getFileSystem` makes the same code serve `hdfs:`/`s3a:`/
+    * `abfs:` — the store the actual 100 TB corpus lives on. The
+    * Hadoop `Configuration` ships to executors via Spark's own
+    * serializable wrapper, and each partition resolves its FileSystem
+    * ONCE (connection setup amortized over the partition's blobs, the
+    * same open() amortization the decode path uses). A blob create is a
+    * single-object write — atomic on every listed store (S3 PUT is
+    * all-or-nothing), so a torn task leaves either a missing or a
+    * complete blob, never a partial one visible to `binaryFile` readers
+    * (task retries overwrite idempotently).
+    *
+    * `blobs` must have exactly (id: LONG, bytes: BINARY) columns.
+    */
+  def writeBlobs(spark: SparkSession, dir: String, blobs: org.apache.spark.sql.DataFrame,
+      ext: String): Unit = {
+    mkdirs(spark, dir)
+    val hadoopConf = org.apache.spark.sql.graft.HadoopConf.broadcast(spark.sparkContext)
+    blobs.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val f = new Path(dir).getFileSystem(hadoopConf())
+        it.foreach { r =>
+          val out = f.create(new Path(dir, s"${r.getLong(0)}$ext"), true)
+          try out.write(r.getAs[Array[Byte]](1))
+          finally out.close()
+        }
+      }
+    }
+  }
+
+  /** Read one blob whole (small control-plane/media assets only). */
+  def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val in = fs(spark, path).open(new Path(path))
+    try in.readAllBytes()
+    finally in.close()
+  }
+
   def readString(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -362,17 +362,12 @@ FROM sm GROUP BY doc_id ORDER BY media_id"""
     val payloads = Multimodal.renderPng(ids, PngW, PngH)
     payloads.write.mode("overwrite").parquet(s"$out/parquet")
     val filesDir = s"$out/files"
-    graft.core.ArtifactIO.mkdirs(s, filesDir)
-    // one .png blob per asset, written executor-side (the export shape;
-    // local[_] shares the filesystem the way executors share a store)
-    payloads.select("media_id", "media").foreachPartition {
-      it: Iterator[org.apache.spark.sql.Row] =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(filesDir, s"${r.getLong(0)}.png"),
-            r.getAs[Array[Byte]](1))
-        }
-    }
+    // one .png blob per asset, written executor-side through the Hadoop
+    // FileSystem API (ArtifactIO.writeBlobs) — the object-store-safe
+    // export shape; MultimodalSpec drives the same writer through the
+    // mock:// scheme to execute the non-local branch.
+    graft.core.ArtifactIO.writeBlobs(s, filesDir,
+      payloads.select("media_id", "media"), ".png")
     def features(media: DataFrame, leg: String) =
       Multimodal.extractFeatures(media, Multimodal.PngDecoder).toDF()
         .select(lit(leg).as("leg"), col("media_id"),

@@ -243,6 +243,35 @@ class MultimodalSpec extends SparkSpec {
     assert(sawLoss, "fixture degenerate: the lossy leg was lossless, the invariant-only gating is vacuous")
   }
 
+  test("writeBlobs executes the NON-LOCAL FileSystem branch (mock:// scheme double)") {
+    // q226's per-asset blob leg used to write with java.nio (local-FS
+    // only); ArtifactIO.writeBlobs routes the executor-side create
+    // through Path.getFileSystem, and this drives that exact code over
+    // a non-`file` scheme — the object-store shape the 100 TB corpus
+    // uses — asserting a byte-exact round trip back through binaryFile.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", "graft.MockSchemeFs")
+    conf.set("fs.mock.impl.disable.cache", "true")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-blob-mock").toFile.getAbsolutePath
+      val dir = s"mock://$base/blobs"
+      val ids = spark.range(0, 8).select(org.apache.spark.sql.functions.col("id").as("doc_id")).as[Long]
+      val payloads = Multimodal.renderPng(ids, 16, 16).toDF().select("media_id", "media")
+      graft.core.ArtifactIO.writeBlobs(spark, dir, payloads, ".png")
+      val got = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+        .select(
+          org.apache.spark.sql.functions.regexp_extract(
+            org.apache.spark.sql.functions.col("path"), "(\\d+)\\.png$", 1).cast("long"),
+          org.apache.spark.sql.functions.col("content"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val want = payloads.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(got == want, "blob bytes must round-trip exactly through the non-local scheme")
+    } finally {
+      conf.unset("fs.mock.impl")
+      conf.unset("fs.mock.impl.disable.cache")
+    }
+  }
+
   test("q226 storage boundary: the decode stages scan the WRITTEN tables, not in-plan renders") {
     val df = graft.queries.QueriesBinary.q226_png_storage(spark, sf("sf0.001"))
     // both storage legs present as FILE SCANS rooted in the written store
