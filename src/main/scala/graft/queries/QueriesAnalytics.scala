@@ -1262,10 +1262,22 @@ ORDER BY j.label_id"""
   private[graft] val PiiIpRe    = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
   private[graft] val PiiNumRe   = raw"\d{7,}"
 
-  def q230_pii_redaction(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  def q230_pii_redaction(s: SparkSession, dir: String): DataFrame =
+    piiLedger(Tables(s, dir, "documents"))
+
+  /** The q230 ledger over any (doc_id, text) table — split out so the
+    * spec can pin the one-span-per-family invariant on ids PAST the
+    * fixture's range (a 7-digit doc_id is where a digit-encoded email
+    * local part would have started double-matching `\d{7,}`).
+    */
+  private[graft] def piiLedger(d: DataFrame): DataFrame = {
+    // the email local part encodes doc_id as LETTERS (translate digit →
+    // a..j): with raw digits, a 7-digit doc_id would also match the
+    // \d{7,} family inside the email, silently breaking the
+    // one-span-per-family invariant past 10^6 docs (ADVICE r12)
     val contact = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
+      lit(" contact user"),
+      translate(col("doc_id").cast("string"), "0123456789", "abcdefghij"),
       lit("@example"), (col("doc_id") % 10).cast("string"),
       lit(".com tel "), lpad(col("doc_id").cast("string"), 10, "7"),
       lit(" ip "), (col("doc_id") % 256).cast("string"),
@@ -1294,7 +1306,7 @@ ORDER BY j.label_id"""
     raw"""WITH enr AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN
-           text || ' contact user' || CAST(doc_id AS VARCHAR)
+           text || ' contact user' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
                 || '@example' || CAST(doc_id % 10 AS VARCHAR)
                 || '.com tel ' || lpad(CAST(doc_id AS VARCHAR), 10, '7')
                 || ' ip ' || CAST(doc_id % 256 AS VARCHAR)

@@ -1474,7 +1474,12 @@ FROM j GROUP BY bucket ORDER BY bucket"""
       .withColumn("second", lead("score", 1).over(w))
       .filter(col("rnk") === 1)
       .select(col("doc_id"), col("lang"), col("cls_lang").as("pred_lang"),
-        col("score"), (col("score") - col("second")).as("margin"),
+        col("score"),
+        // margin is TOTAL: with a single trained class there is no
+        // runner-up (lead over a one-row partition is NULL) — coalesce
+        // to 0 so the serving contract never emits a NULL margin
+        // (ADVICE r12); identical coalesce in the oracle SQL
+        coalesce(col("score") - col("second"), lit(0L)).as("margin"),
         when(col("cls_lang") === col("lang"), lit(1)).otherwise(lit(0)).as("correct"))
       .orderBy("doc_id")
   }
@@ -1488,9 +1493,14 @@ FROM j GROUP BY bucket ORDER BY bucket"""
     nbServe(nbWordCounts(train), nbClassDocs(train), test)
   }
 
-  val q229Sql: String =
-    raw"""WITH train AS (SELECT doc_id, lang, $ToksSql AS t FROM documents WHERE doc_id % 5 <> 0),
-test AS (SELECT doc_id, lang, $ToksSql AS t FROM documents WHERE doc_id % 5 = 0),
+  /** The NB train/score oracle over any (doc_id, lang, text) source
+    * select — q229 feeds it the raw table, q232 the planted-skew
+    * enrichment; everything downstream of `src` is shared verbatim.
+    */
+  private def nbSql(sourceSelect: String): String =
+    raw"""WITH src AS ($sourceSelect),
+train AS (SELECT doc_id, lang, $ToksSql AS t FROM src WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, lang, $ToksSql AS t FROM src WHERE doc_id % 5 = 0),
 cwc AS (SELECT lang, word, count(*) AS cwc
         FROM (SELECT lang, unnest(t) AS word FROM train) GROUP BY 1, 2),
 v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM cwc),
@@ -1518,9 +1528,11 @@ grid AS (SELECT te.doc_id, te.lang, cls.cls_lang,
 r AS (SELECT doc_id, lang, cls_lang, score,
              row_number() OVER w AS rnk, lead(score) OVER w AS second
       FROM grid WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, cls_lang))
-SELECT doc_id, lang, cls_lang AS pred_lang, score, score - second AS margin,
+SELECT doc_id, lang, cls_lang AS pred_lang, score, coalesce(score - second, 0) AS margin,
        CASE WHEN cls_lang = lang THEN 1 ELSE 0 END AS correct
 FROM r WHERE rnk = 1 ORDER BY doc_id"""
+
+  val q229Sql: String = nbSql("SELECT doc_id, lang, text FROM documents")
 
   /** The SAME classifier, its sufficient statistics maintained
     * INCREMENTALLY: the (lang, word) counts and the class doc counts
@@ -1555,4 +1567,58 @@ FROM r WHERE rnk = 1 ORDER BY doc_id"""
     val clsF = DeltaState.asOf(s, out, Table("cls", Sum(Seq("lang")))).get
     nbServe(cwcF, clsF, test)
   }
+
+  // ─── q232: the classifier on a LEARNABLE fixture ─────────────────────
+  //
+  // q229 gates training/scoring arithmetic only — the corpus generator
+  // draws one vocabulary for all langs, so its labels are near-noise and
+  // accuracy (the thing a classifier exists for) was gated nowhere
+  // (round-13 verdict item 5). q232 plants a deterministic per-lang
+  // token skew IN-PLAN (the q230/q98 pattern: synthesized inside the
+  // query from doc_id + lang, replayed exactly by the oracle): each doc
+  // gains 3 marker tokens; per position, an id-derived index in 0..7
+  // picks a LANG-SPECIFIC marker (indices 0-4, e.g. "zzdeb") or a
+  // lang-AGNOSTIC noise marker shared by all classes (indices 5-7,
+  // e.g. "zznoisef"). ~(3/8)³ ≈ 5% of docs draw only noise markers and
+  // fall back to the original near-noise text, so the signal is strong
+  // but not degenerate. Trained on the same %5 split, the per-doc
+  // `correct` column is pinned by the oracle hash, and NbPiiSpec gates
+  // accuracy ≫ the majority-class prior (~44%) — the claim q229 could
+  // not make. Scale shape: the plant is a per-row projection on top of
+  // q229's vocabulary-keyed plan; nothing new shuffles.
+
+  /** Marker index ∈ 0..7 for plant position `i`, shared by both engines. */
+  private def plantIdx(i: Int) = (col("doc_id") * 31 + lit(i * 7)) % 8
+
+  /** The tokenizer splits on [^A-Za-z], so the index is spelled as a
+    * letter (a..h) to keep the 8 variants distinct tokens.
+    */
+  private def plantTok(i: Int) = {
+    val letter = translate(plantIdx(i).cast("string"), "01234567", "abcdefgh")
+    when(plantIdx(i) < 5, concat(lit("zz"), col("lang"), letter))
+      .otherwise(concat(lit("zznoise"), letter))
+  }
+
+  private[graft] def nbPlantedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "), plantTok(0), lit(" "), plantTok(1),
+        lit(" "), plantTok(2)).as("text"))
+
+  def q232_nb_planted(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = nbSplit(nbPlantedDocs(docs(s, dir)))
+    nbServe(nbWordCounts(train), nbClassDocs(train), test)
+  }
+
+  private def plantTokSql(i: Int): String = {
+    val idx = s"(doc_id * 31 + ${i * 7}) % 8"
+    s"""CASE WHEN $idx < 5
+         THEN 'zz' || lang || translate(CAST($idx AS VARCHAR), '01234567', 'abcdefgh')
+         ELSE 'zznoise' || translate(CAST($idx AS VARCHAR), '01234567', 'abcdefgh') END"""
+  }
+
+  val q232Sql: String = nbSql(
+    s"""SELECT doc_id, lang,
+        text || ' ' || ${plantTokSql(0)} || ' ' || ${plantTokSql(1)}
+             || ' ' || ${plantTokSql(2)} AS text
+        FROM documents""")
 }

@@ -46,7 +46,14 @@ class NbPiiSpec extends SparkSpec {
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val vocab = cwc.keys.map(_._2).toSet
     val totC = classes.map(c => c -> cwc.collect { case ((`c`, _), n) => n }.sum).toMap
-    def fx(x: Double): Long = math.round(1e6 * x)
+    // HALF_UP (round half AWAY FROM ZERO) to match Spark/DuckDB round():
+    // scala math.round is half-up toward +infinity, which would disagree
+    // with the engine on an exact -x.5 fixed-point value (measure-zero
+    // on ln outputs, but the reference must be bit-identical by
+    // construction, not by luck — ADVICE r12).
+    def fx(x: Double): Long =
+      java.math.BigDecimal.valueOf(1e6 * x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val priorF = classes.map(c => c -> fx(math.log(train.count(_._2 == c) / nTrain))).toMap
     val bF = classes.map(c => c -> fx(math.log(totC(c).toDouble + vocab.size))).toMap
     val aF = cwc.map { case (k, n) => k -> fx(math.log(n.toDouble + 1.0)) }
@@ -89,6 +96,23 @@ class NbPiiSpec extends SparkSpec {
     assert(r.getInt(5) == 0)
   }
 
+  test("single-class training: margin is 0, never NULL (the serving contract is total)") {
+    // lead() over a one-row partition is NULL; the serve projection
+    // coalesces it so a degenerate (single-label) model still emits a
+    // total row shape (ADVICE r12).
+    val train = Seq((0L, "en", "the quick fox"), (1L, "en", "spark plan")).toDF("doc_id", "lang", "text")
+    val test = Seq((9L, "en", "the spark"), (10L, "de", "quick plan")).toDF("doc_id", "lang", "text")
+    val rows = QueriesText
+      .nbServe(QueriesText.nbWordCounts(train), QueriesText.nbClassDocs(train), test)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(4), s"doc ${r.getLong(0)}: margin must not be NULL")
+      assert(r.getLong(4) == 0L, s"doc ${r.getLong(0)}: sole-class margin must be 0")
+      assert(r.getString(2) == "en")
+    }
+  }
+
   test("q231 (delta-state incremental NB) equals q229 (one-shot batch NB) row-for-row") {
     val a = QueriesText.q229_nb_langid(spark, sf("sf0.001")).collect().toSeq
     val b = QueriesText.q231_nb_stream_ivm(spark, sf("sf0.001")).collect().toSeq
@@ -108,6 +132,31 @@ class NbPiiSpec extends SparkSpec {
           QueriesAnalytics.PiiIpRe, "<IP>"),
         QueriesAnalytics.PiiNumRe, "<NUM>")).collect().head
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("q232 planted-skew fixture: NB accuracy ≫ majority prior, and not degenerate") {
+    // The claim q229 cannot make (its labels are corpus noise): trained
+    // on the planted per-lang marker skew, the classifier must actually
+    // LEARN. Measured 0.92 at sf0.001 / 0.93 at sf0.01 against a ~0.4
+    // majority prior; gate at ≥ 0.75 (≈ 2× prior, far above label
+    // noise, safely below the measured point so marker-distribution
+    // drift across driver regenerations doesn't flake). The ~5% of
+    // held-out docs whose 3 markers all drew from the lang-agnostic
+    // noise pool keep the fixture honest (< 1.0 by construction).
+    val rows = QueriesText.q232_nb_planted(spark, sf("sf0.001"))
+      .select(col("lang"), col("correct")).collect()
+    val n = rows.length.toDouble
+    val acc = rows.map(_.getInt(1)).sum / n
+    val prior = rows.groupBy(_.getString(0)).map(_._2.length).max / n
+    assert(acc >= 0.75, s"planted accuracy $acc — the classifier failed to learn the skew")
+    assert(acc > prior + 0.2, s"accuracy $acc does not clear the majority prior $prior")
+    assert(acc < 1.0, s"accuracy 1.0 — the noise-marker fraction is not exercising the fixture")
+    // and the raw-label q229 stays ≈ prior on the same corpus: the skew,
+    // not the arithmetic, is what q232 adds
+    val raw = QueriesText.q229_nb_langid(spark, sf("sf0.001"))
+      .select(col("correct")).collect().map(_.getInt(0))
+    assert(raw.sum / raw.length.toDouble < 0.65,
+      "raw-label accuracy unexpectedly high — the planted-fixture rationale no longer holds")
   }
 
   test("PII patterns find seeded spans and redact them in order") {
@@ -147,5 +196,25 @@ class NbPiiSpec extends SparkSpec {
         assert(fp == raw(id), s"doc $id clean fingerprint")
       }
     }
+  }
+
+  test("q230 one-span-per-family survives 7+ digit doc_ids (letter-encoded email local part)") {
+    // ADVICE r12: with raw digits in the email local part, a 7-digit
+    // doc_id would ALSO match \d{7,} inside the email — the invariant
+    // silently depended on corpus size. The local part is now the
+    // letter-translation of doc_id; pin the fix at ids straddling 10^6
+    // and at full replica-shifted scale (3×10^8).
+    val big = Seq(7000007L, 9999990L, 314159269L).map(id => (id, "plain clean text"))
+      .toDF("doc_id", "text")
+    val out = QueriesAnalytics.piiLedger(big)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.foreach { case (id, spans) =>
+      val expect = if (id % 7 == 0) (1L, 1L, 1L) else (0L, 0L, 0L)
+      assert(spans == expect, s"doc $id: $spans")
+    }
+    // explicit: both 7-digit enriched ids carry exactly one span per
+    // family; the 9-digit clean id stays span-free
+    assert(out(7000007L) == (1L, 1L, 1L) && out(9999990L) == (1L, 1L, 1L))
+    assert(out(314159269L) == (0L, 0L, 0L))
   }
 }
