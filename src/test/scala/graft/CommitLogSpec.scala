@@ -223,6 +223,104 @@ class CommitLogSpec extends SparkSpec {
     } finally System.clearProperty("graft.dv.claimWaitMs")
   }
 
+  test("upsertConcurrent crash windows: EVERY kill point is invisible, loud, or healed by retry") {
+    // Round-13 verdict item 6: the *Concurrent commit sequence is
+    //   claim → snapshot → write dv dir → write append dir →
+    //   publish(dv) → publish(append) → release claim
+    // and each adjacent pair is a crash window. The curateStream
+    // injection pattern, generalized: construct the exact on-disk state
+    // a kill at window k leaves (every step's effect is a complete
+    // file-level artifact, so the state is reproducible with the same
+    // primitives), then prove the three-part invariant at every k —
+    //   (1) readers never see a torn or duplicated row: pre-state for
+    //       k ≤ 2, the documented DV-before-append under-read (masked
+    //       rows gone, replacements pending, no duplicates) at k = 3,
+    //       the full upsert at k = 4;
+    //   (2) the failure is LOUD where it must block (an unresolved
+    //       lower claim names itself to the next writer) and silent
+    //       where it must not (a committed id's lingering claim never
+    //       blocks anyone);
+    //   (3) the client's natural recovery — retry the upsert, releasing
+    //       the named stale claim if conflicted — converges to the
+    //       intended final state with no duplicate keys.
+    import spark.implicits._
+    val id = 1L
+    def nchars(dir: String): Map[Long, Long] =
+      DeletionVectors.read(spark, dir).select("doc_id", "n_chars")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    System.setProperty("graft.dv.claimWaitMs", "300")
+    try {
+      for (k <- 0 to 4) {
+        val dir = freshDvTable()
+        val pre = nchars(dir)
+        // updates: every doc_id % 9 == 4 gets n_chars = -7; insert: one new key
+        val newKey = pre.keys.max + 1
+        val batch = graft.core.Tables(spark, sf("sf0.001"), "documents")
+          .filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id"), lit(-7L).as("n_chars"))
+          .unionByName(Seq((newKey, -9L)).toDF("doc_id", "n_chars"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        val updatedKeys = pre.keys.filter(_ % 9 == 4).toSet
+        val intended = pre ++ updatedKeys.map(_ -> -7L) + (newKey -> -9L)
+
+        // ── construct the post-kill state for window k ──
+        CommitLog.claim(spark, dir, DeletionVectors.DvPrefix, id) // k = 0
+        if (k >= 1) {
+          DeletionVectors.upsert(spark, dir, batch, Seq("doc_id"), Seq("doc_id"), id,
+            commit = false) // k = 2 (dv + append dirs, both uncommitted)
+          if (k == 1) // kill BETWEEN the two writes: only the dv dir exists
+            ArtifactIO.delete(spark, s"$dir/${DeletionVectors.AppendPrefix}$id")
+        }
+        if (k >= 3) CommitLog.publish(spark, s"$dir/${DeletionVectors.DvPrefix}$id")
+        if (k >= 4) CommitLog.publish(spark, s"$dir/${DeletionVectors.AppendPrefix}$id")
+        // crash: the claim is never released
+
+        // ── (1) reader invariant ──
+        val seen = nchars(dir)
+        k match {
+          case 0 | 1 | 2 =>
+            assert(seen == pre, s"window $k: uncommitted work leaked into a read")
+          case 3 =>
+            assert(seen == pre -- updatedKeys,
+              s"window $k: expected the documented under-read (masked rows gone, appends pending)")
+          case _ =>
+            assert(seen == intended, s"window $k: both markers committed must serve the full upsert")
+        }
+        assert(seen.size == DeletionVectors.read(spark, dir).count(),
+          s"window $k: duplicate doc_id visible")
+
+        // ── (2) + (3) recovery: the client retries the same upsert ──
+        if (k <= 2) {
+          // unresolved uncommitted claim: the retry must refuse LOUDLY,
+          // naming the debris — never proceed against a maybe-live writer
+          val e = intercept[CommitLog.CommitConflict] {
+            DeletionVectors.upsertConcurrent(spark, dir, batch, Seq("doc_id"), Seq("doc_id"))
+          }
+          assert(e.getMessage.contains(s"${DeletionVectors.DvPrefix}$id"),
+            s"window $k: conflict must name the stale claim: ${e.getMessage}")
+          ArtifactIO.delete(spark,
+            s"$dir/${DeletionVectors.DvPrefix}$id${CommitLog.ClaimSuffix}")
+        }
+        // k = 3: the committed-dv claim is RESOLVED debris — the retry must
+        // proceed with no operator intervention (readBefore folds the torn
+        // DV, the batch re-appends every masked key, healing the under-read).
+        // k = 4: pure re-apply on complete state (idempotent by content).
+        val (rid, _, _) =
+          DeletionVectors.upsertConcurrent(spark, dir, batch, Seq("doc_id"), Seq("doc_id"))
+        // k ≤ 2: the crashed id never committed and its claim was
+        // released, so RE-allocating it is legal (the retry overwrites
+        // the junk dirs — replay semantics); once a marker committed
+        // (k ≥ 3) the floor forces a strictly higher id.
+        if (k >= 3) assert(rid > id, s"window $k: retry must allocate above the committed id")
+        else assert(rid >= id, s"window $k: retry allocated below the crashed id")
+        val healed = nchars(dir)
+        assert(healed == intended, s"window $k: retry did not converge to the intended state")
+        assert(healed.size == DeletionVectors.read(spark, dir).count(),
+          s"window $k: retry left a duplicate doc_id")
+      }
+    } finally System.clearProperty("graft.dv.claimWaitMs")
+  }
+
   test("janitor dispatches by descriptor: skipping index folds when versions exceed keep") {
     val d = graft.core.Tables(spark, sf("sf0.001"), "documents")
       .select(col("doc_id"), col("n_chars"))
