@@ -266,7 +266,8 @@ object QueriesSpec {
     "q207_leakage_safe_split" /* two 1-row audit totals broadcast onto 3 split rows */,
     // 1-row |V|/n_train scalars + C-row class table broadcast onto the
     // held-out docs (the trained-NB serving grid)
-    "q229_nb_langid", "q231_nb_stream_ivm")
+    "q229_nb_langid", "q231_nb_stream_ivm",
+    "q232_nb_planted" /* same NB serving grid as q229, planted fixture */)
 
   /** Queries allowed to plan an UNPARTITIONED Window — each frame runs
     * over a table bounded by construction (named per entry), never over
