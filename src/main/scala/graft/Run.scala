@@ -256,6 +256,37 @@ object Run {
             println("[curate] curated table: empty (no batch admitted any document)")
         }
       } finally spark.stop()
+    case "blob-bench" :: Nil =>
+      // Microbenchmark the per-asset blob write paths (q226 storage leg).
+      val dir = java.nio.file.Files.createTempDirectory("blobbench").toFile.getAbsolutePath
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val n = 5000
+      val payload = Array.fill[Byte](1500)(7)
+      val nioDir = new java.io.File(dir, "nio"); nioDir.mkdirs()
+      var t0 = System.nanoTime()
+      (0 until n).foreach { i =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(nioDir.getPath, s"$i.png"), payload)
+      }
+      println(f"[blob-bench] nio: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/had")
+      val fs = p.getFileSystem(conf)
+      fs.setWriteChecksum(false)
+      fs.mkdirs(p)
+      t0 = System.nanoTime()
+      (0 until n).foreach { i =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, s"$i.png"), true)
+        try out.write(payload) finally out.close()
+      }
+      println(f"[blob-bench] hadoop local (checksum off): ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+      raw.initialize(java.net.URI.create("file:///"), conf)
+      val p3 = new org.apache.hadoop.fs.Path(s"$dir/raw"); raw.mkdirs(p3)
+      t0 = System.nanoTime()
+      (0 until n).foreach { i =>
+        val out = raw.create(new org.apache.hadoop.fs.Path(p3, s"$i.png"), true)
+        try out.write(payload) finally out.close()
+      }
+      println(f"[blob-bench] hadoop raw: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     case "srp-occ" :: dir :: rest =>
       // Occupancy histogram of q98's pinned-band SRP buckets (design
       // point 17x8 unless overridden): the evidence behind the

@@ -141,13 +141,31 @@ object ArtifactIO {
       ext: String): Unit = {
     mkdirs(spark, dir)
     val hadoopConf = org.apache.spark.sql.graft.HadoopConf.broadcast(spark.sparkContext)
+    val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("file")
     blobs.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
-        val f = new Path(dir).getFileSystem(hadoopConf())
-        it.foreach { r =>
-          val out = f.create(new Path(dir, s"${r.getLong(0)}$ext"), true)
-          try out.write(r.getAs[Array[Byte]](1))
-          finally out.close()
+        if (scheme == "file") {
+          // Local fast path (the atomicCreate pattern): without the
+          // Hadoop native library, RawLocalFileSystem.create forks a
+          // `chmod` PROCESS per file — measured 6.5 ms/create vs NIO's
+          // 0.03 ms (`graft.Run blob-bench`), a ~20x wall regression on
+          // a 5k-asset export. Executors on a real cluster writing to a
+          // shared object store never take this branch.
+          val base = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
+          it.foreach { r =>
+            java.nio.file.Files.write(base.resolve(s"${r.getLong(0)}$ext"),
+              r.getAs[Array[Byte]](1))
+          }
+        } else {
+          val f = new Path(dir).getFileSystem(hadoopConf())
+          // hdfs:/s3a:/abfs: — a blob create is one atomic object write;
+          // no client-side .crc sidecar (the store checksums its PUTs)
+          f.setWriteChecksum(false)
+          it.foreach { r =>
+            val out = f.create(new Path(dir, s"${r.getLong(0)}$ext"), true)
+            try out.write(r.getAs[Array[Byte]](1))
+            finally out.close()
+          }
         }
       }
     }
