@@ -9,5 +9,8 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# Heap override for big-corpus sweeps: the 8x/32x replica sweeps at
+# local[32] exhausted 8g in round 13 (GCLocker retry storm killed the
+# SparkContext mid-sweep); default stays 8g for the gate scales.
+exec java $ADD_OPENS -Xmx${SPARK_GRAFT_XMX:-8g} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
