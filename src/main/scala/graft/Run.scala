@@ -256,11 +256,13 @@ object Run {
             println("[curate] curated table: empty (no batch admitted any document)")
         }
       } finally spark.stop()
-    case "blob-bench" :: Nil =>
+    case "blob-bench" :: benchRest =>
       // Microbenchmark the per-asset blob write paths (q226 storage leg).
+      // Optional arg = asset count (default 5000; q226's 8×-replica
+      // export shape is ~80000).
       val dir = java.nio.file.Files.createTempDirectory("blobbench").toFile.getAbsolutePath
       val conf = new org.apache.hadoop.conf.Configuration()
-      val n = 5000
+      val n = benchRest.headOption.map(_.toInt).getOrElse(5000)
       val payload = Array.fill[Byte](1500)(7)
       val nioDir = new java.io.File(dir, "nio"); nioDir.mkdirs()
       var t0 = System.nanoTime()
@@ -287,6 +289,36 @@ object Run {
         try out.write(payload) finally out.close()
       }
       println(f"[blob-bench] hadoop raw: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // The writeBlobs NON-LOCAL branch end-to-end through Spark over a
+      // mock:// object-store double (round-13 verdict item 6): per-
+      // partition FS resolution + uncached-instance setup + one create
+      // stream per asset — the plumbing whose "connection setup
+      // amortized per partition" claim this turns into a creates/s
+      // number. RunMockFs no-ops the POSIX permission call: the chmod
+      // PROCESS RawLocalFileSystem otherwise forks per create is the
+      // local-FS artifact already measured by the legs above, and object
+      // stores (the branch's real targets) have no such call.
+      val spark = Sessions.local("graft-blob-bench")
+      try {
+        spark.sparkContext.hadoopConfiguration.set("fs.mock.impl", "graft.RunMockFs")
+        spark.sparkContext.hadoopConfiguration.set("fs.mock.impl.disable.cache", "true")
+        import org.apache.spark.sql.functions.{col, lit}
+        val blobs = spark.range(n).select(col("id"), lit(payload).as("bytes"))
+        // untimed warmup at 1/10 scale: JVM/codegen/scan startup
+        val warmBase = java.nio.file.Files.createTempDirectory("blobbench-warm").toFile.getAbsolutePath
+        graft.core.ArtifactIO.writeBlobs(spark,
+          s"mock://$warmBase/blobs", blobs.limit(math.max(1, n / 10)).toDF(), ".png")
+        val mockBase = java.nio.file.Files.createTempDirectory("blobbench-mock").toFile.getAbsolutePath
+        t0 = System.nanoTime()
+        graft.core.ArtifactIO.writeBlobs(spark, s"mock://$mockBase/blobs", blobs.toDF(), ".png")
+        val mockSec = (System.nanoTime() - t0) / 1e9
+        println(f"[blob-bench] writeBlobs mock:// non-local branch ($n assets): $mockSec%.2fs, ${n / mockSec}%.0f creates/s")
+        val nioBase = java.nio.file.Files.createTempDirectory("blobbench-wnio").toFile.getAbsolutePath
+        t0 = System.nanoTime()
+        graft.core.ArtifactIO.writeBlobs(spark, s"$nioBase/blobs", blobs.toDF(), ".png")
+        val nioSec = (System.nanoTime() - t0) / 1e9
+        println(f"[blob-bench] writeBlobs local NIO fast path ($n assets): $nioSec%.2fs, ${n / nioSec}%.0f creates/s")
+      } finally spark.stop()
     case "srp-occ" :: dir :: rest =>
       // Occupancy histogram of q98's pinned-band SRP buckets (design
       // point 17x8 unless overridden): the evidence behind the
@@ -339,4 +371,18 @@ object Run {
     case _ =>
       System.err.println("usage: graft.Run list | graft.Run <query> <sfDir> [outDir]"); sys.exit(2)
   }
+}
+
+/** A `mock://` scheme backed by the local filesystem (the standard
+  * Hadoop-test double, mirroring the test suite's MockSchemeFs) so
+  * `graft.Run blob-bench` can exercise writeBlobs' NON-LOCAL branch
+  * without a real cluster. setPermission is a no-op: without the Hadoop
+  * native library RawLocalFileSystem forks a `chmod` process per create
+  * — a local-FS artifact the blob-bench measures separately, absent on
+  * the object stores this branch actually targets.
+  */
+class RunMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
+  override def setPermission(p: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission): Unit = ()
 }

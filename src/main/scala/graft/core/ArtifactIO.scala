@@ -140,7 +140,7 @@ object ArtifactIO {
   def writeBlobs(spark: SparkSession, dir: String, blobs: org.apache.spark.sql.DataFrame,
       ext: String): Unit = {
     mkdirs(spark, dir)
-    val hadoopConf = org.apache.spark.sql.graft.HadoopConf.broadcast(spark.sparkContext)
+    val hadoopConf = org.apache.spark.sql.graft.HadoopConf.broadcast(spark)
     val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("file")
     blobs.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
@@ -157,15 +157,26 @@ object ArtifactIO {
               r.getAs[Array[Byte]](1))
           }
         } else {
-          val f = new Path(dir).getFileSystem(hadoopConf())
-          // hdfs:/s3a:/abfs: — a blob create is one atomic object write;
-          // no client-side .crc sidecar (the store checksums its PUTs)
-          f.setWriteChecksum(false)
-          it.foreach { r =>
-            val out = f.create(new Path(dir, s"${r.getLong(0)}$ext"), true)
-            try out.write(r.getAs[Array[Byte]](1))
-            finally out.close()
-          }
+          // A PRIVATE (non-cached) FileSystem instance: Path.getFileSystem
+          // normally returns the process-wide cached instance (cache key is
+          // scheme+authority+ugi, not conf), so setWriteChecksum(false)
+          // there would silently disable .crc sidecars for every other user
+          // of that filesystem in the executor JVM (ADVICE r13). Flipping
+          // the cache off in a task-local conf copy scopes the flag to this
+          // partition's instance, closed when the partition is done.
+          val conf = new org.apache.hadoop.conf.Configuration(hadoopConf())
+          conf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
+          val f = new Path(dir).getFileSystem(conf)
+          try {
+            // hdfs:/s3a:/abfs: — a blob create is one atomic object write;
+            // no client-side .crc sidecar (the store checksums its PUTs)
+            f.setWriteChecksum(false)
+            it.foreach { r =>
+              val out = f.create(new Path(dir, s"${r.getLong(0)}$ext"), true)
+              try out.write(r.getAs[Array[Byte]](1))
+              finally out.close()
+            }
+          } finally f.close()
         }
       }
     }

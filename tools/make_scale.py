@@ -13,6 +13,11 @@ similarity) don't see artificial 100%-duplicate data:
 - events: user_id shifts per replica, so per-user event counts are
   unchanged (windows/sessions scale in key count, not key size)
 
+Replicas are written INCREMENTALLY (one parquet row group per replica,
+round 14) so peak memory is ~2 source tables, not FACTOR of them — the
+~100x probe corpora need this; the old concat-everything path held the
+whole output in pandas.
+
 Usage: tools/make_scale.py SRC_DIR DST_DIR FACTOR
 (local tooling only — the Scala library never depends on this)
 """
@@ -24,74 +29,74 @@ import pyarrow.parquet as pq
 
 SHIFT = 10_000_000
 
+
+def replicate(src_path, dst_path, factor, schema, perturb):
+    """Stream FACTOR perturbed replicas of one table, one row group each."""
+    base = pq.read_table(src_path).to_pandas()
+    writer = pq.ParquetWriter(dst_path, schema, version="2.6")
+    try:
+        for i in range(factor):
+            r = perturb(base.copy(), i)
+            writer.write_table(
+                pa.Table.from_pandas(r, schema=schema, preserve_index=False))
+    finally:
+        writer.close()
+
+
 def main(src, dst, factor):
     import os
     os.makedirs(dst, exist_ok=True)
     for name in ["region", "nation", "customer", "supplier", "part"]:
-        t = pq.read_table(f"{src}/{name}.parquet")
-        pq.write_table(t, f"{dst}/{name}.parquet")
+        pq.write_table(pq.read_table(f"{src}/{name}.parquet"), f"{dst}/{name}.parquet")
 
-    orders = pq.read_table(f"{src}/orders.parquet").to_pandas()
-    reps = []
-    for i in range(factor):
-        r = orders.copy()
-        r["o_orderkey"] = r["o_orderkey"] + i * SHIFT
-        reps.append(r)
-    pq.write_table(pa.Table.from_pandas(__import__("pandas").concat(reps, ignore_index=True),
-                                        preserve_index=False), f"{dst}/orders.parquet")
+    def shift_keys(cols):
+        def f(r, i):
+            for c in cols:
+                r[c] = r[c] + i * SHIFT
+            return r
+        return f
 
-    li = pq.read_table(f"{src}/lineitem.parquet").to_pandas()
-    reps = []
-    for i in range(factor):
-        r = li.copy()
-        r["l_orderkey"] = r["l_orderkey"] + i * SHIFT
-        reps.append(r)
-    pq.write_table(pa.Table.from_pandas(__import__("pandas").concat(reps, ignore_index=True),
-                                        preserve_index=False), f"{dst}/lineitem.parquet")
+    orders_schema = pq.read_schema(f"{src}/orders.parquet")
+    replicate(f"{src}/orders.parquet", f"{dst}/orders.parquet", factor,
+              orders_schema, shift_keys(["o_orderkey"]))
 
-    ev = pq.read_table(f"{src}/events.parquet")
-    schema = ev.schema  # keep TIMESTAMP(NANOS) exactly as the driver wrote it
-    ev = ev.to_pandas()
-    reps = []
-    for i in range(factor):
-        r = ev.copy()
-        r["event_id"] = r["event_id"] + i * SHIFT
-        r["user_id"] = r["user_id"] + i * SHIFT
-        reps.append(r)
-    allev = __import__("pandas").concat(reps, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(allev, schema=schema, preserve_index=False),
-                   f"{dst}/events.parquet", version="2.6", coerce_timestamps=None)
+    li_schema = pq.read_schema(f"{src}/lineitem.parquet")
+    replicate(f"{src}/lineitem.parquet", f"{dst}/lineitem.parquet", factor,
+              li_schema, shift_keys(["l_orderkey"]))
 
-    docs = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    # keep TIMESTAMP(NANOS) exactly as the driver wrote it
+    ev_schema = pq.read_schema(f"{src}/events.parquet")
+    replicate(f"{src}/events.parquet", f"{dst}/events.parquet", factor,
+              ev_schema, shift_keys(["event_id", "user_id"]))
+
     vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
              "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi"]
-    reps = []
-    for i in range(factor):
-        r = docs.copy()
+
+    def perturb_docs(r, i):
         r["doc_id"] = r["doc_id"] + i * SHIFT
         if i > 0:
             prefix = vocab[i % len(vocab)] + " "
             r["text"] = prefix + r["text"]
             r["n_chars"] = r["n_chars"] + len(prefix)
-        reps.append(r)
-    pq.write_table(pa.Table.from_pandas(__import__("pandas").concat(reps, ignore_index=True),
-                                        preserve_index=False), f"{dst}/documents.parquet")
+        return r
 
-    embt = pq.read_table(f"{src}/embeddings.parquet")
-    emb_schema = embt.schema  # keep list<float32> — the library's native ops require it
-    emb = embt.to_pandas()
-    reps = []
-    for i in range(factor):
-        r = emb.copy()
+    docs_schema = pq.read_schema(f"{src}/documents.parquet")
+    replicate(f"{src}/documents.parquet", f"{dst}/documents.parquet", factor,
+              docs_schema, perturb_docs)
+
+    def perturb_emb(r, i):
         r["vec_id"] = r["vec_id"] + i * SHIFT
         if i > 0:
             r["embedding"] = r["embedding"].map(
                 lambda v, k=i: np.roll(np.asarray(v, dtype=np.float32), k))
-        reps.append(r)
-    pq.write_table(pa.Table.from_pandas(__import__("pandas").concat(reps, ignore_index=True),
-                                        schema=emb_schema, preserve_index=False),
-                   f"{dst}/embeddings.parquet")
+        return r
+
+    # keep list<float32> — the library's native ops require it
+    emb_schema = pq.read_schema(f"{src}/embeddings.parquet")
+    replicate(f"{src}/embeddings.parquet", f"{dst}/embeddings.parquet", factor,
+              emb_schema, perturb_emb)
     print(f"wrote {dst} at {factor}x {src}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
