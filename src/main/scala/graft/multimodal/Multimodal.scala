@@ -327,6 +327,39 @@ object Multimodal {
   object WavCodec {
     val SampleRate = 8000f
 
+    /** The WAVE SPI providers, resolved ONCE per JVM. Every per-row
+      * `AudioSystem.write` / `AudioSystem.getAudioInputStream` call
+      * funnels through `JDK13Services.getProviders` — a SYNCHRONIZED
+      * static registry — so concurrent decode tasks in one executor
+      * CONVOY on that lock (measured at 32×: 13.5 s CPU but 52–56 s
+      * wall per task, 5 tasks in parallel; the old single-row-group
+      * probe corpus hid it by serializing the stage into one task).
+      * Calling the resolved provider objects directly is lock-free per
+      * row and byte-identical: these are the exact providers
+      * AudioSystem itself would select (WaveFileWriter probed by
+      * Type.WAVE support; WaveFileReader probed by successfully
+      * parsing this writer's output).
+      */
+    private[multimodal] lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter SPI on this JVM"))
+    }
+
+    private[multimodal] lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      import scala.jdk.CollectionConverters._
+      val probe = encode(0L, 4)
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala
+        .find { r =>
+          try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+          catch { case _: Exception => false }
+        }
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader SPI on this JVM"))
+    }
+
     /** Sample i of payload `mediaId`: a full-range deterministic
       * pattern, s(i) = ((id·31 + i·7919) mod 4001) − 2000.
       */
@@ -346,8 +379,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
   }
@@ -370,8 +402,11 @@ object Multimodal {
     */
   object WavDecoder extends MediaDecoder {
     override def open(): (String, Array[Byte]) => (Long, Array[Float]) = {
+      // touch the lazy provider here so the one-time ServiceLoader pass
+      // runs at task open, not under the first row
+      val reader = WavCodec.wavReader
       (_, bytes) => {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,

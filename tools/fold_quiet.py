@@ -44,6 +44,10 @@ def main():
                     help="committed bench_quiet.json to fold monotonically against")
     ap.add_argument("--override", default="",
                     help="comma-separated queries whose plan changed: prior values excluded")
+    ap.add_argument("--allow-subset", action="store_true",
+                    help="permit subset-marked sweeps (the 32x reference is the full "
+                         "catalog MINUS the audited Bench.Excluded32x map; bench_quiet "
+                         "stays full-catalog-only without this flag)")
     args = ap.parse_args()
 
     sweeps = []
@@ -53,7 +57,7 @@ def main():
         if s.get("failed"):
             sys.exit(f"REJECT {p}: sweep has failed queries {s['failed']} — "
                      "a broken sweep must not enter the quiet reference")
-        if s.get("subset"):
+        if s.get("subset") and not args.allow_subset:
             sys.exit(f"REJECT {p}: subset sweep — the quiet reference is full-catalog only")
         bad = {k: v for k, v in s["queries"].items() if v < FLOOR}
         if bad:
