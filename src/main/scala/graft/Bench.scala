@@ -107,7 +107,20 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_32X").contains("1")) Excluded32x.keySet else Set.empty
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !exclude32x.contains(name) }
+    // SPARK_GRAFT_BENCH_SETTLE=<ms>: inter-query settle for the replica-
+    // corpus sweeps. Spark's ContextCleaner releases the PREVIOUS query's
+    // shuffle files and broadcast state only when a GC surfaces their
+    // weak references — at 32×/100× each query leaves GBs of shuffle
+    // state behind, so back-to-back timing charges query N with query
+    // N−1's deferred cleanup and OS writeback (measured: q125 50 s in a
+    // sweep window vs 3 s standalone, same plan). A forced GC plus a
+    // short sleep drains that bleed before the next measurement. Off by
+    // default: the driver's sf0.1 sweep keeps its exact historical
+    // protocol (per-query state there is small enough not to matter).
+    val settleMs = sys.env.get("SPARK_GRAFT_BENCH_SETTLE").map(_.toInt).getOrElse(0)
+    def settle(): Unit = if (settleMs > 0) { System.gc(); Thread.sleep(settleMs) }
     val sweep = selected.map { case (name, fn) =>
+      settle()
       val load = osBean.getSystemLoadAverage
       val times = (1 to repeats).flatMap(_ => timeOnce(spark, sfDir, name, fn))
       val sec = times.minOption
@@ -161,6 +174,7 @@ object Bench {
     val results = sweep.collect { case (name, Some(sec), load) =>
       if (contended(name)) {
         val fn = SparkEntry.queries(name)
+        settle()
         val again = timeOnce(spark, sfDir, name, fn)
         spark.catalog.clearCache()
         System.err.println(f"[bench] $name retry ${again.fold("FAILED")(t => f"$t%.2fs")} (was $sec%.2fs under load $load%.1f)")
