@@ -71,6 +71,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE on cached plans (see Sessions.local): without it every write
+      // of a persisted frame emits shuffle-partition-count near-empty files.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

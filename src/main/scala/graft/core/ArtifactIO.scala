@@ -31,6 +31,30 @@ object ArtifactIO {
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run INDEPENDENT Spark actions concurrently and wait for all of them
+    * (optimization-guide §2.6: actions are sequential only because the
+    * driver calls them sequentially). A version commit that lands 2-3
+    * sibling tables (delta tables, data/stats/bloom sidecars) otherwise
+    * pays each job's full driver latency — plan, submit, tail, commit —
+    * back to back, while the cluster sits near-idle between them; with
+    * 2-3 in flight the next job's tasks back-fill the previous job's
+    * tail. Failure propagates: the first exception rethrows here after
+    * all futures settle, so a torn multi-table write is still caught
+    * before the caller publishes its commit marker.
+    */
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, Future}
+      val fs = tasks.map(t => Future(t()))
+      // settle ALL before rethrowing the first failure (a still-running
+      // sibling write must not race the caller's cleanup/rethrow path)
+      val settled = Future.sequence(fs.map(_.transform(scala.util.Success(_))))
+      Await.result(settled, Duration.Inf).foreach(_.get)
+    }
+
   /** Child names of `dir` (not paths) — empty if the dir is missing. */
   def list(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
@@ -204,7 +228,12 @@ object ArtifactIO {
   def writeAtomicString(spark: SparkSession, path: String, content: String): Unit = {
     val f = fs(spark, path)
     val target = new Path(path)
-    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    // thread-unique temp name: concurrent writers of SIBLING artifacts
+    // (ArtifactIO.inParallel) may both land their _LAYOUT/_INDEX
+    // descriptor; a shared ".name.tmp" would let one writer's rename
+    // steal or clobber the other's in-flight temp
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${Thread.currentThread().getId}.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

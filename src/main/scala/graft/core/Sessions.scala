@@ -20,6 +20,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-optimize CACHED plans too (off by default): a persisted
+      // micro-batch/artifact frame otherwise materializes with the raw
+      // shuffle-partition count, and every write from it emits that many
+      // near-empty files (measured: q190's raw/curated batch dirs were 32
+      // tiny part-files each — file-create/commit bound, guide §6).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       // SPARK_GRAFT_UI=1 exposes the UI/REST API for stage-level
       // diagnosis (task counts per stage, shuffle volumes) — off by

@@ -1377,22 +1377,31 @@ FROM agg ORDER BY source"""
     // grows quadratically by SEMANTICS (not by algorithm); at a real
     // 100 TB crawl the τ-graph is sparse and the banding/prefix scale
     // paths (q16/q90) generate the same candidates sub-quadratically.
+    // persisted: the pair generator (shingle join + exact verify — the
+    // entry's expensive leg) is consumed by the CC run AND the cross-split
+    // audit; without the cache it re-executes per consumer
     val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 3, threshold = 0.1)
-      .select("doc_id_a", "doc_id_b")
+      .select("doc_id_a", "doc_id_b").persist()
     val cc = graft.operators.ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
     val keyed = d.join(cc.select(col("node").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), coalesce(col("cluster"), col("doc_id")).as("rep"))
       .select(col("doc_id"), col("n_chars"),
         splitOf(bucket(col("rep"))).as("split"),
         splitOf(bucket(col("doc_id"))).as("naive_split"))
-    def crossCount(c: String) = pairs
-      .join(keyed.select(col("doc_id").as("doc_id_a"), col(c).as("sa")), Seq("doc_id_a"))
-      .join(keyed.select(col("doc_id").as("doc_id_b"), col(c).as("sb")), Seq("doc_id_b"))
-      .filter(col("sa") =!= col("sb")).agg(count(lit(1)).as(s"n_cross_$c"))
+      .persist() // consumed by the per-split report and the audit join
+    // both audits (component split, naive split) in ONE pass over the
+    // pair⋈label join instead of two identical joins (guide §2.4)
+    val cross = pairs
+      .join(keyed.select(col("doc_id").as("doc_id_a"),
+        col("split").as("sa"), col("naive_split").as("na")), Seq("doc_id_a"))
+      .join(keyed.select(col("doc_id").as("doc_id_b"),
+        col("split").as("sb"), col("naive_split").as("nb")), Seq("doc_id_b"))
+      .agg(
+        coalesce(sum(when(col("sa") =!= col("sb"), 1L)), lit(0L)).as("n_cross_component"),
+        coalesce(sum(when(col("na") =!= col("nb"), 1L)), lit(0L)).as("n_cross_naive"))
     keyed.groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-      .crossJoin(crossCount("split").select(col("n_cross_split").as("n_cross_component")))
-      .crossJoin(crossCount("naive_split").select(col("n_cross_naive_split").as("n_cross_naive")))
+      .crossJoin(cross)
       .orderBy("split")
   }
 
@@ -1460,8 +1469,11 @@ GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
       DeltaState.SetU(Seq("band", "band_sig", "doc_id"))))
     def bandRows(df: DataFrame) = Dedup.lshBandsFromArray(
       Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
-    DeltaState.writeDelta(s, out, 0L, layout, Seq("bands" -> bandRows(base)))
-    DeltaState.writeDelta(s, out, 1L, layout, Seq("bands" -> bandRows(batch)))
+    // the two ingest versions hash DISJOINT corpus halves — independent
+    // version commits, overlapped (guide §2.6)
+    graft.core.ArtifactIO.inParallel(Seq(
+      () => DeltaState.writeDelta(s, out, 0L, layout, Seq("bands" -> bandRows(base))),
+      () => DeltaState.writeDelta(s, out, 1L, layout, Seq("bands" -> bandRows(batch)))))
     val index = DeltaState.asOf(s, out, layout.head).get
     val nb = s.read.parquet(s"$out/${DeltaState.DeltaPrefix}1/bands")
     val cands = nb.select(col("band"), col("band_sig"), col("doc_id").as("new_id"))
@@ -1522,13 +1534,16 @@ GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
       DeltaState.SetU(Seq("band", "band_sig", "doc_id"))))
     def bandRows(df: DataFrame) = Dedup.lshBandsFromArray(
       Dedup.minHashSignaturesAgg(Dedup.shingleHashes(df, 5), 128), 4)
-    DeltaState.writeDelta(s, chain, 0L, layout,
-      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) =!= 3))))
-    DeltaState.writeDelta(s, chain, 1L, layout,
-      Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) === 3))))
-    DeletionVectors.writeBase(
-      d.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard")),
-      docsTable, Seq("doc_id"))
+    // the two ingest versions (disjoint corpus halves) and the DV doc
+    // store are three independent builds — overlapped (guide §2.6)
+    graft.core.ArtifactIO.inParallel(Seq(
+      () => DeltaState.writeDelta(s, chain, 0L, layout,
+        Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) =!= 3)))),
+      () => DeltaState.writeDelta(s, chain, 1L, layout,
+        Seq("bands" -> bandRows(d.filter(pmod(col("doc_id"), lit(4)) === 3)))),
+      () => DeletionVectors.writeBase(
+        d.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard")),
+        docsTable, Seq("doc_id"))))
     val takedown = d.filter(pmod(col("doc_id"), lit(7)) === 2).select("doc_id")
     val (txnId, _) =
       DeletionVectors.deleteMatchingConcurrent(s, docsTable, takedown, Seq("doc_id"))
@@ -1545,7 +1560,10 @@ GROUP BY k.split, xc.n, xn.n ORDER BY k.split"""
         .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 6).as("jaccard"))
     }
     val index1 = DeltaState.asOf(s, chain, layout.head).get
-    val survivorBands = index1.join(live, Seq("doc_id"), "left_semi")
+    // persisted: consumed by BOTH the pre-fold serve and the generation-2
+    // seed write — without the cache the chain fold + liveness semi-join
+    // re-executes for each
+    val survivorBands = index1.join(live, Seq("doc_id"), "left_semi").persist()
     val pre = serve(survivorBands)
     DeltaState.writeDelta(s, chain2, 0L, layout, Seq("bands" -> survivorBands))
     val post = serve(DeltaState.asOf(s, chain2, layout.head).get)

@@ -850,20 +850,31 @@ ORDER BY sel.spec_id, sel.cluster"""
     import s.implicits._
     val out = tmp("graft_q221_lake_", dir)
     graft.core.ArtifactIO.delete(s, out) // fresh table per run (the fold mutates state)
+    // Persisted: the fingerprint projection feeds the driver scalars and
+    // every substrate build below — without the cache the tokenize+hash
+    // scan re-executes ~5x (guide §1.2: per-task work after shape).
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"),
       PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
-    // 1-row driver scalars: shard width targeting 16 "files", point key
-    val maxId = d.agg(max("doc_id")).head.getLong(0)
+      .persist()
+    // 1-row driver scalars in ONE job: shard width targeting 16 "files"
+    // (max doc_id) and the point key (doc 42's fingerprint)
+    val scal = d.agg(max("doc_id"),
+      max(when(col("doc_id") === 42, col("fp")))).head
+    val (maxId, h) = (scal.getLong(0), scal.getLong(1))
     val w = math.ceil((maxId + 1) / 16.0).toLong
-    val h = d.filter(col("doc_id") === 42).select("fp").head.getLong(0)
     val base = d.withColumn("shard", expr(s"doc_id div $w"))
     val (table, skip, state) = (s"$out/table", s"$out/skip", s"$out/state")
-    DeletionVectors.writeBase(base, table, Seq("doc_id"))
-    SkippingIndex.buildStats(base.withColumn("cluster", col("shard")), skip,
-      "cluster", Seq("doc_id"), "fp")
     val layout = Seq(DeltaState.Table("live", DeltaState.Lww(Seq("doc_id"))))
-    DeltaState.writeDelta(s, state, 0L, layout,
-      Seq("live" -> base.select(col("doc_id"), lit(1L).as("alive"))))
+    // the three substrates (DV table, skipping sidecars, live state) are
+    // independent builds over the cached projection — overlap them
+    // (guide §2.6)
+    graft.core.ArtifactIO.inParallel(Seq(
+      () => DeletionVectors.writeBase(base, table, Seq("doc_id")),
+      () => SkippingIndex.buildStats(base.withColumn("cluster", col("shard")), skip,
+        "cluster", Seq("doc_id"), "fp"),
+      () => DeltaState.writeDelta(s, state, 0L, layout,
+        Seq("live" -> base.select(col("doc_id"), lit(1L).as("alive"))))))
+    d.unpersist() // everything after reads the written substrates, not d
     // takedown: non-canonical duplicates by fingerprint, id from the log
     val live0 = DeletionVectors.read(s, table)
     val keepers = live0.groupBy("fp").agg(min("doc_id").as("keep_id"))

@@ -169,21 +169,34 @@ object SkippingIndex {
       rangeCols: Seq[String], bloomCol: String, withData: Boolean = true): Unit = {
     val spark = df.sparkSession
     CommitLog.begin(spark, vdir) // torn-replay window: marker off before overwrite
-    if (withData)
-      df.write.mode("overwrite").partitionBy(clusterCol).parquet(s"$vdir/data")
+    // 2-3 consumers below (data copy, stats, bloom): materialize the
+    // input once instead of re-running its DAG per write. Skipped when
+    // the caller already persisted it (unpersisting here would drop the
+    // caller's cache).
+    val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) df.persist()
     val aggs = count(lit(1)).as("n_rows") +:
       rangeCols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
-    df.groupBy(col(clusterCol).as("cluster"))
+    val stats = df.groupBy(col(clusterCol).as("cluster"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$vdir/stats")
     val probes = Seq(0, 1).map(j =>
       df.select(col(clusterCol).as("cluster"), bitposCol(col(bloomCol), j).as("bp")))
       .reduce(_ unionByName _)
-    probes
+    val bloom = probes
       .select(col("cluster"), (col("bp") / WordBits).cast("long").as("word"),
         expr(s"shiftleft(cast(1 as bigint), cast(bp % $WordBits as int))").as("m"))
       .groupBy("cluster", "word").agg(bit_or(col("m")).as("mask"))
-      .write.mode("overwrite").parquet(s"$vdir/bloom")
+    // data + the two sidecars are independent writes under one marker —
+    // overlap them (guide §2.6 via ArtifactIO.inParallel); publish still
+    // happens only after all three land
+    val writes = Seq(
+      () => stats.write.mode("overwrite").parquet(s"$vdir/stats"),
+      () => bloom.write.mode("overwrite").parquet(s"$vdir/bloom")) ++
+      (if (withData) Seq(() =>
+        df.write.mode("overwrite").partitionBy(clusterCol).parquet(s"$vdir/data"))
+       else Seq.empty)
+    try ArtifactIO.inParallel(writes)
+    finally if (ownCache) df.unpersist()
     CommitLog.publish(spark, vdir)
   }
 

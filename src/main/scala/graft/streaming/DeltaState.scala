@@ -57,6 +57,7 @@ object DeltaState {
   val DeltaPrefix = "v="
   val BasePrefix = "base_v="
   val LayoutFile = "_LAYOUT"
+  private val layoutWriteLock = new Object
 
   /** Write one batch's delta tables as version `batchId` and publish
     * them with the commit marker. Clears a pre-existing marker FIRST
@@ -67,11 +68,20 @@ object DeltaState {
       layout: Seq[Table], tables: Seq[(String, DataFrame)]): Unit = {
     val vdir = s"$outDir/$DeltaPrefix$batchId"
     CommitLog.begin(spark, vdir)
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$vdir/$name")
+    // sibling delta tables are independent writes under one marker —
+    // overlap them (ArtifactIO.inParallel; the marker still publishes
+    // only after every table has landed)
+    ArtifactIO.inParallel(tables.map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(s"$vdir/$name")
+    })
+    // check-then-write under a JVM lock: two version commits of ONE chain
+    // may themselves run concurrently (ArtifactIO.inParallel callers), and
+    // racing renames onto the same _LAYOUT destination throw on local FS.
+    // Content is identical either way — the lock just serializes the lay.
+    layoutWriteLock.synchronized {
+      if (!ArtifactIO.exists(spark, s"$outDir/$LayoutFile"))
+        ArtifactIO.writeAtomicString(spark, s"$outDir/$LayoutFile", layoutString(layout))
     }
-    if (!ArtifactIO.exists(spark, s"$outDir/$LayoutFile"))
-      ArtifactIO.writeAtomicString(spark, s"$outDir/$LayoutFile", layoutString(layout))
     CommitLog.publish(spark, vdir)
   }
 

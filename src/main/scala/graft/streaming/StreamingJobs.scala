@@ -660,7 +660,7 @@ object StreamingJobs {
     * batch's chunks plus keyed merges into the touched df/ids rows.
     */
   def boilerMaintSink(outDir: String, c: Int = 5)(batch: DataFrame, batchId: Long): Unit = {
-    boilerMaintIngest(outDir, c)(batch, batchId); ()
+    boilerMaintIngest(outDir, c)(batch, batchId).unpersist(); ()
   }
 
   /** [[boilerMaintSink]]'s body, returning the batch's NOVEL documents
@@ -694,10 +694,15 @@ object StreamingJobs {
     val batch = batch0.dropDuplicates("doc_id")
     val spark = batch.sparkSession
     val prevIds = DeltaState.asOf(spark, outDir, boilerMaintLayoutT(1), Some(batchId))
-    val novel = prevIds match {
+    // Persisted HERE (returned persisted; callers unpersist): the
+    // anti-join otherwise re-executes for each consumer — the df delta
+    // write, the ids delta write, and every downstream use the caller
+    // makes (curateStream's raw archive + clean + gate) — 3-4 full
+    // recomputations of the admission DAG per batch (guide §1/§5).
+    val novel = (prevIds match {
       case Some(pi) => batch.join(pi, Seq("doc_id"), "left_anti")
       case None => batch
-    }
+    }).persist()
     val bdf = graft.dedup.Dedup.chunkOccurrences(novel, c)
       .select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -785,8 +790,10 @@ object StreamingJobs {
   def curateStream(outDir: String, c: Int = 5, minDocs: Int = 3,
       gate: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Long = {
     val spark = batch.sparkSession
-    val novel = boilerMaintIngest(s"$outDir/boiler", c)(batch, batchId)
-      .select("doc_id", "text").persist()
+    // admitted comes back persisted from boilerMaintIngest; the narrow
+    // select below reads that cache, so no second persist is needed
+    val admitted = boilerMaintIngest(s"$outDir/boiler", c)(batch, batchId)
+    val novel = admitted.select("doc_id", "text")
     try {
       idempotentParquetSink(s"$outDir/raw")(novel, batchId)
       val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
@@ -801,7 +808,7 @@ object StreamingJobs {
         idempotentParquetSink(s"$outDir/curated")(kept, batchId)
         kept.count()
       } finally kept.unpersist()
-    } finally novel.unpersist()
+    } finally admitted.unpersist()
   }
 
   /** The curated table: union of all committed batch directories. */

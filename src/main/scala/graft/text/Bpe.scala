@@ -53,74 +53,87 @@ object Bpe {
     * Returns the learned merges in order. Deterministic: ties on pair
     * count break on (left, right) lexicographically.
     *
-    * Cost shape: one Spark job per merge round (argmax collect + merge
-    * apply), fine at the pinned handful of rounds the catalog trains
-    * (vocabulary-bound, ~1× at 8× corpus) but NOT how a production 32k-
-    * merge vocabulary is built — that would be 32k sequential jobs. The
-    * production spellings, in preference order: (a) train driver-side
-    * on the word-count table collected once (it is vocabulary-sized —
-    * the corpus-independent PQ-trainer pattern; classic BPE trainers
-    * are exactly this), or (b) batch several non-overlapping merges per
-    * distributed pass (merges whose pairs share no symbol commute, so
-    * one job can apply dozens). The corpus-scale ENCODE side (q143/
-    * q151) is unaffected: it folds once per distinct word and
+    * Cost shape (round 14): the vocabulary is DISTINCT words — bounded
+    * by the language, not the corpus (the corpus-independent PQ-trainer
+    * argument) — so training runs DRIVER-SIDE on the word-count table
+    * collected once, which is how classic BPE trainers work. One
+    * bounded vocabulary-sized collect replaces the previous
+    * driver-coordinated loop's eager lineage checkpoint plus two Spark
+    * jobs per merge round (argmax collect + re-tokenize persist) —
+    * measured ~11 jobs per 5-round train call, each paying full driver
+    * latency, for work a single thread finishes in microseconds at
+    * gate scale (optimization guide §1.2: don't distribute
+    * vocabulary-scale work). A production 32k-merge vocabulary is the
+    * case that FORCES this spelling — 32k sequential distributed jobs
+    * is not a plan. The corpus-scale ENCODE side (q143/q151) is
+    * unchanged: it folds once per distinct word in-plan and
     * broadcast-joins back to occurrences whatever the merge count.
+    *
+    * Semantics are bit-identical to the previous distributed loop
+    * (BpeSpec pins the classic fixture, greedy overlap, tie-breaks,
+    * early stop, and real-corpus determinism): pair counts sum `freq`
+    * over ALL adjacent positions, the argmax breaks ties (count DESC,
+    * a, b) — byte order and UTF-16 order agree on the [A-Za-z]
+    * alphabet Text.tokens produces — and the merge applies greedily
+    * left to right with the applyMerge overlap rule.
     */
   def train(vocab: DataFrame, rounds: Int): Seq[(String, String)] = {
-    // localCheckpoint, not persist: persist caches the DATA but every
-    // round's actions still re-analyze the full upstream LOGICAL PLAN —
-    // when the vocabulary hangs off a deep lineage (the curated-corpus
-    // entries: cleaning chain → tokenize → count), Catalyst re-optimizes
-    // that tree ~3× per merge round and planning dwarfs execution
-    // (measured 10.5 s vs 0.95 s for 5 rounds on a 31-word vocabulary).
-    // The checkpoint severs lineage at the (freq, syms) table, which is
-    // vocabulary-scale by construction. Eager, so no separate count().
-    var syms = vocab
-      .select(col("freq"), initialSymbols(col("word")).as("syms"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    try {
-      var r = 0
-      var exhausted = false
-      while (r < rounds && !exhausted) {
-        val pairs = syms
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("a"),
-                element_at(col("syms"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
-          .collect() // bounded: exactly one row — the argmax merge
-        if (pairs.isEmpty) exhausted = true
-        else {
-          val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
-          merges += ((a, b))
-          val next = syms
-            .select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
-            .persist()
-          next.count()
-          free(syms)
-          syms = next
-          r += 1
-        }
+    val rows = vocab.select(col("word").cast("string"), col("freq").cast("long"))
+      .collect() // vocabulary-sized by construction — see scaladoc
+    val freqs = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] = rows.map { r =>
+      val w = r.getString(0)
+      // code-point split — parity with initialSymbols' split(word, "")
+      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n); i += n
       }
-      merges.toSeq
-    } finally free(syms)
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var k = 0
+      while (k < syms.length) {
+        val s = syms(k); val f = freqs(k); var i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          cnt.update(p, cnt.getOrElse(p, 0L) + f)
+          i += 1
+        }
+        k += 1
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = cnt.minBy { case ((pa, pb), c) => (-c, pa, pb) }
+        merges += ((a, b))
+        k = 0
+        while (k < syms.length) {
+          syms(k) = applyMergeLocal(syms(k), a, b); k += 1
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
   }
 
-  /** Dataset.unpersist covers cacheManager entries only; a
-    * localCheckpoint()ed frame's storage lives behind its LogicalRDD
-    * (the ConnectedComponents lesson) — release both forms.
+  /** Driver-side twin of [[applyMerge]]: same greedy left-to-right
+    * non-overlapping rule ("aaaa" + (a,a) → ["aa","aa"]).
     */
-  private def free(df: DataFrame): Unit = {
-    df.unpersist()
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+  private[graft] def applyMergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
     }
+    out.toArray
   }
 
   /** Re-tokenize a symbol array through an ordered merge list (inference

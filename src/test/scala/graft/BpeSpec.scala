@@ -44,6 +44,20 @@ class BpeSpec extends SparkSpec {
     assert(out(1) == Seq("un", "p", "ug"))
   }
 
+  test("pure count tie at round 1 breaks on (a, b) lexicographically") {
+    // (x,y) = 2 and (a,b) = 2 tie on count; 'a' < 'x' so (a,b) must win.
+    // Pins the driver-side trainer's argmax order against the documented
+    // (cnt DESC, a, b) contract the distributed loop used.
+    val merges = Bpe.train(Seq(("xy", 2L), ("ab", 2L)).toDF("word", "freq"), rounds = 1)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("applyMergeLocal mirrors the column applyMerge overlap rule") {
+    assert(Bpe.applyMergeLocal(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(Bpe.applyMergeLocal(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMergeLocal(Array("h", "u", "g"), "u", "g").toSeq == Seq("h", "ug"))
+  }
+
   test("trainer stops when no pair remains") {
     val merges = Bpe.train(Seq(("ab", 3L)).toDF("word", "freq"), rounds = 10)
     assert(merges == Seq(("a", "b"))) // after merging, every word is one symbol

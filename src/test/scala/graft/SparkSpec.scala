@@ -18,6 +18,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the entry points (Sessions.local): AQE may re-plan cached frames
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
