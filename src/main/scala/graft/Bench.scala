@@ -66,9 +66,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale-adaptive initial shuffle partitioning (guide §2.2): the local
+    // DEFAULT stays the core count — the driver's exact historical
+    // protocol — while replica-scale probes (32x/100x corpora) can size
+    // the initial partition count to data volume and let AQE coalesce
+    // small partitions back down. A constant tuned to local[32] is
+    // exactly what the q54 100x watch item (suspected per-partition
+    // shuffle spill) exists to catch.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE on cached plans (see Sessions.local): without it every write

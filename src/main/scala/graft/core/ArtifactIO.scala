@@ -42,8 +42,15 @@ object ArtifactIO {
     * all futures settle, so a torn multi-table write is still caught
     * before the caller publishes its commit marker.
     */
-  def inParallel(tasks: Seq[() => Unit]): Unit =
-    if (tasks.size <= 1) tasks.foreach(_())
+  def inParallel(tasks: Seq[() => Unit]): Unit = { inParallelMap(tasks); () }
+
+  /** [[inParallel]] that returns each task's result in input order —
+    * for callers whose independent jobs PRODUCE something (a collected
+    * sidecar audit, a constructed method pipeline whose bounded
+    * training collects run at construction time).
+    */
+  def inParallelMap[T](tasks: Seq[() => T]): Seq[T] =
+    if (tasks.size <= 1) tasks.map(_())
     else {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
@@ -52,7 +59,7 @@ object ArtifactIO {
       // settle ALL before rethrowing the first failure (a still-running
       // sibling write must not race the caller's cleanup/rethrow path)
       val settled = Future.sequence(fs.map(_.transform(scala.util.Success(_))))
-      Await.result(settled, Duration.Inf).foreach(_.get)
+      Await.result(settled, Duration.Inf).map(_.get)
     }
 
   /** Child names of `dir` (not paths) — empty if the dir is missing. */

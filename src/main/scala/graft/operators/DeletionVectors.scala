@@ -322,6 +322,11 @@ object DeletionVectors {
       keyCols: Seq[String], orderCols: Seq[String], v: Long,
       commit: Boolean = true): (Long, Long) = {
     val predecessor = readBefore(spark, outDir, v)
+    // NOT overlapped with the append (unlike the read-only audit collects
+    // elsewhere): the DV-before-append commit order is part of the pinned
+    // crash-window story — parallelizing would add a new torn state
+    // (append committed, mask missing: duplicates under read) the spec'd
+    // sequence never produces. Job-latency win would be ~0.1 s; skipped.
     val nDel = writeDv(spark, outDir, v,
       predecessor.join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
         .select(col("shard"), col("pos")), commit)
@@ -396,17 +401,20 @@ object DeletionVectors {
     // sidecars at or below the floor were folded by an earlier pass
     // (retention debris awaiting vacuum) — they contribute no dirt
     val floor = (m0.map(_._2) :+ -1L).max
-    // |shards|-bounded driver collects (metadata scale)
-    val dvShards = dvUnion(spark, outDir, floor = floor)
-      .map(_.select(col("shard").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
-    val appShards = apps.filter(_ > floor).flatMap { id =>
-      val visible = m0.filter(_._2 < id).map(_._1).toSet
-      spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
-        .select(col("shard").cast("long")).distinct()
-        .collect().map(_.getLong(0)).filter(visible)
-    }.toSet
-    val dirty = (dvShards ++ appShards).toSeq.sorted
+    // |shards|-bounded driver collects (metadata scale) — all read-only
+    // probes of committed sidecars, so overlapped (guide §2.6): one task
+    // for the DV union plus one per unfolded append version
+    val dirtyTasks: Seq[() => Set[Long]] =
+      (() => dvUnion(spark, outDir, floor = floor)
+        .map(_.select(col("shard").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)) +:
+      apps.filter(_ > floor).map { id => () =>
+        val visible = m0.filter(_._2 < id).map(_._1).toSet
+        spark.read.parquet(s"$outDir/$AppendPrefix$id/data")
+          .select(col("shard").cast("long")).distinct()
+          .collect().map(_.getLong(0)).filter(visible).toSet
+      }
+    val dirty = ArtifactIO.inParallelMap(dirtyTasks).reduce(_ ++ _).toSeq.sorted
     if (dirty.isEmpty) return Seq.empty
     val dir = s"$outDir/$BasePrefix$newBaseId"
     ArtifactIO.delete(spark, dir) // crashed previous attempt

@@ -359,15 +359,20 @@ FROM sm GROUP BY doc_id ORDER BY media_id"""
     val out = QueriesSources.tmp("graft_q226_media_", dir)
     graft.core.ArtifactIO.delete(s, out) // fresh store per run
     val ids = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-    val payloads = Multimodal.renderPng(ids, PngW, PngH)
-    payloads.write.mode("overwrite").parquet(s"$out/parquet")
+    // persisted: BOTH storage legs consume the rendered payloads — without
+    // the cache the PNG encoder runs twice (guide §1.2), and the two
+    // independent writes can then overlap (guide §2.6)
+    val payloads = Multimodal.renderPng(ids, PngW, PngH).persist()
     val filesDir = s"$out/files"
     // one .png blob per asset, written executor-side through the Hadoop
     // FileSystem API (ArtifactIO.writeBlobs) — the object-store-safe
     // export shape; MultimodalSpec drives the same writer through the
     // mock:// scheme to execute the non-local branch.
-    graft.core.ArtifactIO.writeBlobs(s, filesDir,
-      payloads.select("media_id", "media"), ".png")
+    graft.core.ArtifactIO.inParallel(Seq(
+      () => payloads.write.mode("overwrite").parquet(s"$out/parquet"),
+      () => graft.core.ArtifactIO.writeBlobs(s, filesDir,
+        payloads.select("media_id", "media"), ".png")))
+    payloads.unpersist()
     def features(media: DataFrame, leg: String) =
       Multimodal.extractFeatures(media, Multimodal.PngDecoder).toDF()
         .select(lit(leg).as("leg"), col("media_id"),

@@ -734,18 +734,32 @@ SELECT query_id, vec_id, adc_dist, cosine_sim, rnk FROM f ORDER BY query_id, rnk
     val e = emb(s, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val exact = Similarity.knnJoinAgg(e, queries, k = 10).select("query_id", "vec_id")
+    // Persisted: the exact top-10 table (50 rows) is joined by all FIVE
+    // method branches of the final union — without the cache the
+    // brute-force kNN scan-aggregate re-executes per branch (guide §1.2).
+    val exact = Similarity.knnJoinAgg(e, queries, k = 10)
+      .select("query_id", "vec_id").persist()
     def hits(method: String, df: DataFrame): DataFrame =
       queries.select("query_id")
         .join(exact.join(df.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
           .groupBy("query_id").agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
         .select(lit(method).as("method"), col("query_id"),
           round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall10"))
-    val pq = hits("pq_adc", q119_pq_ann(s, dir))
-    val pqt = hits("pq_trained", q127_pq_trained(s, dir))
-    val sq = hits("sq_int8", q121_sq_ann(s, dir))
-    val ivfpq = hits("ivfpq", q122_ivfpq_ann(s, dir))
-    val ivfpqr = hits("ivfpq_res", q128_ivfpq_residual(s, dir))
+    // The five method pipelines are independent CONSTRUCTIONS whose
+    // bounded training collects (codebook/centroid samples) each run
+    // 2-6 driver-latency-bound jobs back to back — overlap them
+    // (guide §2.6; measured: the serial build spread ~5 core-seconds of
+    // task time over ~54 sequential jobs).
+    val Seq(pqM, pqtM, sqM, ivfpqM, ivfpqrM) =
+      graft.core.ArtifactIO.inParallelMap[DataFrame](Seq(
+        () => q119_pq_ann(s, dir), () => q127_pq_trained(s, dir),
+        () => q121_sq_ann(s, dir), () => q122_ivfpq_ann(s, dir),
+        () => q128_ivfpq_residual(s, dir)))
+    val pq = hits("pq_adc", pqM)
+    val pqt = hits("pq_trained", pqtM)
+    val sq = hits("sq_int8", sqM)
+    val ivfpq = hits("ivfpq", ivfpqM)
+    val ivfpqr = hits("ivfpq_res", ivfpqrM)
     pq.unionByName(pqt).unionByName(sq).unionByName(ivfpq).unionByName(ivfpqr)
       .orderBy("method", "query_id")
   }

@@ -427,7 +427,10 @@ ORDER BY st.cluster"""
       s.read.parquet(out + "/" + DeletionVectors.DvPrefix + v + "/dv")
         .groupBy(col("shard").cast("long").as("shard")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (c1, c2) = (dvCounts(1L), dvCounts(2L))
+    // two independent sidecar collects over already-committed versions —
+    // overlapped (guide §2.6)
+    val Seq(c1, c2) = graft.core.ArtifactIO.inParallelMap(Seq(
+      () => dvCounts(1L), () => dvCounts(2L)))
     DeletionVectors.compactApply(s, out, 10L)
     val liveAgg = DeletionVectors.read(s, out)
       .groupBy(col("shard").cast("long").as("shard"))
@@ -515,10 +518,14 @@ ORDER BY s.shard"""
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
-    val u1 = sideCounts(DeletionVectors.DvPrefix, 1L, "dv")
-    val a1 = sideCounts(DeletionVectors.AppendPrefix, 1L, "data")
-    val u2 = sideCounts(DeletionVectors.DvPrefix, 2L, "dv")
-    val a2 = sideCounts(DeletionVectors.AppendPrefix, 2L, "data")
+    // four independent |shards|-row collects over already-committed
+    // sidecars — overlapped (guide §2.6), each otherwise pays full
+    // driver job latency back to back
+    val Seq(u1, a1, u2, a2) = graft.core.ArtifactIO.inParallelMap(Seq(
+      () => sideCounts(DeletionVectors.DvPrefix, 1L, "dv"),
+      () => sideCounts(DeletionVectors.AppendPrefix, 1L, "data"),
+      () => sideCounts(DeletionVectors.DvPrefix, 2L, "dv"),
+      () => sideCounts(DeletionVectors.AppendPrefix, 2L, "data")))
     DeletionVectors.compactApply(s, out, 10L)
     val liveAgg = DeletionVectors.read(s, out)
       .groupBy(col("shard").cast("long").as("shard"))
@@ -601,18 +608,30 @@ ORDER BY s.shard"""
     graft.core.ArtifactIO.delete(s, out) // fresh index per run (append mutates)
     val d = Tables(s, dir, "documents").select(col("doc_id"),
       PortableHash.asciiPolyHash(concat_ws(" ", Text.tokens(col("text")))).as("fp"))
-    val maxId = d.agg(max("doc_id")).head.getLong(0) // ingestion-stable width
+    // one pass for both driver scalars (guide §1.2: don't run two jobs
+    // where one aggregate answers both — `when` evaluates fp only on the
+    // matching row, so the probe hash costs one tokenization, not a scan)
+    val hdr = d.agg(max("doc_id"),
+      max(when(col("doc_id") === 41, col("fp")))).head
+    require(!hdr.isNullAt(1), "probe doc_id 41 missing from the corpus")
+    val maxId = hdr.getLong(0) // ingestion-stable width
     val w = math.ceil((maxId + 1) / 64.0).toLong
-    val h = d.filter(col("doc_id") === 41).head.getLong(1)
+    val h = hdr.getLong(1)
     val clustered = d.withColumn("cluster", expr(s"doc_id div $w"))
     SkippingIndex.build(clustered.filter(col("doc_id") % 2 === 0),
       out, "cluster", Seq("doc_id"), "fp")
     SkippingIndex.append(clustered.filter(col("doc_id") % 2 =!= 0),
       out, "cluster", Seq("doc_id"), "fp", 1L)
-    val nVersions = SkippingIndex.sideVersionCount(s, out)
     val (lo, hi) = (2 * w + 1, 4 * w + w / 2)
-    val rSel = SkippingIndex.selectRange(s, out, "doc_id", lo, hi)
-    val pSel = SkippingIndex.selectPoint(s, out, h)
+    // three independent sidecar probes (a listing + two metadata-scale
+    // selection collects) — overlapped (guide §2.6)
+    val Seq(nVersionsA, rSelA, pSelA) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => SkippingIndex.sideVersionCount(s, out),
+      () => SkippingIndex.selectRange(s, out, "doc_id", lo, hi),
+      () => SkippingIndex.selectPoint(s, out, h)))
+    val nVersions = nVersionsA.asInstanceOf[Long]
+    val rSel = rSelA.asInstanceOf[Seq[Long]]
+    val pSel = pSelA.asInstanceOf[Seq[Long]]
     val rangeRows = SkippingIndex.readClusters(s, out, rSel)
       .filter(col("doc_id").between(lo, hi))
       .groupBy(col("cluster").cast("long").as("cluster"))
@@ -878,11 +897,17 @@ ORDER BY sel.spec_id, sel.cluster"""
     // takedown: non-canonical duplicates by fingerprint, id from the log
     val live0 = DeletionVectors.read(s, table)
     val keepers = live0.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    // persisted: the takedown id set feeds BOTH the DV delete and the
+    // live-state delta — without the cache the keepers join re-executes
+    // per consumer; the two consumers mutate DIFFERENT substrates
+    // (table vs state), so they also overlap (guide §2.6)
     val dupIds = live0.join(keepers, Seq("fp"))
-      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val (txnId, nDel) = DeletionVectors.deleteMatchingConcurrent(s, table, dupIds, Seq("doc_id"))
-    DeltaState.writeDelta(s, state, 1L, layout,
-      Seq("live" -> dupIds.select(col("doc_id"), lit(0L).as("alive"))))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id").persist()
+    val Seq(delA, _) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => DeletionVectors.deleteMatchingConcurrent(s, table, dupIds, Seq("doc_id")),
+      () => DeltaState.writeDelta(s, state, 1L, layout,
+        Seq("live" -> dupIds.select(col("doc_id"), lit(0L).as("alive"))))))
+    val (txnId, nDel) = delA.asInstanceOf[(Long, Long)]
     def cdfAgg(): (Long, Long, Long) = {
       val r = DeltaState.changesBetween(s, state, layout.head, 0L, 1L).get.agg(
         coalesce(sum(when(col("change") === "update" &&
@@ -891,11 +916,18 @@ ORDER BY sel.spec_id, sel.cluster"""
         coalesce(sum(when(col("change") === "insert", 1L)), lit(0L)).as("n_ins")).head
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val cdf1 = cdfAgg()
     // pruned masked reads: sidecar admission -> DV-table PartitionFilters scan
     val (lo, hi) = (3 * w + 1, 5 * w + w / 2)
-    val rSel = SkippingIndex.selectRange(s, skip, "doc_id", lo, hi)
-    val pSel = SkippingIndex.selectPoint(s, skip, h)
+    // three independent read-only probes over different substrates (the
+    // CDF range over the state chain, range/point admission over the
+    // skipping sidecars) — overlapped (guide §2.6)
+    val Seq(cdf1A, rSelA, pSelA) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => cdfAgg(),
+      () => SkippingIndex.selectRange(s, skip, "doc_id", lo, hi),
+      () => SkippingIndex.selectPoint(s, skip, h)))
+    val cdf1 = cdf1A.asInstanceOf[(Long, Long, Long)]
+    val rSel = rSelA.asInstanceOf[Seq[Long]]
+    val pSel = pSelA.asInstanceOf[Seq[Long]]
     def rangeAgg(): (Long, Long) = {
       val r = DeletionVectors.read(s, table)
         .filter(col("shard").isin(rSel: _*) && col("doc_id").between(lo, hi))
@@ -903,14 +935,25 @@ ORDER BY sel.spec_id, sel.cluster"""
           coalesce(sum((col("doc_id") * 31 + col("n_chars")) % 1000000007L), lit(0L)).as("ck")).head
       (r.getLong(0), r.getLong(1))
     }
-    val r1 = rangeAgg()
-    val pointN = DeletionVectors.read(s, table)
-      .filter(col("shard").isin(pSel: _*) && col("fp") === h).count()
+    // the pruned range and point reads are independent scans of the DV
+    // table — overlapped, as are the two janitor folds (different
+    // substrates with separate commit logs) and the two post-fold
+    // re-probes (guide §2.6)
+    val Seq(r1A, pointNA) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => rangeAgg(),
+      () => DeletionVectors.read(s, table)
+        .filter(col("shard").isin(pSel: _*) && col("fp") === h).count()))
+    val r1 = r1A.asInstanceOf[(Long, Long)]
+    val pointN = pointNA.asInstanceOf[Long]
     // the ONE compaction entry point, on both mutated substrates
-    val jr = CommitLog.janitor(s, table)
-    CommitLog.janitor(s, state)
-    val r2 = rangeAgg()
-    val cdf2 = cdfAgg()
+    val Seq(jrA, _) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => CommitLog.janitor(s, table),
+      () => CommitLog.janitor(s, state)))
+    val jr = jrA.asInstanceOf[CommitLog.JanitorReport]
+    val Seq(r2A, cdf2A) = graft.core.ArtifactIO.inParallelMap[Any](Seq(
+      () => rangeAgg(), () => cdfAgg()))
+    val r2 = r2A.asInstanceOf[(Long, Long)]
+    val cdf2 = cdf2A.asInstanceOf[(Long, Long, Long)]
     val rows: Seq[(String, Long, Long)] =
       rSel.map(c => ("admit_range", c, 1L)) ++
       pSel.map(c => ("admit_point", c, 1L)) ++

@@ -1560,7 +1560,11 @@ FROM r WHERE rnk = 1 ORDER BY doc_id"""
       DeltaState.writeDelta(s, out, i.toLong, layout,
         Seq("cwc" -> nbWordCounts(b), "cls" -> nbClassDocs(b)))
     }
-    (0 to 2).foreach(writeBatch)
+    // each delta is the batch's OWN counts (no batch reads accumulated
+    // state), so the three version commits are independent Spark jobs —
+    // overlap them (guide §2.6); the redelivery targets version 1's
+    // directory and must stay AFTER its original write
+    graft.core.ArtifactIO.inParallel((0 to 2).map(i => () => writeBatch(i)))
     writeBatch(1) // redelivery: overwrites its own version, state unchanged
     DeltaState.compact(s, out, keep = 2)
     val cwcF = DeltaState.asOf(s, out, Table("cwc", Sum(Seq("lang", "word")))).get

@@ -275,10 +275,12 @@ object DeltaState {
         else {
           val baseDir = s"$outDir/$BasePrefix$target"
           ArtifactIO.delete(spark, baseDir) // crashed previous attempt
-          layout.get.foreach { t =>
-            asOf(spark, outDir, t, Some(target + 1)).foreach(
+          // sibling table folds are independent writes under one base
+          // marker — overlap them (guide §2.6), publish still after all
+          ArtifactIO.inParallel(layout.get.map { t =>
+            () => asOf(spark, outDir, t, Some(target + 1)).foreach(
               _.write.mode("overwrite").parquet(s"$baseDir/${t.name}"))
-          }
+          })
           CommitLog.publish(spark, baseDir)
           deltas.filter(_ <= target).map { id =>
             ArtifactIO.delete(spark, s"$outDir/$DeltaPrefix$id"); id

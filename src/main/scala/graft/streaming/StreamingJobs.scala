@@ -795,7 +795,6 @@ object StreamingJobs {
     val admitted = boilerMaintIngest(s"$outDir/boiler", c)(batch, batchId)
     val novel = admitted.select("doc_id", "text")
     try {
-      idempotentParquetSink(s"$outDir/raw")(novel, batchId)
       val view = boilerMaintView(spark, s"$outDir/boiler", minDocs)
       val cleaned = graft.dedup.Dedup.applyBoilerplate(novel, view, c)
         .select(col("doc_id"), col("clean_text").as("text"),
@@ -805,7 +804,14 @@ object StreamingJobs {
       // gate) executes twice per batch.
       val kept = gate(cleaned).persist()
       try {
-        idempotentParquetSink(s"$outDir/curated")(kept, batchId)
+        // the raw archive and the curated table are different dirs fed
+        // from the same cached admission frame — two independent writes,
+        // overlapped (guide §2.6). Replay idempotency is unchanged: both
+        // writes overwrite their own batch dir, and the body's crash
+        // contract never ordered them (see the doc above).
+        graft.core.ArtifactIO.inParallel(Seq(
+          () => idempotentParquetSink(s"$outDir/raw")(novel, batchId),
+          () => idempotentParquetSink(s"$outDir/curated")(kept, batchId)))
         kept.count()
       } finally kept.unpersist()
     } finally admitted.unpersist()
