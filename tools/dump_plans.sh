@@ -18,6 +18,6 @@ for q in "$@"; do
   echo "[dump_plans] $q -> $OUT/${q}_${SUF}.txt"
   java $ADD_OPENS -Xmx${SPARK_GRAFT_XMX:-8g} -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Run explain "$q" "$SF" \
-    > "$OUT/${q}_${SUF}.txt" 2> "$OUT/.${q}_${SUF}.stderr" \
-    || { echo "[dump_plans] $q FAILED"; tail -5 "$OUT/.${q}_${SUF}.stderr"; }
+    > "$OUT/${q}_${SUF}.txt" 2> "/tmp/dump_plans_${q}_${SUF}.stderr" \
+    || { echo "[dump_plans] $q FAILED"; tail -5 "/tmp/dump_plans_${q}_${SUF}.stderr"; }
 done
